@@ -1,0 +1,249 @@
+package graft
+
+/** DuckDB oracle SQL, one entry per oracle-able key in SparkEntry.queries.
+  *
+  * Mirrors each Spark query expression-for-expression under the
+  * determinism rules in U.scala / SURVEY.md §7.5:
+  *   - int64 scaling via CAST(FLOOR(x*k) AS BIGINT) everywhere Spark uses
+  *     floor(x*k) (same IEEE multiply+floor → identical values);
+  *   - CAST(SUM(...) AS BIGINT) because DuckDB SUM(BIGINT) is HUGEINT;
+  *   - CAST(ts AS TIMESTAMP) on events.ts (ns in DuckDB, µs in Spark);
+  *   - strftime for every rendered timestamp;
+  *   - every query ends with a total-order ORDER BY.
+  */
+object Oracle {
+
+  private val revC =
+    "CAST(FLOOR(l_extendedprice*100) AS BIGINT) * (100 - CAST(FLOOR(l_discount*100) AS BIGINT))"
+
+  val sql: Map[String, String] = Map(
+    // ----- scans -----
+    "q_scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_scan_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+
+    // ----- projections / filters -----
+    "q_project" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders ORDER BY o_orderkey",
+    "q_project_compute" ->
+      s"""SELECT l_orderkey, l_linenumber,
+            $revC AS revenue_c,
+            CAST(FLOOR(l_quantity*100) AS BIGINT) + CAST(FLOOR(l_tax*100) AS BIGINT) AS qty_tax_c
+          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_filter_eq" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE lang = 'en' ORDER BY doc_id""",
+    "q_filter_not" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+         WHERE o_orderstatus <> 'F' AND NOT (o_orderpriority = '4-NOT SPECIFIED')
+         ORDER BY o_orderkey""",
+    "q_filter_like" ->
+      """SELECT p_partkey, p_type, p_brand FROM part
+         WHERE p_type LIKE '%O%' OR p_brand LIKE 'Brand#1%'
+         ORDER BY p_partkey""",
+    "q_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_filter_null" ->
+      """SELECT o_orderkey, COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS st
+         FROM orders WHERE NULLIF(o_orderstatus, 'P') IS NULL
+         ORDER BY o_orderkey""",
+    "q_case_when" ->
+      """SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hot'
+                     WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
+                     ELSE 'cold' END AS bucket,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+
+    // ----- joins -----
+    "q_join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name FROM nation
+         JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""",
+    "q_join_inner" ->
+      """SELECT o_orderkey, l_linenumber, o_orderstatus, l_quantity FROM orders
+         JOIN lineitem ON o_orderkey = l_orderkey ORDER BY o_orderkey, l_linenumber""",
+    "q_join_left" ->
+      """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders FROM customer
+         LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY c_custkey""",
+    "q_join_semi" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         ORDER BY p_partkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_join_star" ->
+      s"""SELECT r_name, CAST(SUM($revC) AS BIGINT) AS revenue_c, COUNT(*) AS n
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1 ORDER BY r_name""",
+    "q_join_theta" ->
+      """SELECT p_partkey, COUNT(*) AS n_cheaper FROM part
+         JOIN supplier ON s_acctbal < p_retailprice
+         GROUP BY 1 ORDER BY p_partkey""",
+    "q_join_range" ->
+      """SELECT o_orderkey, COUNT(*) AS n_early FROM orders
+         JOIN lineitem ON l_orderkey = o_orderkey
+           AND l_shipdate >= o_orderdate
+           AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+         GROUP BY 1 ORDER BY o_orderkey""",
+    "q_join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "q_join_asof" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT event_id AS c_id, user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts
+                    FROM events WHERE event_type = 'click'),
+              j AS (SELECT p_id, user_id, c_id,
+                           ROW_NUMBER() OVER (PARTITION BY p_id
+                             ORDER BY c_ts DESC NULLS LAST, c_id DESC NULLS LAST) AS rn
+                    FROM p LEFT JOIN c ON user_id = c_user AND c_ts <= p_ts)
+         SELECT p_id, user_id, c_id AS asof_click_id FROM j WHERE rn = 1 ORDER BY p_id""",
+
+    // ----- sorts / top-K -----
+    "q_sort_multi" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+         ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""",
+
+    // ----- set ops -----
+    "q_union_all" ->
+      """SELECT o_orderkey, 'hot' AS tag FROM orders
+         WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+         UNION ALL
+         SELECT o_orderkey, 'cold' AS tag FROM orders
+         WHERE o_orderpriority IN ('4-NOT SPECIFIED','5-LOW')
+         ORDER BY o_orderkey, tag""",
+    "q_union_distinct" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer WHERE c_mktsegment = 'MACHINERY'
+         ORDER BY nk""",
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+         ORDER BY o_custkey""",
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+         ORDER BY o_custkey""",
+
+    // ----- aggregations -----
+    "q_agg_global" ->
+      s"""SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(FLOOR(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c,
+            CAST(SUM($revC) AS BIGINT) AS rev_c,
+            MIN(l_quantity) AS min_qty,
+            MAX(l_quantity) AS max_qty,
+            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+            CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_price_c
+          FROM lineitem""",
+    "q_agg_group" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            CAST(SUM(CAST(FLOOR(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+            CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+            CAST(SUM($revC) AS BIGINT) AS sum_disc_c,
+            COUNT(*) AS n
+          FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_distinct" ->
+      """SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust, COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    "q_agg_filtered" ->
+      """SELECT o_orderstatus,
+                CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+                CAST(SUM(CASE WHEN o_totalprice > 100000
+                              THEN CAST(FLOOR(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS big_c,
+                COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
+    "q_agg_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS r, COALESCE(n_name, 'ALL') AS n_nm, COUNT(*) AS n
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name) ORDER BY r, n_nm""",
+    "q_agg_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS prio,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY st, prio""",
+    "q_agg_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS prio,
+                COUNT(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+         ORDER BY st, prio""",
+    "q_agg_collect" ->
+      """SELECT lang,
+                array_to_string(list_sort(list(DISTINCT source)), ',') AS sources_csv,
+                COUNT(*) AS n
+         FROM documents GROUP BY 1 ORDER BY lang""",
+
+    // ----- windows -----
+    "q_win_rownum" ->
+      """SELECT user_id, event_id,
+                CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS BIGINT) AS rn
+         FROM events ORDER BY user_id, rn""",
+    "q_win_rank" ->
+      """SELECT event_type, event_id, value,
+                CAST(RANK() OVER tie AS BIGINT) AS rnk,
+                CAST(DENSE_RANK() OVER tie AS BIGINT) AS drnk,
+                PERCENT_RANK() OVER tie AS prnk,
+                CAST(NTILE(4) OVER tot AS BIGINT) AS quartile
+         FROM events
+         WINDOW tie AS (PARTITION BY event_type ORDER BY value DESC),
+                tot AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+         ORDER BY event_type, rnk, event_id""",
+    "q_win_lag_lead" ->
+      """SELECT user_id, event_id, value,
+                LAG(value, 1) OVER w AS prev_value,
+                LEAD(event_type, 1) OVER w AS next_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+         ORDER BY event_id""",
+    "q_win_moving_avg" ->
+      """SELECT user_id, event_id,
+                CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) OVER w AS DOUBLE)
+                  / COUNT(*) OVER w AS mov_avg_micros
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q_win_cumsum" ->
+      """SELECT user_id, event_id,
+                CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) OVER w AS BIGINT) AS cum_c
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q_win_range" ->
+      """SELECT event_type, event_id,
+                CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) OVER w AS BIGINT) AS trailing_c,
+                COUNT(*) OVER w AS trailing_n
+         FROM (SELECT *, CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec FROM events)
+         WINDOW w AS (PARTITION BY event_type ORDER BY sec
+                      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q_win_topk_per_group" ->
+      """SELECT event_type, rn, event_id, value FROM (
+           SELECT event_type, event_id, value,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY value DESC, event_id) AS BIGINT) AS rn
+           FROM events) t
+         WHERE rn <= 3 ORDER BY event_type, rn"""
+  )
+}

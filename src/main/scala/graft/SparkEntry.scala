@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship pipeline on sf0.001 (driver smoke-checks rows>0): the
+    * Spark-native form of the reference's daily run — scan the event
+    * stream, filter, tumbling 1-day window × type aggregate (≙ the daily
+    * EventBridge batch, reference main.tf:214-218), enrich with a small
+    * broadcast dimension (≙ YAML config join, src/main.py:171-186), land
+    * as date-partitioned parquet (≙ the YYYY/MM/DD S3 layout,
+    * src/main.py:70-73). */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val dim = Seq(
+      ("click", "engagement"), ("view", "engagement"),
+      ("purchase", "conversion"), ("signup", "conversion"),
+      ("error", "ops")).toDF("event_type", "category")
+    val daily = Tables.events(spark, dir)
+      .filter($"value" > 0)
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(U.micros($"value")).as("value_micros"))
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .select(U.dayStr($"w.start").as("day"), $"event_type", $"category", $"n", $"value_micros")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_entry_out"
+    daily.write.mode("overwrite").partitionBy("day").parquet(out)
+    daily
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] =
+    ops.Relational.qs ++ ops.Aggregates.qs ++ ops.Windows.qs
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (algorithm-specific sketches,
+    * streaming-only plumbing) get the driver's rows-only check. */
+  def oracleSql: Map[String, String] = Oracle.sql
 }

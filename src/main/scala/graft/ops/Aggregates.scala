@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.{Q, Tables, U}
+import org.apache.spark.sql.functions._
+
+/** Aggregations — SURVEY.md §2.D. Reference anchors: the global running
+  * count with early termination (reference src/main.py:156) and the
+  * per-topic/per-day rollups implied by the partitioned landing layout
+  * (src/main.py:70-73,184-191). All group-bys are two-phase hash
+  * aggregates (partial map-side combine + final) — the shape that scales
+  * to 100 TB because the shuffle carries only group keys × partial states.
+  */
+object Aggregates {
+
+  val qs: Map[String, Q] = Map(
+    // D1: global aggregate, one row.
+    "q_agg_global" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(U.cents($"l_quantity")).as("qty_c"),
+        sum(U.revC).as("rev_c"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"),
+        countDistinct($"l_orderkey").as("n_orders"),
+        (sum(U.cents($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price_c"))
+    }),
+    // D2: hash group-by (TPC-H Q1 shape).
+    "q_agg_group" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(U.cents($"l_quantity")).as("sum_qty_c"),
+          sum(U.cents($"l_extendedprice")).as("sum_base_c"),
+          sum(U.revC).as("sum_disc_c"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // D3: distinct aggregation (expand + two-phase plan).
+    "q_agg_distinct" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .agg(countDistinct($"o_custkey").as("n_cust"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+    // D4: filtered/conditional aggregation.
+    "q_agg_filtered" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderstatus")
+        .agg(
+          sum(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"),
+          sum(when($"o_totalprice" > 100000, U.cents($"o_totalprice")).otherwise(0L)).as("big_c"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+    // D5: ROLLUP over the region→nation hierarchy.
+    "q_agg_rollup" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce($"r_name", lit("ALL")).as("r"),
+                coalesce($"n_name", lit("ALL")).as("n_nm"), $"n")
+        .orderBy("r", "n_nm")
+    }),
+    // D6: CUBE.
+    "q_agg_cube" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(U.cents($"o_totalprice")).as("total_c"))
+        .select(coalesce($"o_orderstatus", lit("ALL")).as("st"),
+                coalesce($"o_orderpriority", lit("ALL")).as("prio"), $"n", $"total_c")
+        .orderBy("st", "prio")
+    }),
+    // D7: GROUPING SETS — SQL-only surface, via Spark SQL on a temp view.
+    "q_agg_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+               COALESCE(o_orderpriority, 'ALL') AS prio,
+               COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY st, prio
+      """)
+    }),
+    // D8: HLL sketch — mergeable across partitions/days, the 100 TB-safe
+    // distinct count. Algorithm-specific ⇒ no DuckDB oracle; the ScalaTest
+    // suite asserts |approx-exact| ≤ 5·rsd·exact instead.
+    "q_agg_hll" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"),
+             countDistinct($"user_id").as("exact_users"))
+        .orderBy("event_type")
+    }),
+    // D9: bounded collect-style agg, rendered as a sorted CSV string so the
+    // comparison is representation-free (≙ alias lists, reference src/nba.yaml:6-7).
+    "q_agg_collect" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy($"lang")
+        .agg(array_join(array_sort(collect_set($"source")), ",").as("sources_csv"),
+             count(lit(1)).as("n"))
+        .orderBy("lang")
+    })
+  )
+}

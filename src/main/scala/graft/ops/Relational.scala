@@ -1,0 +1,256 @@
+package graft.ops
+
+import graft.{Q, Tables, U}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scans, filters/projections, joins, sorts/limits, set ops — SURVEY.md
+  * §2.A/B/C/F/G. Each query is pure DataFrame DSL so Catalyst gets a fully
+  * declarative plan (pushdown, pruning, join selection for free), the
+  * Spark-native counterpart of the reference hand-compiling filters,
+  * projections and limits into its API URL (reference src/main.py:89-101,
+  * 95-96) and partition paths (src/main.py:70-73).
+  */
+object Relational {
+
+  val qs: Map[String, Q] = Map(
+    // ----- §2.A scans -------------------------------------------------
+    // A2: full vectorized parquet scan, projected columns only (pruned scan).
+    "q_scan_parquet" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // A1/F2: bounded scan — reference's MAX_RESULTS row cap (src/main.py:136).
+    "q_scan_limit" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    }),
+
+    // ----- §2.B projections / filters ---------------------------------
+    // B1: column projection ≙ tweet.fields list (src/main.py:90).
+    "q_project" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+    // B2: derived columns; exact int64 arithmetic (U.revC).
+    "q_project_compute" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber",
+          U.revC.as("revenue_c"),
+          (U.cents($"l_quantity") + U.cents($"l_tax")).as("qty_tax_c"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+    // B3/J1: equality filter ≙ `lang:en` (src/main.py:89).
+    "q_filter_eq" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter($"lang" === "en")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+    // B4/B9: negated + compound predicate ≙ `-is:retweet -#nbatopshot`.
+    "q_filter_not" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .filter($"o_orderstatus" =!= "F" && !($"o_orderpriority" === "4-NOT SPECIFIED"))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+    // B5: pattern filter ≙ entity phrase match (src/main.py:99).
+    "q_filter_like" -> ((s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .filter($"p_type".like("%O%") || $"p_brand".like("Brand#1%"))
+        .select("p_partkey", "p_type", "p_brand")
+        .orderBy("p_partkey")
+    }),
+    // B6: temporal range ≙ start_time=utcnow-24h (src/main.py:263).
+    "q_filter_range" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+                $"l_shipdate" <  lit("1997-01-01").cast("timestamp"))
+        .select($"l_orderkey", $"l_linenumber", U.dayStr($"l_shipdate").as("ship_day"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+    // B7: null guard ≙ `if 'data' in res` (src/main.py:148).
+    "q_filter_null" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .withColumn("st", when($"o_orderstatus" === "P", lit(null: String)).otherwise($"o_orderstatus"))
+        .filter($"st".isNull)
+        .select($"o_orderkey", coalesce($"st", lit("PENDING")).as("st"))
+        .orderBy("o_orderkey")
+    }),
+    // B8: conditional expression ≙ Team-vs-League key choice (src/main.py:184-186).
+    "q_case_when" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), "hot")
+            .when($"o_orderpriority" === "3-MEDIUM", "warm")
+            .otherwise("cold"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"), sum(U.cents($"o_totalprice")).as("total_c"))
+        .orderBy("bucket")
+    }),
+
+    // ----- §2.C joins --------------------------------------------------
+    // C1: broadcast hash join — dim side ≙ YAML config tables (src/main.py:49-61).
+    "q_join_broadcast" -> ((s, d) => {
+      import s.implicits._
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    }),
+    // C2: shuffle join on the two fact tables (sort-merge / shuffled-hash by AQE).
+    "q_join_inner" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+        .select("o_orderkey", "l_linenumber", "o_orderstatus", "l_quantity")
+        .orderBy("o_orderkey", "l_linenumber")
+    }),
+    // C3: left outer — customers with zero orders kept at n_orders=0.
+    "q_join_left" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+    // C4: left semi (EXISTS).
+    "q_join_semi" -> ((s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d), $"p_partkey" === $"l_partkey", "left_semi")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    }),
+    // C5: left anti (NOT EXISTS).
+    "q_join_anti" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+    // C6: multiway star join; small dims broadcast, facts shuffle once.
+    "q_join_star" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(sum(U.revC).as("revenue_c"), count(lit(1)).as("n"))
+        .orderBy("r_name")
+    }),
+    // C7: theta (non-equi) join → BroadcastNestedLoopJoin with the small side broadcast.
+    "q_join_theta" -> ((s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .join(broadcast(Tables.supplier(s, d)), $"s_acctbal" < $"p_retailprice")
+        .groupBy($"p_partkey")
+        .agg(count(lit(1)).as("n_cheaper"))
+        .orderBy("p_partkey")
+    }),
+    // C8: range join — equi key + temporal band residual.
+    "q_join_range" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" &&
+          $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("n_early"))
+        .orderBy("o_orderkey")
+    }),
+    // C9: bounded cross join (5 × 25).
+    "q_join_cross" -> ((s, d) => {
+      import s.implicits._
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    }),
+    // C10: as-of join — for each purchase, the latest click at-or-before it
+    // by the same user. Range join + row_number, the composed-builtins form.
+    "q_join_asof" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val p = e.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+      val c = e.filter($"event_type" === "click")
+        .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+      val w = Window.partitionBy($"p_id").orderBy($"c_ts".desc_nulls_last, $"c_id".desc_nulls_last)
+      p.join(c, $"user_id" === $"c_user" && $"c_ts" <= $"p_ts", "left_outer")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"p_id", $"user_id", $"c_id".as("asof_click_id"))
+        .orderBy("p_id")
+    }),
+
+    // ----- §2.F sorts / top-K -------------------------------------------
+    // F1: global multi-column mixed-direction sort (range-partitioned SortExec).
+    "q_sort_multi" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy($"o_orderpriority".asc, $"o_totalprice".desc, $"o_orderkey".asc)
+    }),
+    // F3: top-K ≙ "latest posts" (reference README.md:2) → TakeOrderedAndProject.
+    "q_topk" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(50)
+    }),
+
+    // ----- §2.G set ops --------------------------------------------------
+    // G1: UNION ALL ≙ multi-platform fan-out union (src/main.py:212-219).
+    "q_union_all" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val hot = o.filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+        .select($"o_orderkey", lit("hot").as("tag"))
+      val cold = o.filter($"o_orderpriority".isin("4-NOT SPECIFIED", "5-LOW"))
+        .select($"o_orderkey", lit("cold").as("tag"))
+      hot.unionByName(cold).orderBy("o_orderkey", "tag")
+    }),
+    // G2: UNION distinct.
+    "q_union_distinct" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      c.filter($"c_mktsegment" === "BUILDING").select($"c_nationkey".cast("long").as("nk"))
+        .union(c.filter($"c_mktsegment" === "MACHINERY").select($"c_nationkey".cast("long").as("nk")))
+        .distinct()
+        .orderBy("nk")
+    }),
+    // G3: INTERSECT — custkeys active in both years.
+    "q_intersect" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      o.filter(year($"o_orderdate") === 1996).select($"o_custkey")
+        .intersect(o.filter(year($"o_orderdate") === 1997).select($"o_custkey"))
+        .orderBy("o_custkey")
+    }),
+    // G4: EXCEPT — new-rows-since-last-run semantics (src/main.py:263 overlap).
+    "q_except" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      o.filter(year($"o_orderdate") === 1996).select($"o_custkey")
+        .except(o.filter(year($"o_orderdate") === 1997).select($"o_custkey"))
+        .orderBy("o_custkey")
+    })
+  )
+}
