@@ -244,6 +244,72 @@ object Oracle {
                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
                     ORDER BY value DESC, event_id) AS BIGINT) AS rn
            FROM events) t
-         WHERE rn <= 3 ORDER BY event_type, rn"""
+         WHERE rn <= 3 ORDER BY event_type, rn""",
+
+    // ----- scalar function families (§2.H) -----
+    "q_str_funcs" ->
+      """SELECT p_partkey,
+                p_brand || '/' || p_type AS brand_type,
+                upper(p_name) AS name_up,
+                lower(p_type) AS type_lo,
+                substring(p_name, 1, 8) AS name8,
+                CAST(length(p_name) AS BIGINT) AS name_len,
+                trim('  pad  ') AS trimmed,
+                replace(p_type, ' ', '_') AS type_us,
+                lpad(p_brand, 12, '#') AS brand_pad,
+                CAST(instr(p_type, 'O') AS BIGINT) AS o_at,
+                printf('%s:%04d', p_brand, p_size) AS fmt
+         FROM part ORDER BY p_partkey""",
+    "q_regex_funcs" ->
+      """SELECT doc_id,
+                regexp_extract(text, '^(\w+)', 1) AS first_word,
+                regexp_replace(text, '\s+', '|', 'g') AS piped,
+                CAST(CAST(regexp_matches(text, 'data') AS INT) AS BIGINT) AS has_data
+         FROM documents ORDER BY doc_id""",
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+                strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+                CAST(year(o_orderdate) AS BIGINT) AS y,
+                CAST(month(o_orderdate) AS BIGINT) AS m,
+                CAST(day(o_orderdate) AS BIGINT) AS dom,
+                strftime(o_orderdate, '%Y-%m-%d') AS day_str,
+                strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_str,
+                CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_end,
+                CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+         FROM orders ORDER BY o_orderkey""",
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(round(l_extendedprice, 0) AS DOUBLE) AS price_r0,
+                abs(l_quantity - 25) AS qty_dev,
+                CAST(ceil(l_discount * 100) AS BIGINT) AS disc_ceil,
+                CAST(floor(l_tax * 100) AS BIGINT) AS tax_floor,
+                l_partkey % 7 AS pk_mod7,
+                greatest(l_quantity, l_tax * 100) AS gr,
+                least(l_orderkey, l_partkey) AS le,
+                CAST(sign(l_quantity - 25) AS BIGINT) AS sgn
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_json_funcs" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_get,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
+                printf('{"id":%d,"t":"%s"}', event_id, event_type) AS packed
+         FROM events ORDER BY event_id""",
+    "q_array_funcs" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                CAST(CAST(list_contains(string_split(text, ' '), 'data') AS INT) AS BIGINT) AS has_data,
+                array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5), ',') AS first5,
+                CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 5)) AS BIGINT) AS n_long,
+                CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS total_chars,
+                array_to_string(list_transform(list_slice(string_split(text, ' '), 1, 3), t -> upper(t)), ',') AS head3_up
+         FROM documents ORDER BY doc_id""",
+    "q_map_funcs" ->
+      """SELECT event_id,
+                array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+                CAST(len(json_keys(props)) AS BIGINT) AS n_entries
+         FROM events ORDER BY event_id""",
+    "q_hash_funcs" ->
+      "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id"
   )
 }

@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function surface — SURVEY.md §2.H. Reference anchors: string
+  * building (src/main.py:99-111), strftime/ISO formatting (:72,138,177),
+  * date arithmetic utcnow()-timedelta (:263), JSON encode/decode
+  * (:120,153), URL-escaping (:89), arrays (src/nba.yaml:6-7).
+  *
+  * All built-in `org.apache.spark.sql.functions` — codegen'd Column
+  * expressions, no UDFs, so every query stays inside WholeStageCodegen.
+  * Array/map results are rendered to CSV strings: the driver compares
+  * parquet values, and list representations differ across engines.
+  */
+object Scalars {
+
+  val qs: Map[String, Q] = Map(
+    // H1: string family ≙ URL/key string assembly (src/main.py:99-111).
+    "q_str_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .select(
+          $"p_partkey",
+          concat($"p_brand", lit("/"), $"p_type").as("brand_type"),
+          upper($"p_name").as("name_up"),
+          lower($"p_type").as("type_lo"),
+          substring($"p_name", 1, 8).as("name8"),
+          length($"p_name").cast("long").as("name_len"),
+          trim(lit("  pad  ")).as("trimmed"),
+          replace($"p_type", lit(" "), lit("_")).as("type_us"),
+          lpad($"p_brand", 12, "#").as("brand_pad"),
+          instr($"p_type", "O").cast("long").as("o_at"),
+          format_string("%s:%04d", $"p_brand", $"p_size").as("fmt"))
+        .orderBy("p_partkey")
+    }),
+    // H2: regex family ≙ hashtag/mention extraction from text.
+    "q_regex_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(
+          $"doc_id",
+          regexp_extract($"text", "^(\\w+)", 1).as("first_word"),
+          regexp_replace($"text", "\\s+", "|").as("piped"),
+          $"text".rlike("data").cast("int").cast("long").as("has_data"))
+        .orderBy("doc_id")
+    }),
+    // H3: date/time family ≙ strftime + window arithmetic (src/main.py:138,263).
+    "q_date_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(
+          $"o_orderkey",
+          date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"),
+          year($"o_orderdate").cast("long").as("y"),
+          month($"o_orderdate").cast("long").as("m"),
+          dayofmonth($"o_orderdate").cast("long").as("dom"),
+          date_format($"o_orderdate", "yyyy-MM-dd").as("day_str"),
+          date_format($"o_orderdate" + expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").as("due_str"),
+          datediff(lit("1998-12-31").cast("date"), $"o_orderdate".cast("date"))
+            .cast("long").as("days_to_end"),
+          unix_timestamp($"o_orderdate").as("epoch_s"))
+        .orderBy("o_orderkey")
+    }),
+    // H4: math family — exact int64 / IEEE-exact single ops only.
+    "q_math_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          round($"l_extendedprice", 0).as("price_r0"),
+          abs($"l_quantity" - 25).as("qty_dev"),
+          ceil($"l_discount" * 100).as("disc_ceil"),
+          floor($"l_tax" * 100).as("tax_floor"),
+          ($"l_partkey" % 7).as("pk_mod7"),
+          greatest($"l_quantity", $"l_tax" * 100).as("gr"),
+          least($"l_orderkey", $"l_partkey").as("le"),
+          signum($"l_quantity" - 25).cast("long").as("sgn"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // H5: JSON family ≙ json.dumps/loads (src/main.py:120,153) on events.props.
+    "q_json_funcs" -> ((s, d) => {
+      import s.implicits._
+      val schema = StructType(Seq(StructField("k", LongType)))
+      Tables.events(s, d)
+        .select(
+          $"event_id",
+          get_json_object($"props", "$.k").cast("long").as("k_get"),
+          from_json($"props", schema).getField("k").as("k_parsed"),
+          to_json(struct($"event_id".as("id"), $"event_type".as("t"))).as("packed"))
+        .orderBy("event_id")
+    }),
+    // H6: array family incl. higher-order fns ≙ aliases/annotations handling.
+    "q_array_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("toks", split($"text", " "))
+        .select(
+          $"doc_id",
+          size($"toks").cast("long").as("n_toks"),
+          array_contains($"toks", "data").cast("int").cast("long").as("has_data"),
+          array_join(slice(array_sort(array_distinct($"toks")), 1, 5), ",").as("first5"),
+          size(filter($"toks", t => length(t) > 5)).cast("long").as("n_long"),
+          aggregate($"toks", lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
+          array_join(transform(slice($"toks", 1, 3), t => upper(t)), ",").as("head3_up"))
+        .orderBy("doc_id")
+    }),
+    // H7: map family — props as MapType; rendered as sorted entry strings.
+    "q_map_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("m", from_json($"props", MapType(StringType, LongType)))
+        .select(
+          $"event_id",
+          array_join(array_sort(map_keys($"m")), ",").as("keys_csv"),
+          element_at($"m", "k").as("k_val"),
+          size($"m").cast("long").as("n_entries"))
+        .orderBy("event_id")
+    }),
+    // H8: hash family — md5 only (cross-engine); used as dedup content key.
+    "q_hash_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", md5($"text").as("text_md5"))
+        .orderBy("doc_id")
+    })
+  )
+}
