@@ -310,6 +310,60 @@ object Oracle {
                 CAST(len(json_keys(props)) AS BIGINT) AS n_entries
          FROM events ORDER BY event_id""",
     "q_hash_funcs" ->
-      "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id"
+      "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
+
+    // ----- streaming batch-equivalents (§2.I) -----
+    "q_stream_tumbling" ->
+      """SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+                event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT) AS value_c
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    // Sliding 1h/30min: an event at t falls in the two windows starting at
+    // 1800*floor(t/1800) and 1800*(floor(t/1800)-1) (epoch-aligned, as Spark).
+    "q_stream_sliding" ->
+      """SELECT strftime(make_timestamp(1000000 * 1800 *
+                  (CAST(floor(epoch(CAST(ts AS TIMESTAMP))/1800) AS BIGINT) - k)),
+                  '%Y-%m-%d %H:%M:%S') AS w_start,
+                event_type, COUNT(*) AS n
+         FROM events CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) ks
+         GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    // Gaps-and-islands: new session where ts - prev_ts >= 30 min (Spark
+    // session_window treats adjacent = non-overlapping as a new session).
+    "q_stream_session" ->
+      """WITH x AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value, event_id,
+                  LAG(CAST(ts AS TIMESTAMP)) OVER
+                    (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_t
+           FROM events),
+         y AS (
+           SELECT *, SUM(CASE WHEN prev_t IS NULL OR t - prev_t >= INTERVAL 30 MINUTE
+                              THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x)
+         SELECT user_id, strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT) AS value_c
+         FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q_stream_dedup" ->
+      """SELECT user_id, event_type, first_event_id FROM (
+           SELECT user_id, event_type, event_id AS first_event_id,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+           FROM events) t
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+    "q_stream_stateful" ->
+      """WITH agg AS (
+           SELECT user_id, COUNT(*) AS n_events,
+                  CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT) AS value_c
+           FROM events GROUP BY 1),
+         lastt AS (
+           SELECT user_id, event_type AS last_type FROM (
+             SELECT user_id, event_type,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+             FROM events) t WHERE rn = 1)
+         SELECT agg.user_id, n_events, value_c, last_type
+         FROM agg JOIN lastt USING (user_id) ORDER BY user_id"""
   )
 }

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.{Q, Tables, U}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing / dedup / stateful queries — SURVEY.md §2.I, in
+  * their batch-equivalent forms (identical `window`/`session_window`
+  * expressions run over the same plans in Structured Streaming; the
+  * streaming-specific plumbing — watermark, AvailableNow, state store —
+  * lives in graft.streaming and its ScalaTest suite).
+  *
+  * Reference anchors: daily tumbling micro-batch (main.tf:214-218 cron),
+  * 24 h look-back (src/main.py:263), 30-min tolerated lateness
+  * (main.tf:309), overlapping-window dedup need (src/main.py:263),
+  * running per-key counter (src/main.py:156).
+  */
+object Streaming {
+
+  val qs: Map[String, Q] = Map(
+    // I1: tumbling 1-day event-time window — the reference's daily batch.
+    "q_stream_tumbling" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum(U.micros($"value")).as("value_c"))
+        .select(U.dayStr($"w.start").as("day"), $"event_type", $"n", $"value_c")
+        .orderBy("day", "event_type")
+    }),
+    // I2: sliding window (1 h every 30 min) — each event in 2 buckets.
+    "q_stream_sliding" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(U.tsStr($"w.start").as("w_start"), $"event_type", $"n")
+        .orderBy("w_start", "event_type")
+    }),
+    // I3: session window, 30-min gap per user. Batch `session_window`
+    // merges exactly like the gaps-and-islands oracle: a session breaks
+    // where ts - prev_ts > gap.
+    "q_stream_session" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n"), sum(U.micros($"value")).as("value_c"))
+        .select($"user_id", U.tsStr($"w.start").as("session_start"), $"n", $"value_c")
+        .orderBy("user_id", "session_start")
+    }),
+    // I5: dedup — first occurrence per (user_id, event_type) in arrival
+    // (event-time) order, the deterministic batch form of
+    // withWatermark().dropDuplicates() on a re-delivered stream.
+    "q_stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id".as("first_event_id"))
+        .orderBy("user_id", "event_type")
+    }),
+    // I6: stateful per-key processing — the final state a
+    // mapGroupsWithState counter would hold per user: event count,
+    // value sum, last event type. (The true streaming form is in
+    // graft.streaming.Stateful, asserted equal to this in tests.)
+    "q_stream_stateful" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      val last = e.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"event_type".as("last_type"))
+      e.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), sum(U.micros($"value")).as("value_c"))
+        .join(last, Seq("user_id"))
+        .orderBy("user_id")
+    })
+  )
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.model.TweetSchema
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** L1 ingest — the Spark-native form of the reference producer's whole
+  * dataflow (reference src/main.py:203-277):
+  *
+  *   - paginated external scan → file-source micro-batches (each file ≙
+  *     one API page, reference src/main.py:136-160);
+  *   - filters/projection pushed into the source ≙ the reference pushing
+  *     them into the API query string (src/main.py:89-101);
+  *   - `Trigger.AvailableNow` ≙ the daily EventBridge-fired batch
+  *     (main.tf:214-218) — drains everything available, then stops;
+  *   - date/entity-partitioned parquet sink ≙ the
+  *     `<platform>/<league>/YYYY/MM/DD/` S3 key layout
+  *     (src/main.py:70-73,184-191), with dynamic partition overwrite
+  *     giving the same idempotent re-run semantics (§2.A8).
+  */
+object Ingest {
+
+  /** The projection+filter core, shared verbatim by batch and streaming
+    * (same logical plan). English-only, non-empty text (≙ `lang:en`,
+    * `-is:retweet` server-side filters, src/main.py:89), nested-field
+    * projection (≙ tweet.fields, src/main.py:90), partition columns from
+    * event time (≙ key layout, src/main.py:70-73). */
+  def transform(tweets: DataFrame, platform: String, league: String): DataFrame =
+    tweets
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(
+        col("id"), col("text"), col("created_at"),
+        col("public_metrics.like_count").as("like_count"),
+        col("public_metrics.retweet_count").as("retweet_count"),
+        transform_(col("entities.hashtags"), h => h.getField("tag")).as("hashtags"),
+        lit(platform).as("platform"),
+        lit(league).as("league"),
+        year(col("created_at")).as("year"),
+        month(col("created_at")).as("month"),
+        dayofmonth(col("created_at")).as("day"))
+
+  // scala 2.13 name clash with Function.transform under wildcard import
+  private def transform_(c: org.apache.spark.sql.Column,
+                         f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.transform(c, f)
+
+  /** One scheduled run: drain all NDJSON files under `srcDir`, land as
+    * partitioned parquet under `outDir`. Returns when the drain is done. */
+  def runAvailableNow(spark: SparkSession, srcDir: String, outDir: String,
+                      checkpoint: String,
+                      platform: String = "Twitter", league: String = "NBA"): Unit = {
+    val src = spark.readStream
+      .schema(TweetSchema.schema)
+      .json(srcDir)
+    val q = transform(src, platform, league).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("platform", "league", "year", "month", "day")
+          .parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Batch form over already-landed NDJSON (≙ re-processing a day). */
+  def runBatch(spark: SparkSession, srcDir: String, outDir: String,
+               platform: String = "Twitter", league: String = "NBA"): Unit =
+    transform(spark.read.schema(TweetSchema.schema).json(srcDir), platform, league)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("platform", "league", "year", "month", "day")
+      .parquet(outDir)
+}

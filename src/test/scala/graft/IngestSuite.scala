@@ -1,0 +1,43 @@
+package graft
+
+import graft.streaming.Ingest
+import java.nio.file.{Files, Paths}
+
+/** Golden ingest test (SURVEY.md §5.6): tweet-shaped NDJSON fixture →
+  * AvailableNow streaming drain → date/entity-partitioned parquet, the
+  * reference's whole L1 dataflow (src/main.py:70-73,90,151-153). */
+class IngestSuite extends SparkSpec {
+
+  private def fixture(dir: String): Unit = {
+    val lines = (0 until 20).map { i =>
+      val day = 6 + i % 2 // two distinct days → two partitions
+      s"""{"id":"134688943662625${1000 + i}","text":"tweet $i #NBA","created_at":"2021-01-0${day}T18:40:${10 + i}.000Z","public_metrics":{"retweet_count":$i,"reply_count":1,"like_count":${i * 2},"quote_count":0},"context_annotations":[{"domain":{"id":"46","name":"Brand Category","description":"d"},"entity":{"id":"10026792024","name":"NBA","description":"d"}}],"entities":{"hashtags":[{"start":11,"end":15,"tag":"NBA"}],"mentions":[],"urls":[],"annotations":[]}}"""
+    } :+ """{"id":"9","text":"","created_at":"2021-01-06T00:00:00.000Z","public_metrics":null,"context_annotations":null,"entities":null}"""
+    Files.write(Paths.get(s"$dir/page-00.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("AvailableNow ingest lands filtered, projected, partitioned parquet") {
+    val base = Files.createTempDirectory("graft_ingest").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    fixture(src)
+    Ingest.runAvailableNow(spark, src, out, ckpt)
+    val landed = spark.read.parquet(out)
+    // empty-text row filtered (≙ server-side filters, src/main.py:89)
+    assert(landed.count() == 20)
+    // nested projection flattened
+    assert(landed.columns.toSet == Set("id", "text", "created_at", "like_count",
+      "retweet_count", "hashtags", "platform", "league", "year", "month", "day"))
+    // partition layout <platform>/<league>/year/month/day (src/main.py:70-73)
+    assert(new java.io.File(s"$out/platform=Twitter/league=NBA/year=2021/month=1/day=6").exists)
+    assert(new java.io.File(s"$out/platform=Twitter/league=NBA/year=2021/month=1/day=7").exists)
+    // hashtag array survived the transform
+    import spark.implicits._
+    assert(landed.select(org.apache.spark.sql.functions.explode($"hashtags"))
+      .distinct().as[String].collect().toSeq == Seq("NBA"))
+    // idempotent re-run (A8): batch re-process overwrites, count unchanged
+    Ingest.runBatch(spark, src, out)
+    assert(spark.read.parquet(out).count() == 20)
+  }
+}

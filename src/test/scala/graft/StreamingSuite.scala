@@ -1,0 +1,114 @@
+package graft
+
+import graft.streaming.{Ev, Stateful}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** §2.I true-streaming semantics (SURVEY.md §5.4): MemoryStream-driven
+  * micro-batches, asserting streaming results equal the batch-equivalent
+  * q_stream_* queries on the same input. */
+class StreamingSuite extends SparkSpec {
+
+  private def microsOf(minute: Int): Long = {
+    // 2024-01-01 00:<minute>:00 UTC in epoch micros
+    (1704067200L + minute * 60L) * 1000000L
+  }
+
+  private def runStream[T](setup: MemoryStream[Ev] => org.apache.spark.sql.DataFrame,
+                           batches: Seq[Seq[Ev]], mode: OutputMode): Seq[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sink = s"mem_${System.nanoTime()}"
+    val q = setup(mem).writeStream.format("memory").queryName(sink)
+      .outputMode(mode).start()
+    batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    spark.table(sink).collect().toSeq
+  }
+
+  test("I6 stateful per-user counters: streaming final state == batch query") {
+    import spark.implicits._
+    val evs = Stateful.eventsDs(spark, sfDir).collect().toSeq
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Stateful.userCounters(mem.toDS())
+      .map { case (u, st) => (u, st.n_events, st.value_c, st.last_type) }
+      .toDF("user_id", "n_events", "value_c", "last_type")
+      .writeStream.format("memory").queryName("stateful_sink")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    // last emitted row per user = final state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"batch_ord".desc)
+    val got = spark.table("stateful_sink")
+      .withColumn("batch_ord", monotonically_increasing_id())
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select("user_id", "n_events", "value_c", "last_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val want = ops.Streaming.qs("q_stream_stateful")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == want)
+  }
+
+  test("I5 streaming dedup drops re-delivered event_ids across batches") {
+    import spark.implicits._
+    val e1 = Ev(1L, microsOf(0), 10L, "click", 100L)
+    val e2 = Ev(2L, microsOf(1), 10L, "view", 200L)
+    val e3 = Ev(3L, microsOf(2), 11L, "click", 300L)
+    val rows = runStream(
+      m => Stateful.dedupStream(m.toDS()).toDF(),
+      Seq(Seq(e1, e2), Seq(e2, e3, e3)), // e2 re-delivered, e3 duplicated in-batch
+      OutputMode.Append())
+    assert(rows.map(_.getLong(0)).sorted == Seq(1L, 2L, 3L))
+  }
+
+  test("I1 streaming tumbling window == batch q_stream_tumbling (AvailableNow-style drain)") {
+    import spark.implicits._
+    val evs = Stateful.eventsDs(spark, sfDir).collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Stateful.tumblingCounts(mem.toDS())
+      .writeStream.format("memory").queryName("tumbling_sink")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData(evs); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tumbling_sink")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = ops.Streaming.qs("q_stream_tumbling")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("I4 watermark: events later than 30min behind max ts are dropped from append agg") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDS()
+      .withColumn("ts", timestamp_micros($"tsMicros"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window($"ts", "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format($"w.start", "HH:mm").as("w_start"), $"n")
+    val q = agg.writeStream.format("memory").queryName("wm_sink")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: events at minute 0 and 5 (window 00:00); advance max ts to minute 60
+    mem.addData(Seq(Ev(1, microsOf(0), 1, "a", 0), Ev(2, microsOf(5), 1, "a", 0),
+      Ev(3, microsOf(60), 1, "a", 0)))
+    q.processAllAvailable()
+    // batch 2: a late event at minute 2 — watermark is 60-30=30min > window end 10min ⇒ dropped
+    mem.addData(Seq(Ev(4, microsOf(2), 1, "a", 0)))
+    q.processAllAvailable()
+    // batch 3: push watermark past minute 70 to flush remaining windows
+    mem.addData(Seq(Ev(5, microsOf(120), 1, "a", 0)))
+    q.processAllAvailable()
+    q.stop()
+    val byWindow = spark.table("wm_sink").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byWindow("00:00") == 2L) // late event 4 NOT counted
+  }
+}
