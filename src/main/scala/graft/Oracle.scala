@@ -16,6 +16,84 @@ object Oracle {
   private val revC =
     "CAST(FLOOR(l_extendedprice*100) AS BIGINT) * (100 - CAST(FLOOR(l_discount*100) AS BIGINT))"
 
+  /** DuckDB twin of U.h64: first 15 hex chars of md5 parsed big-endian to
+    * int64 (DuckDB's md5_number_* are little-endian, hence the explicit
+    * hex fold). */
+  private def h64Sql(e: String): String =
+    s"""list_reduce(list_transform(string_split(substring(md5($e), 1, 15), ''),
+        c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1), (a, b) -> a*16 + b)"""
+
+  /** Word-3-gram shingle CTEs shared by the dedup oracles. */
+  private val shingleCtes =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       sh AS (SELECT doc_id, list_distinct(list_transform(list_slice(tk, 3, len(tk)),
+                (x, i) -> tk[i] || ' ' || tk[i+1] || ' ' || x)) AS shs FROM toks)"""
+
+  private val minhashSql: String = {
+    val minCols = (0 until ops.Dedup.NumSeeds)
+      .map(j => s"MIN(${h64Sql(s"'$j:' || sh")}) AS m$j").mkString(",\n             ")
+    val bandList = (0 until ops.Dedup.NumBands)
+      .map(b => s"concat_ws(':', $b, m${2 * b}, m${2 * b + 1})").mkString(", ")
+    s"""WITH $shingleCtes,
+        e AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+        mins AS (SELECT doc_id, $minCols FROM e GROUP BY 1),
+        bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM mins),
+        cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                 FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        v AS (SELECT d1, d2,
+                     CAST(len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) AS BIGINT) AS ni,
+                     len(sa.shs) AS na, len(sb.shs) AS nb
+              FROM cand JOIN sh sa ON sa.doc_id = d1 JOIN sh sb ON sb.doc_id = d2),
+        j AS (SELECT d1, d2, round(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jac FROM v)
+        SELECT d1, d2, jac FROM j WHERE jac >= 0.2 ORDER BY d1, d2"""
+  }
+
+  private val simhashSql: String = {
+    val bitSums = (0 until 32)
+      .map(k => s"SUM(CASE WHEN (h >> $k) & 1 = 1 THEN f ELSE -f END) AS b$k")
+      .mkString(",\n             ")
+    val code = (0 until 32).map(k => s"CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END")
+      .mkString(" + ")
+    val blocks = (0 until 4).map(b => s"concat_ws(':', $b, (simhash >> ${b * 8}) & 255)")
+      .mkString(", ")
+    s"""WITH tf AS (SELECT doc_id, tok, COUNT(*) AS f
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+                    GROUP BY 1, 2),
+        h AS (SELECT doc_id, f, ${h64Sql("tok")} AS h FROM tf),
+        sums AS (SELECT doc_id, $bitSums FROM h GROUP BY 1),
+        codes AS (SELECT doc_id, CAST($code AS BIGINT) AS simhash FROM sums),
+        blocks AS (SELECT doc_id, simhash, unnest([$blocks]) AS blk FROM codes),
+        cand AS (SELECT DISTINCT a.doc_id AS d1, a.simhash AS h1, b.doc_id AS d2, b.simhash AS h2
+                 FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        r AS (SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS ham FROM cand)
+        SELECT d1, d2, ham FROM r WHERE ham <= 3 ORDER BY d1, d2"""
+  }
+
+  private val embedLshSql: String = {
+    val bitCols = (0 until ops.Dedup.NumPlanes).map { p =>
+      val lits = ops.Dedup.planes(p).mkString("[", ", ", "]")
+      s"CASE WHEN list_sum(list_transform(v, (x, i) -> x * ($lits)[i])) > 0 THEN 1 ELSE 0 END AS bit$p"
+    }.mkString(",\n             ")
+    val tabs = (0 until ops.Dedup.NumTables).map { t =>
+      val code = (0 until 4).map(k => s"bit${4 * t + k} * ${1L << k}").mkString(" + ")
+      s"concat_ws(':', $t, $code)"
+    }.mkString(", ")
+    s"""WITH n AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+               FROM embeddings),
+        m AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS norm2 FROM n),
+        bits AS (SELECT vec_id, $bitCols FROM m),
+        tabs AS (SELECT vec_id, unnest([$tabs]) AS bkt FROM bits),
+        cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+                 FROM tabs a JOIN tabs b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+        p AS (SELECT d1, d2,
+                     CAST(list_sum(list_transform(ma.v, (x, i) -> x * mb.v[i])) AS DOUBLE) AS dot,
+                     CAST(ma.norm2 AS DOUBLE) AS na, CAST(mb.norm2 AS DOUBLE) AS nb
+              FROM cand JOIN m ma ON ma.vec_id = d1 JOIN m mb ON mb.vec_id = d2),
+        r AS (SELECT d1, d2, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim FROM p)
+        SELECT d1, d2, sim FROM r WHERE sim >= 0.4 ORDER BY d1, d2"""
+  }
+
   val sql: Map[String, String] = Map(
     // ----- scans -----
     "q_scan_parquet" ->
@@ -364,6 +442,97 @@ object Oracle {
                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
              FROM events) t WHERE rn = 1)
          SELECT agg.user_id, n_events, value_c, last_type
-         FROM agg JOIN lastt USING (user_id) ORDER BY user_id"""
+         FROM agg JOIN lastt USING (user_id) ORDER BY user_id""",
+
+    // ----- text / LLM-pipeline core (§2.J) -----
+    "q_text_tokens" ->
+      """SELECT lang, tok, COUNT(*) AS n
+         FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) t
+         GROUP BY 1, 2 ORDER BY lang, tok""",
+    "q_text_bigrams" ->
+      """WITH b AS (
+           SELECT lang, unnest(list_transform(
+             list_slice(string_split(text, ' '), 2, len(string_split(text, ' '))),
+             (x, i) -> string_split(text, ' ')[i] || ' ' || x)) AS bigram
+           FROM documents),
+         c AS (SELECT lang, bigram, COUNT(*) AS n FROM b GROUP BY 1, 2),
+         r AS (SELECT lang, bigram, n,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                        ORDER BY n DESC, bigram) AS BIGINT) AS rk
+               FROM c)
+         SELECT lang, rk, bigram, n FROM r WHERE rk <= 5 ORDER BY lang, rk""",
+    "q_text_sentiment" ->
+      """WITH lex(word, sc) AS (VALUES ('fast', 2), ('spark', 2), ('big', 1),
+                                       ('value', 1), ('slow', -2), ('small', -1)),
+         t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         s AS (SELECT doc_id, CAST(COALESCE(SUM(sc), 0) AS BIGINT) AS score
+               FROM t LEFT JOIN lex ON tok = word GROUP BY 1)
+         SELECT doc_id, score,
+                CASE WHEN score > 0 THEN 'pos' WHEN score < 0 THEN 'neg'
+                     ELSE 'neu' END AS mood
+         FROM s ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keeper_id""",
+    "q_sim_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  list_slice(tk, 3, len(tk)),
+                  (x, i) -> tk[i] || ' ' || tk[i+1] || ' ' || x))) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT d1, d2,
+                      round(CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter), 6) AS jac
+               FROM inter
+               JOIN sizes s1 ON s1.doc_id = d1
+               JOIN sizes s2 ON s2.doc_id = d2)
+         SELECT d1, d2, jac FROM j WHERE jac >= 0.2 ORDER BY d1, d2""",
+    "q_sim_cosine" ->
+      """WITH n AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+               FROM embeddings),
+         m AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS norm2 FROM n),
+         q AS (SELECT vec_id AS q_id, v AS qv, norm2 AS qn FROM m WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id AS c_id, v AS cv, norm2 AS cn FROM m),
+         p AS (SELECT q_id, c_id,
+                      CAST(list_sum(list_transform(qv, (x, i) -> x * cv[i])) AS DOUBLE) AS dot,
+                      CAST(qn AS DOUBLE) AS qnd, CAST(cn AS DOUBLE) AS cnd
+               FROM q JOIN c ON q_id <> c_id),
+         r AS (SELECT q_id, c_id, round(dot / (sqrt(qnd) * sqrt(cnd)), 6) AS sim FROM p),
+         k AS (SELECT q_id, c_id, sim,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY sim DESC, c_id) AS BIGINT) AS rk
+               FROM r)
+         SELECT q_id, rk, c_id, sim FROM k WHERE rk <= 3 ORDER BY q_id, rk""",
+    "q_multimodal_struct" ->
+      """SELECT doc_id,
+                to_json(struct_pack(
+                  meta := struct_pack(lang := lang, source := source),
+                  stats := struct_pack(n_chars := n_chars,
+                                       n_len := CAST(length(text) AS BIGINT)))) AS doc_json,
+                lang, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    // ----- dedup extensions (MinHash-LSH / SimHash / n-gram / embedding) -----
+    "q_dedup_minhash" -> minhashSql,
+    "q_dedup_simhash" -> simhashSql,
+    "q_dedup_embed" -> embedLshSql,
+    "q_dedup_ngram" ->
+      """WITH g AS (SELECT doc_id,
+                  list_distinct([substring(text, i, 5) for i in range(1, length(text) - 3)]) AS gs
+               FROM documents),
+         q AS (SELECT doc_id, gs FROM g WHERE doc_id % 25 = 0),
+         eq AS (SELECT doc_id, unnest(gs) AS gr FROM q),
+         e AS (SELECT doc_id, unnest(gs) AS gr FROM g),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
+                   FROM eq a JOIN e b ON a.gr = b.gr AND a.doc_id <> b.doc_id
+                   GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(gs) AS n FROM g),
+         j AS (SELECT d1, d2, round(CAST(ni AS DOUBLE) / (s1.n + s2.n - ni), 6) AS jac
+               FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2)
+         SELECT d1, d2, jac FROM j WHERE jac >= 0.3 ORDER BY d1, d2"""
   )
 }

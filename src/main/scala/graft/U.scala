@@ -33,4 +33,18 @@ object U {
 
   /** Timestamp → second-precision string (DuckDB: strftime(x, '%Y-%m-%d %H:%M:%S')). */
   def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Portable 60-bit hash: first 15 hex chars of md5 as int64. Identical
+    * in DuckDB via list_reduce hex parse (Oracle.h64Sql) and in driver
+    * Scala via h64Local — the shared randomness source for MinHash /
+    * SimHash / LSH, so sketches match the oracle bit-for-bit. */
+  def h64(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Driver-side twin of h64 (for baking deterministic constants, e.g.
+    * LSH hyperplanes, into both the Spark plan and the oracle SQL). */
+  def h64Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
 }

@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text / LLM-data-pipeline core — SURVEY.md §2.J. Reference anchors:
+  * the Comprehend sentiment/keyphrase grant (main.tf:100-104), `lang:en`
+  * routing (src/main.py:89), dedup need from overlapping 24 h windows
+  * (src/main.py:263).
+  *
+  * Scale notes (100 TB): everything here is explode → shuffle-group —
+  * no driver collects, no unbounded cross joins. The Jaccard self-join
+  * blocks on shared word-3-gram shingles (rare across unrelated docs),
+  * so candidate pairs stay near-linear in corpus size; MinHash-LSH
+  * banding (ops.Dedup) is the sub-linear path for when even that is
+  * too wide.
+  */
+object TextOps {
+
+  /** tokens = lowercase whitespace split (documents.text is already
+    * space-separated lowercase, FIXTURES.md). */
+  private def withToks(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("toks", split(col("text"), " "))
+
+  /** Word-3-gram shingles of the token array (1-based element_at). */
+  private val shinglesExpr =
+    expr("""transform(sequence(3, size(toks)),
+             i -> concat(element_at(toks, i-2), ' ', element_at(toks, i-1), ' ', element_at(toks, i)))""")
+
+  /** K1 scalar UDF — lexicon sentiment over the token array, ≙ the
+    * intended BatchDetectSentiment call (main.tf:101). A genuine Scala
+    * udf per SURVEY §2.K1 (the rest of the engine sticks to codegen'd
+    * Column expressions). */
+  val lexicon: Map[String, Int] = Map(
+    "fast" -> 2, "spark" -> 2, "big" -> 1, "value" -> 1,
+    "slow" -> -2, "small" -> -1)
+  private val sentimentUdf =
+    udf((toks: Seq[String]) => toks.map(t => lexicon.getOrElse(t, 0).toLong).sum)
+
+  val qs: Map[String, Q] = Map(
+    // J2: tokenization + term counts — the n-gram basis for keyphrases.
+    "q_text_tokens" -> ((s, d) => {
+      import s.implicits._
+      withToks(Tables.documents(s, d))
+        .select($"lang", explode($"toks").as("tok"))
+        .groupBy($"lang", $"tok")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "tok")
+    }),
+    // J3: top-5 bigrams per language (keyphrase extraction ≙ main.tf:102).
+    "q_text_bigrams" -> ((s, d) => {
+      import s.implicits._
+      val bigrams = expr(
+        "transform(sequence(2, size(toks)), i -> concat(element_at(toks, i-1), ' ', element_at(toks, i)))")
+      val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
+      withToks(Tables.documents(s, d))
+        .select($"lang", explode(bigrams).as("bigram"))
+        .groupBy($"lang", $"bigram")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 5)
+        .select($"lang", $"rk", $"bigram", $"n")
+        .orderBy("lang", "rk")
+    }),
+    // J4/K1: lexicon sentiment score per doc, bucketed.
+    "q_text_sentiment" -> ((s, d) => {
+      import s.implicits._
+      withToks(Tables.documents(s, d))
+        .withColumn("score", sentimentUdf($"toks"))
+        .select($"doc_id", $"score",
+          when($"score" > 0, "pos").when($"score" < 0, "neg").otherwise("neu").as("mood"))
+        .orderBy("doc_id")
+    }),
+    // J5: exact dedup — canonical keeper (min doc_id) per identical text;
+    // md5 group key so the shuffle carries 16 bytes, not the document.
+    "q_dedup_exact" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy(md5($"text").as("text_md5"))
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper_id")
+    }),
+    // J6: exact near-dup Jaccard on word-3-gram shingle sets, blocked by
+    // shared shingle (the exact twin of the MinHash-LSH path in ops.Dedup).
+    "q_sim_jaccard" -> ((s, d) => {
+      import s.implicits._
+      val sh = withToks(Tables.documents(s, d))
+        .select($"doc_id", explode(array_distinct(shinglesExpr)).as("sh"))
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = sh.as("a").join(sh.as("b"),
+          $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select($"doc_id".as("d1"), $"n_sh".as("n1")), "d1")
+        .join(sizes.select($"doc_id".as("d2"), $"n_sh".as("n2")), "d2")
+        .withColumn("jac", round($"n_inter".cast("double") / ($"n1" + $"n2" - $"n_inter"), 6))
+        .filter($"jac" >= 0.2)
+        .select($"d1", $"d2", $"jac")
+        .orderBy("d1", "d2")
+    }),
+    // J7: cosine similarity — top-3 neighbors for each query vector
+    // (vec_id % 50 == 0) over the corpus. Dot products on int64-scaled
+    // components (exact, order-free) so Spark and DuckDB agree bit-for-bit;
+    // final sim is a fixed IEEE expression both engines evaluate identically.
+    "q_sim_cosine" -> ((s, d) => {
+      import s.implicits._
+      val scaled = Tables.embeddings(s, d)
+        .withColumn("v", expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))"))
+        .withColumn("norm2", expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
+      val q = scaled.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+      val c = scaled.select($"vec_id".as("c_id"), $"v".as("cv"), $"norm2".as("cn"))
+      val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id")
+      q.join(c, $"q_id" =!= $"c_id")
+        .withColumn("dot", expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("sim", round($"dot".cast("double") / (sqrt($"qn".cast("double")) * sqrt($"cn".cast("double"))), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"q_id", $"rk", $"c_id", $"sim")
+        .orderBy("q_id", "rk")
+    }),
+    // J8: multimodal/nested-column handling — pack a typed metadata
+    // struct + payload, round-trip through JSON (≙ the tweet record's
+    // nested shape, SURVEY §1.2).
+    "q_multimodal_struct" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          struct(
+            struct($"lang", $"source").as("meta"),
+            struct($"n_chars", length($"text").cast("long").as("n_len")).as("stats")).as("doc"))
+        .select($"doc_id", to_json($"doc").as("doc_json"),
+          $"doc.meta.lang".as("lang"), $"doc.stats.n_chars".as("n_chars"))
+        .orderBy("doc_id")
+    })
+  )
+}
