@@ -94,6 +94,35 @@ object Oracle {
         SELECT d1, d2, sim FROM r WHERE sim >= 0.4 ORDER BY d1, d2"""
   }
 
+  private val annLshSql: String = {
+    val bitCols = (0 until ops.Dedup.NumPlanes).map { p =>
+      val lits = ops.Dedup.planes(p).mkString("[", ", ", "]")
+      s"CASE WHEN list_sum(list_transform(v, (x, i) -> x * ($lits)[i])) > 0 THEN 1 ELSE 0 END AS bit$p"
+    }.mkString(",\n             ")
+    val tabs = (0 until ops.Dedup.NumTables).map { t =>
+      val code = (0 until 4).map(k => s"bit${4 * t + k} * ${1L << k}").mkString(" + ")
+      s"concat_ws(':', $t, $code)"
+    }.mkString(", ")
+    s"""WITH n AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+               FROM embeddings),
+        m AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS norm2 FROM n),
+        bits AS (SELECT vec_id, $bitCols FROM m),
+        tabs AS (SELECT vec_id, unnest([$tabs]) AS bkt FROM bits),
+        cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+                 FROM tabs a JOIN tabs b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+                 WHERE a.vec_id % 50 = 0),
+        p AS (SELECT q_id, c_id,
+                     CAST(list_sum(list_transform(ma.v, (x, i) -> x * mb.v[i])) AS DOUBLE) AS dot,
+                     CAST(ma.norm2 AS DOUBLE) AS qn, CAST(mb.norm2 AS DOUBLE) AS cn
+              FROM cand JOIN m ma ON ma.vec_id = q_id JOIN m mb ON mb.vec_id = c_id),
+        r AS (SELECT q_id, c_id, round(dot / (sqrt(qn) * sqrt(cn)), 6) AS sim FROM p),
+        k AS (SELECT q_id, c_id, sim,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rk
+              FROM r)
+        SELECT q_id, rk, c_id, sim FROM k WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
   val sql: Map[String, String] = Map(
     // ----- scans -----
     "q_scan_parquet" ->
@@ -533,6 +562,86 @@ object Oracle {
          sizes AS (SELECT doc_id, len(gs) AS n FROM g),
          j AS (SELECT d1, d2, round(CAST(ni AS DOUBLE) / (s1.n + s2.n - ni), 6) AS jac
                FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2)
-         SELECT d1, d2, jac FROM j WHERE jac >= 0.3 ORDER BY d1, d2"""
+         SELECT d1, d2, jac FROM j WHERE jac >= 0.3 ORDER BY d1, d2""",
+
+    // ----- similarity search / vector agg -----
+    "q_ann_lsh" -> annLshSql,
+    "q_embed_centroid" ->
+      """WITH n AS (SELECT CAST(label AS BIGINT) AS label,
+                  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+               FROM embeddings),
+         e AS (SELECT label, i, v[i] AS c
+               FROM n CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ix),
+         g AS (SELECT label, CAST(i AS BIGINT) AS comp, COUNT(*) AS n,
+                      CAST(SUM(c) AS DOUBLE) AS sc
+               FROM e GROUP BY 1, 2)
+         SELECT label, comp, n, round(sc / n, 6) AS mean_c
+         FROM g ORDER BY label, comp""",
+
+    // ----- text analysis extensions -----
+    "q_text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang AS labeled, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+         v AS (SELECT doc_id, labeled, ${h64Sql("tok")} % 5 AS lang_idx, COUNT(*) AS votes
+               FROM t GROUP BY 1, 2, 3),
+         r AS (SELECT doc_id, labeled, lang_idx, votes,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY votes DESC, lang_idx) AS rn
+               FROM v),
+         p AS (SELECT doc_id, (['de','en','es','fr','zh'])[CAST(lang_idx + 1 AS INT)] AS pred_lang,
+                      votes, labeled
+               FROM r WHERE rn = 1)
+         SELECT doc_id, pred_lang, votes,
+                CAST(CAST(labeled = pred_lang AS INT) AS BIGINT) AS is_match
+         FROM p ORDER BY doc_id""",
+    "q_text_quality" ->
+      """WITH x AS (SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents),
+         y AS (SELECT doc_id,
+                      CAST(len(toks) AS BIGINT) AS n_toks,
+                      CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                      CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop,
+                      n_chars
+               FROM x),
+         z AS (SELECT doc_id, n_toks, n_distinct,
+                      CAST(floor(CAST(n_distinct AS DOUBLE) * 1000000 / n_toks) AS BIGINT) AS ttr_micros,
+                      CAST(floor(CAST(n_stop AS DOUBLE) * 1000000 / n_toks) AS BIGINT) AS stop_micros,
+                      CAST(floor(CAST(n_chars AS DOUBLE) * 1000000 / n_toks) AS BIGINT) AS avg_len_micros
+               FROM y)
+         SELECT doc_id, n_toks, n_distinct, ttr_micros, stop_micros, avg_len_micros,
+                CASE WHEN n_toks >= 40 AND ttr_micros >= 350000 THEN 'high'
+                     WHEN n_toks >= 20 THEN 'medium' ELSE 'low' END AS quality
+         FROM z ORDER BY doc_id""",
+    "q_text_bpe" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT) AS n_words,
+                CAST(list_sum(list_transform(regexp_extract_all(text, '[a-z0-9]+', 0),
+                  t -> (length(t) + 3) // 4)) AS BIGINT) AS n_pieces
+         FROM documents ORDER BY doc_id""",
+    "q_text_fingerprint" ->
+      s"""WITH x AS (SELECT doc_id,
+                  list_transform(string_split(text, ' '), t -> ${h64Sql("t")}) AS hs
+               FROM documents),
+         r AS (SELECT doc_id,
+                      [list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hs, i - 7, i)),
+                         (a, h) -> (a * 257 + h) % 1000000007)
+                       for i in range(8, len(hs) + 1)] AS rolls
+               FROM x)
+         SELECT doc_id, list_min(rolls) AS fingerprint,
+                CAST(len(rolls) AS BIGINT) AS n_windows
+         FROM r ORDER BY doc_id""",
+
+    // ----- multimodal binary plumbing -----
+    "q_multimodal_binary" ->
+      """WITH x AS (SELECT doc_id, md5(text) AS payload_md5,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                  lower(hex(encode(text))) AS hx
+               FROM documents)
+         SELECT doc_id, n_bytes, payload_md5,
+                substring(hx, 1, 16) AS head_hex,
+                substring(hx, 2 * (0 * (n_bytes // 4)) + 1, 2) ||
+                substring(hx, 2 * (1 * (n_bytes // 4)) + 1, 2) ||
+                substring(hx, 2 * (2 * (n_bytes // 4)) + 1, 2) ||
+                substring(hx, 2 * (3 * (n_bytes // 4)) + 1, 2) AS stride_hex
+         FROM x ORDER BY doc_id"""
   )
 }

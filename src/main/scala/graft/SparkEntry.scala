@@ -34,7 +34,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     ops.Relational.qs ++ ops.Aggregates.qs ++ ops.Windows.qs ++ ops.Scalars.qs ++
-      ops.Streaming.qs ++ ops.TextOps.qs ++ ops.Dedup.qs
+      ops.Streaming.qs ++ ops.TextOps.qs ++ ops.Dedup.qs ++ ops.Similarity.qs ++
+      ops.TextAnalysis.qs ++ ops.Multimodal.qs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (algorithm-specific sketches,

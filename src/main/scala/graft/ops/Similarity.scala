@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.{Q, Tables, U}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search + vector aggregation over the
+  * embeddings table — SURVEY.md §2.J7/K2.
+  *
+  * Scale path: `q_sim_cosine` (ops.TextOps) is the brute-force top-k
+  * baseline (query-set × corpus, O(Q·N)); `q_ann_lsh` here is the
+  * sub-linear variant — random-hyperplane buckets shrink each query's
+  * candidate set to its bucket collisions before the exact rerank, the
+  * standard recipe when N is 10^9+ (bucket join shuffles on the code,
+  * no pairwise blowup). Hyperplanes come from the shared deterministic
+  * hash (ops.Dedup.planes), so bucketing — and therefore recall —
+  * matches the DuckDB oracle exactly.
+  */
+object Similarity {
+
+  /** K2 UDAF: typed Aggregator summing int64-scaled embedding vectors —
+    * a mergeable vector accumulator (the 100 TB-safe centroid: partial
+    * buffers merge associatively across partitions). */
+  object CentroidAgg extends Aggregator[Array[Long], (Long, Array[Long]), (Long, Array[Long])] {
+    def zero: (Long, Array[Long]) = (0L, Array.fill(64)(0L))
+    def reduce(b: (Long, Array[Long]), v: Array[Long]): (Long, Array[Long]) = {
+      var i = 0; while (i < v.length) { b._2(i) += v(i); i += 1 }
+      (b._1 + 1, b._2)
+    }
+    def merge(a: (Long, Array[Long]), b: (Long, Array[Long])): (Long, Array[Long]) = {
+      var i = 0; while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+      (a._1 + b._1, a._2)
+    }
+    def finish(r: (Long, Array[Long])): (Long, Array[Long]) = r
+    // ExpressionEncoder (not java/kryo serialization) keeps the buffer in
+    // Tungsten format — partial aggregation stays columnar and mergeable.
+    def bufferEncoder: Encoder[(Long, Array[Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Array[Long])]()
+    def outputEncoder: Encoder[(Long, Array[Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Array[Long])]()
+  }
+
+  val qs: Map[String, Q] = Map(
+    // ANN via hyperplane-LSH buckets + exact rerank: top-3 bucket-mates
+    // per query vector. Same queries as the brute-force baseline
+    // (vec_id % 50 = 0) so recall is directly comparable in tests.
+    "q_ann_lsh" -> ((s, d) => {
+      import s.implicits._
+      val planeLits = (0 until Dedup.NumPlanes).map(p => array(Dedup.planes(p).map(lit): _*))
+      val scaled = Tables.embeddings(s, d)
+        .withColumn("v", expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))"))
+        .withColumn("norm2", expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
+      val withBits = (0 until Dedup.NumPlanes).foldLeft(scaled) { (df, p) =>
+        df.withColumn(s"bit$p",
+          when(aggregate(zip_with($"v", planeLits(p), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
+      }
+      val tableCols = array((0 until Dedup.NumTables).map { t =>
+        val code = (0 until 4).map(k => col(s"bit${4 * t + k}") * lit(1L << k)).reduce(_ + _)
+        concat_ws(":", lit(t), code)
+      }: _*)
+      val buckets = withBits.select($"vec_id", explode(tableCols).as("bkt"))
+      val cand = buckets.as("a")
+        .join(buckets.as("b"), $"a.bkt" === $"b.bkt" && $"a.vec_id" =!= $"b.vec_id")
+        .filter($"a.vec_id" % 50 === 0)
+        .select($"a.vec_id".as("q_id"), $"b.vec_id".as("c_id"))
+        .distinct()
+      val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id")
+      cand
+        .join(scaled.select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn")), "q_id")
+        .join(scaled.select($"vec_id".as("c_id"), $"v".as("cv"), $"norm2".as("cn")), "c_id")
+        .withColumn("dot", expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("sim", round($"dot".cast("double") /
+          (sqrt($"qn".cast("double")) * sqrt($"cn".cast("double"))), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"q_id", $"rk", $"c_id", $"sim")
+        .orderBy("q_id", "rk")
+    }),
+    // K2: per-label centroid via the typed Aggregator; first 8 components
+    // as (label, comp, mean) rows.
+    "q_embed_centroid" -> ((s, d) => {
+      import s.implicits._
+      val scaled = Tables.embeddings(s, d)
+        .select($"label".cast("long").as("label"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))").as("v"))
+      val cents = scaled.as[(Long, Array[Long])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(CentroidAgg.toColumn)
+        .map { case (label, (n, sums)) => (label, n, sums.take(8)) }
+        .toDF("label", "n", "sums8")
+      cents
+        .select($"label", $"n", posexplode($"sums8").as(Seq("pos", "sum_c")))
+        .select($"label", ($"pos" + 1).cast("long").as("comp"), $"n",
+          round($"sum_c".cast("double") / $"n", 6).as("mean_c"))
+        .orderBy("label", "comp")
+    })
+  )
+}

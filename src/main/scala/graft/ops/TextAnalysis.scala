@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.{Q, Tables, U}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis extensions for the training-data pipeline — language
+  * identification, quality scoring, tokenizer-style piece counting, and
+  * document fingerprinting (SURVEY.md §0 L3; the Comprehend text-analysis
+  * grant main.tf:100-104 is the reference anchor).
+  *
+  * All per-document map-side work (explode → group or pure array
+  * lambdas) — embarrassingly parallel, no cross-doc shuffle except the
+  * final ORDER BY, so each op is flat O(corpus) at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Candidate languages, alphabetical; a token "votes" for language
+    * h64(token) % 5 — a deterministic stand-in for a real char-n-gram
+    * profile table (which would be a broadcast dim joined the same way). */
+  val langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  val qs: Map[String, Q] = Map(
+    // Language-ID: argmax of per-language token votes (ties → first lang
+    // alphabetically). Shape matches a real n-gram-profile classifier:
+    // explode → score per (doc, lang) → top-1 per doc.
+    "q_text_langid" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"doc_id").orderBy($"votes".desc, $"lang_idx")
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang".as("labeled"), explode(split($"text", " ")).as("t"))
+        .withColumn("lang_idx", U.h64($"t") % 5)
+        .groupBy($"doc_id", $"labeled", $"lang_idx")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id",
+          element_at(lit(langs.toArray), ($"lang_idx" + 1).cast("int")).as("pred_lang"),
+          $"votes",
+          ($"labeled" === element_at(lit(langs.toArray), ($"lang_idx" + 1).cast("int")))
+            .cast("int").cast("long").as("is_match"))
+        .orderBy("doc_id")
+    }),
+    // Quality scoring: length/diversity/stopword signals → micro-scaled
+    // ratios (exact int64/IEEE parity) → quality bucket.
+    "q_text_quality" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("toks", split($"text", " "))
+        .withColumn("n_toks", size($"toks").cast("long"))
+        .withColumn("n_distinct", size(array_distinct($"toks")).cast("long"))
+        .withColumn("n_stop", size(expr("filter(toks, t -> t = 'the' OR t = 'a')")).cast("long"))
+        .withColumn("ttr_micros",
+          floor($"n_distinct".cast("double") * 1000000 / $"n_toks"))
+        .withColumn("stop_micros",
+          floor($"n_stop".cast("double") * 1000000 / $"n_toks"))
+        .withColumn("avg_len_micros",
+          floor($"n_chars".cast("double") * 1000000 / $"n_toks"))
+        .withColumn("quality",
+          when($"n_toks" >= 40 && $"ttr_micros" >= 350000, "high")
+            .when($"n_toks" >= 20, "medium")
+            .otherwise("low"))
+        .select($"doc_id", $"n_toks", $"n_distinct", $"ttr_micros",
+          $"stop_micros", $"avg_len_micros", $"quality")
+        .orderBy("doc_id")
+    }),
+    // Tokenizer-style piece counting: regex word split (the BPE
+    // pre-tokenizer shape) + ceil(len/4) subword pieces per word — a
+    // deterministic stand-in for a learned BPE vocab (which would be a
+    // broadcast trie applied in the same per-row lambda).
+    "q_text_bpe" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("words", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .select($"doc_id",
+          size($"words").cast("long").as("n_words"),
+          expr("aggregate(words, 0L, (acc, t) -> acc + (length(t) + 3) div 4)").as("n_pieces"))
+        .orderBy("doc_id")
+    }),
+    // Document fingerprint: min rolling polynomial hash (base 257 mod
+    // 1e9+7) over 8-token windows of token hashes — the winnowing-style
+    // content signature (robust to boundary shifts, unlike full-text md5).
+    "q_text_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("toks", split($"text", " "))
+        .withColumn("hs", expr(
+          "transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+        .withColumn("rolls", expr(
+          """transform(sequence(8, size(hs)),
+               i -> aggregate(slice(hs, i-7, 8), 0L, (a, h) -> (a * 257 + h) % 1000000007))"""))
+        .select($"doc_id", array_min($"rolls").as("fingerprint"),
+          size($"rolls").cast("long").as("n_windows"))
+        .orderBy("doc_id")
+    })
+  )
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic laws (SURVEY.md §5.3) checked with ScalaCheck generators
+  * over small in-memory DataFrames. The scalatest-scalacheck bridge
+  * isn't on the offline classpath, so samples are drawn directly with
+  * fixed seeds (deterministic runs). */
+class PropertySuite extends SparkSpec {
+
+  private def forAll[A](g: Gen[A], n: Int = 25)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val wordGen = Gen.oneOf("scan", "join", "sort", "hash", "merge", "agg")
+  private val docGen = Gen.nonEmptyListOf(wordGen).map(_.mkString(" "))
+
+  test("union counts add; intersect/except partition rows") {
+    import spark.implicits._
+    forAll(Gen.listOf(Gen.chooseNum(0L, 50L)), Gen.listOf(Gen.chooseNum(0L, 50L))) {
+      (a: List[Long], b: List[Long]) =>
+        val da = a.toDF("x"); val db = b.toDF("x")
+        assert(da.union(db).count() == a.size + b.size)
+        val inter = da.distinct().intersect(db.distinct()).count()
+        val exc = da.distinct().except(db.distinct()).count()
+        assert(inter + exc == da.distinct().count())
+    }
+  }
+
+  test("Jaccard (shingle-set) is within [0,1], symmetric, and 1 on self") {
+    def shingles(s: String): Set[String] =
+      s.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty && b.isEmpty) 1.0
+      else a.intersect(b).size.toDouble / a.union(b).size
+    forAll(docGen, docGen) { (d1: String, d2: String) =>
+      val (s1, s2) = (shingles(d1), shingles(d2))
+      whenever(s1.nonEmpty && s2.nonEmpty) {
+        val j = jac(s1, s2)
+        assert(j >= 0.0 && j <= 1.0)
+        assert(jac(s2, s1) == j)
+        assert(jac(s1, s1) == 1.0)
+      }
+    }
+  }
+
+  test("exact dedup is idempotent") {
+    import spark.implicits._
+    forAll(Gen.nonEmptyListOf(docGen)) { (docs: List[String]) =>
+      val df = docs.toDF("text")
+      val once = df.dropDuplicates("text")
+      assert(once.dropDuplicates("text").count() == once.count())
+      assert(once.count() == docs.distinct.size)
+    }
+  }
+
+  test("limit(n).count <= n and <= total") {
+    import spark.implicits._
+    forAll(Gen.listOf(Gen.chooseNum(0, 100)), Gen.chooseNum(0, 20)) {
+      (xs: List[Int], n: Int) =>
+        val c = xs.toDF("x").limit(n).count()
+        assert(c <= n && c <= xs.size)
+    }
+  }
+
+  test("tumbling windows partition the time axis: per-window counts sum to total") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 10_000_000L))) { (secs: List[Long]) =>
+      val df = secs.toDF("s").withColumn("ts", timestamp_seconds($"s"))
+      val windowed = df.groupBy(window($"ts", "1 hour")).count()
+      assert(windowed.agg(sum("count")).first().getLong(0) == secs.size)
+      // each event falls in exactly one window: no window overlaps another
+      val bounds = windowed.select($"window.start".cast("long"), $"window.end".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      bounds.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(e1 <= s2)
+        case _ =>
+      }
+    }
+  }
+
+  test("U.h64 is stable and non-negative (matches driver-side twin)") {
+    import spark.implicits._
+    forAll(Gen.nonEmptyListOf(docGen)) { (ss: List[String]) =>
+      val got = ss.distinct.toDF("s").select($"s", U.h64($"s")).as[(String, Long)]
+        .collect().toMap
+      ss.distinct.foreach { s =>
+        assert(got(s) == U.h64Local(s))
+        assert(got(s) >= 0L)
+      }
+    }
+  }
+}
