@@ -29,13 +29,21 @@ object Oracle {
        sh AS (SELECT doc_id, list_distinct(list_transform(list_slice(tk, 3, len(tk)),
                 (x, i) -> tk[i] || ' ' || tk[i+1] || ' ' || x)) AS shs FROM toks)"""
 
+  private val permMod = ops.Dedup.PermMod
+  private val minCols = (0 until ops.Dedup.NumSeeds)
+    .map(j => s"MIN((${ops.Dedup.permA(j)} * h + ${ops.Dedup.permB(j)}) % $permMod) AS m$j")
+    .mkString(",\n             ")
+  private val bandList = (0 until ops.Dedup.NumBands)
+    .map(b => s"concat_ws(':', $b, m${2 * b}, m${2 * b + 1})").mkString(", ")
+  private val bandList4 = (0 until ops.Dedup.NumSeeds / 4)
+    .map(b => s"concat_ws(':', $b, m${4 * b}, m${4 * b + 1}, m${4 * b + 2}, m${4 * b + 3})")
+    .mkString(", ")
+
   private val minhashSql: String = {
-    val minCols = (0 until ops.Dedup.NumSeeds)
-      .map(j => s"MIN(${h64Sql(s"'$j:' || sh")}) AS m$j").mkString(",\n             ")
-    val bandList = (0 until ops.Dedup.NumBands)
-      .map(b => s"concat_ws(':', $b, m${2 * b}, m${2 * b + 1})").mkString(", ")
+    val p = permMod
     s"""WITH $shingleCtes,
-        e AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+        e0 AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+        e AS (SELECT doc_id, ${h64Sql("sh")} % $p AS h FROM e0),
         mins AS (SELECT doc_id, $minCols FROM e GROUP BY 1),
         bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM mins),
         cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -550,18 +558,21 @@ object Oracle {
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_embed" -> embedLshSql,
     "q_dedup_ngram" ->
-      """WITH g AS (SELECT doc_id,
+      s"""WITH g AS (SELECT doc_id,
                   list_distinct([substring(text, i, 5) for i in range(1, length(text) - 3)]) AS gs
                FROM documents),
-         q AS (SELECT doc_id, gs FROM g WHERE doc_id % 25 = 0),
-         eq AS (SELECT doc_id, unnest(gs) AS gr FROM q),
-         e AS (SELECT doc_id, unnest(gs) AS gr FROM g),
-         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
-                   FROM eq a JOIN e b ON a.gr = b.gr AND a.doc_id <> b.doc_id
-                   GROUP BY 1, 2),
-         sizes AS (SELECT doc_id, len(gs) AS n FROM g),
-         j AS (SELECT d1, d2, round(CAST(ni AS DOUBLE) / (s1.n + s2.n - ni), 6) AS jac
-               FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2)
+         e0 AS (SELECT doc_id, unnest(gs) AS gr FROM g),
+         e AS (SELECT doc_id, ${h64Sql("gr")} % $permMod AS h FROM e0),
+         mins AS (SELECT doc_id, $minCols FROM e GROUP BY 1),
+         bands AS (SELECT doc_id, unnest([$bandList4]) AS band FROM mins),
+         cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id <> b.doc_id
+                  WHERE a.doc_id % 25 = 0),
+         v AS (SELECT d1, d2,
+                      CAST(len(list_filter(ga.gs, x -> list_contains(gb.gs, x))) AS BIGINT) AS ni,
+                      len(ga.gs) AS na, len(gb.gs) AS nb
+               FROM cand JOIN g ga ON ga.doc_id = d1 JOIN g gb ON gb.doc_id = d2),
+         j AS (SELECT d1, d2, round(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jac FROM v)
          SELECT d1, d2, jac FROM j WHERE jac >= 0.3 ORDER BY d1, d2""",
 
     // ----- similarity search / vector agg -----

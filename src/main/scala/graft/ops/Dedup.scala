@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables, U}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Large-scale dedup suite — the training-data-pipeline extensions
@@ -10,15 +11,17 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB): every variant is sketch → band/block → bucket
   * equi-join → exact verify on the (tiny) candidate set. The bucket join
   * shuffles on the band key, so work is proportional to candidate pairs,
-  * not corpus²; sketches are per-row map-side computations; no driver
-  * state. All randomness comes from the portable md5-based hash (U.h64),
-  * so every stage — including the probabilistic LSH recall — is
-  * bit-identical to the DuckDB oracle.
+  * not corpus²; sketch reductions (min over hashes, bit sums) are
+  * partially-aggregable aggregates, so they combine map-side and the
+  * shuffle carries one row per document; no driver state. All randomness
+  * comes from the portable md5-based hash (U.h64), so every stage —
+  * including the probabilistic LSH recall — is bit-identical to the
+  * DuckDB oracle.
   */
 object Dedup {
 
   val NumSeeds = 16  // MinHash signature length
-  val NumBands = 8   // 8 bands × 2 rows: catches jac≥0.2 pairs w.h.p.
+  val NumBands = 8   // 8 bands × 2 rows
   val NumPlanes = 16 // hyperplane LSH: 4 tables × 4 bits
   val NumTables = 4
 
@@ -27,31 +30,83 @@ object Dedup {
   lazy val planes: Array[Array[Long]] =
     Array.tabulate(NumPlanes, 64)((p, i) => U.h64Local(s"$p:$i") % 2001L - 1000L)
 
-  private def withShingles(df: org.apache.spark.sql.DataFrame) =
+  /** MinHash linear-permutation constants: m_j = (a_j·h + b_j) mod p with
+    * h < p, a_j ∈ [1, p), b_j ∈ [0, p) — products stay < 1e18 (no int64
+    * overflow). One md5 per element, 16 arithmetic permutations — 16×
+    * less hashing than seeded md5s, same MinHash guarantees. Mirrored in
+    * the oracle. */
+  val PermMod = 1000000007L
+  lazy val permA: Array[Long] =
+    Array.tabulate(NumSeeds)(j => U.h64Local(s"a$j") % (PermMod - 1) + 1)
+  lazy val permB: Array[Long] =
+    Array.tabulate(NumSeeds)(j => U.h64Local(s"b$j") % PermMod)
+
+  private def withShingles(df: DataFrame) =
     df.withColumn("toks", split(col("text"), " "))
       .withColumn("shs", expr(
         """array_distinct(transform(sequence(3, size(toks)),
              i -> concat(element_at(toks, i-2), ' ', element_at(toks, i-1), ' ', element_at(toks, i))))"""))
       .select(col("doc_id"), col("shs"))
 
+  /** (id, element) rows → (id, band) rows: 16 permuted minhashes reduced
+    * with map-side partial min, banded `rows`-per-band. Banding fires at
+    * ≈ jac^rows per band: rows=2 targets low thresholds (word shingles,
+    * jac≥0.2); rows=4 targets near-identical sets whose universe overlaps
+    * heavily anyway (char grams) — fewer random collisions, same recall
+    * on ~1.0-sim pairs. */
+  private def minhashBands(e: DataFrame, id: String, elem: String,
+                           rows: Int = 2): DataFrame = {
+    val h = (U.h64(col(elem)) % PermMod).as("h")
+    val withH = e.select(col(id), h)
+    val mins = withH.groupBy(col(id))
+      .agg(
+        min((lit(permA(0)) * col("h") + permB(0)) % PermMod).as("m0"),
+        (1 until NumSeeds).map(j =>
+          min((lit(permA(j)) * col("h") + permB(j)) % PermMod).as(s"m$j")): _*)
+    val nb = NumSeeds / rows
+    val bandCols = array((0 until nb).map(b =>
+      concat_ws(":", lit(b) +: (0 until rows).map(r => col(s"m${rows * b + r}")): _*)): _*)
+    mins.select(col(id), explode(bandCols).as("band"))
+  }
+
+  /** vec rows (vec_id, v) → (vec_id, bkt) rows: all 16 hyperplane signs
+    * in ONE nested-literal-array expression (a single codegen'd
+    * projection — 16 fold-chained projections were a Janino compile
+    * hotspot), then 4 bucket codes of 4 bits. */
+  def lshBuckets(scaled: DataFrame): DataFrame = {
+    val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
+    val bits = transform(planesCol, p =>
+      when(aggregate(zip_with(col("v"), p, (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
+    val withBits = scaled.withColumn("bits", bits)
+    val bkts = transform(sequence(lit(0), lit(NumTables - 1)), t =>
+      concat_ws(":", t,
+        (0 until 4).map(k =>
+          element_at(col("bits"), (t * 4 + k + 1).cast("int")) * lit(1L << k))
+          .reduce(_ + _)))
+    withBits.select(col("vec_id"), explode(bkts).as("bkt"))
+  }
+
+  /** Embeddings with int64-scaled vector + squared norm. */
+  private def scaledVecs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .withColumn("v", expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))"))
+      .withColumn("norm2", expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
+
+  /** Exact rounded cosine between joined scaled vectors va/vb. */
+  private def cosine: Column =
+    round(expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+
   val qs: Map[String, Q] = Map(
-    // MinHash + LSH banding: per-doc 16-slot signature (min of seeded
-    // hash over shingles), 8 bands of 2 rows, bucket join on band value,
-    // exact-Jaccard verify of candidates. Output == the exact
-    // q_sim_jaccard pairs that LSH recalls — deterministic because the
-    // hash (and therefore the banding) is shared with the oracle.
+    // MinHash + LSH banding over word-3-gram shingles; exact-Jaccard
+    // verify of candidates. Output == the exact q_sim_jaccard pairs that
+    // LSH recalls — deterministic because the hash (and therefore the
+    // banding) is shared with the oracle.
     "q_dedup_minhash" -> ((s, d) => {
       import s.implicits._
       val sh = withShingles(Tables.documents(s, d)).cache()
-      val mins = sh.select($"doc_id", explode($"shs").as("sh"))
-        .groupBy($"doc_id")
-        .agg(
-          min(U.h64(concat(lit("0:"), $"sh"))).as("m0"),
-          (1 until NumSeeds).map(j =>
-            min(U.h64(concat(lit(s"$j:"), $"sh"))).as(s"m$j")): _*)
-      val bandCols = array((0 until NumBands).map(b =>
-        concat_ws(":", lit(b), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)
-      val bands = mins.select($"doc_id", explode(bandCols).as("band"))
+      val bands = minhashBands(sh.select($"doc_id", explode($"shs").as("sh")), "doc_id", "sh")
       val cand = bands.as("a")
         .join(bands.as("b"), $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
@@ -93,9 +148,12 @@ object Dedup {
         .select($"d1", $"d2", $"ham")
         .orderBy("d1", "d2")
     }),
-    // Character-5-gram Jaccard, incremental shape: new-batch docs
-    // (doc_id % 25 = 0) against the whole corpus — the bounded-candidate
-    // form that survives corpus² growth.
+    // Character-5-gram Jaccard near-dup, incremental shape: new-batch
+    // docs (doc_id % 25 = 0) against the corpus. Candidates via MinHash
+    // banding on the gram sets (char-grams in this corpus are individually
+    // common, so df-based blocking degenerates; banded signatures keep
+    // buckets small regardless of gram frequency), exact Jaccard ≥ 0.3 on
+    // the full gram sets.
     "q_dedup_ngram" -> ((s, d) => {
       import s.implicits._
       val grams = Tables.documents(s, d)
@@ -103,18 +161,18 @@ object Dedup {
           "array_distinct(transform(sequence(1, length(text)-4), i -> substring(text, i, 5)))"))
         .select($"doc_id", $"gs")
         .cache()
-      val q = grams.filter($"doc_id" % 25 === 0)
-      val e = grams.select($"doc_id", explode($"gs").as("g"))
-      val eq = q.select($"doc_id", explode($"gs").as("g"))
-      val inter = eq.as("a")
-        .join(e.as("b"), $"a.g" === $"b.g" && $"a.doc_id" =!= $"b.doc_id")
-        .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-        .agg(count(lit(1)).as("ni"))
-      val sizes = grams.select($"doc_id", size($"gs").as("n"))
-      inter
-        .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
-        .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
-        .withColumn("jac", round($"ni".cast("double") / ($"n1" + $"n2" - $"ni"), 6))
+      val bands = minhashBands(grams.select($"doc_id", explode($"gs").as("g")),
+        "doc_id", "g", rows = 4)
+      val cand = bands.as("a")
+        .join(bands.as("b"), $"a.band" === $"b.band" && $"a.doc_id" =!= $"b.doc_id")
+        .filter($"a.doc_id" % 25 === 0)
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .distinct()
+      cand
+        .join(grams.select($"doc_id".as("d1"), $"gs".as("ga")), "d1")
+        .join(grams.select($"doc_id".as("d2"), $"gs".as("gb")), "d2")
+        .withColumn("ni", size(array_intersect($"ga", $"gb")).cast("long"))
+        .withColumn("jac", round($"ni".cast("double") / (size($"ga") + size($"gb") - $"ni"), 6))
         .filter($"jac" >= 0.3)
         .select($"d1", $"d2", $"jac")
         .orderBy("d1", "d2")
@@ -123,21 +181,8 @@ object Dedup {
     // exact int64-scaled cosine ≥ 0.4 verify on bucket collisions.
     "q_dedup_embed" -> ((s, d) => {
       import s.implicits._
-      val planeLits = (0 until NumPlanes).map(p =>
-        array(planes(p).map(lit): _*))
-      val scaled = Tables.embeddings(s, d)
-        .withColumn("v", expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))"))
-        .withColumn("norm2", expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
-      val withBits = (0 until NumPlanes).foldLeft(scaled) { (df, p) =>
-        df.withColumn(s"bit$p",
-          when(aggregate(zip_with($"v", planeLits(p), (x, y) => x * y),
-            lit(0L), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
-      }
-      val tableCols = array((0 until NumTables).map { t =>
-        val code = (0 until 4).map(k => col(s"bit${4 * t + k}") * lit(1L << k)).reduce(_ + _)
-        concat_ws(":", lit(t), code)
-      }: _*)
-      val buckets = withBits.select($"vec_id", explode(tableCols).as("bkt"))
+      val scaled = scaledVecs(s, d)
+      val buckets = lshBuckets(scaled)
       val cand = buckets.as("a")
         .join(buckets.as("b"), $"a.bkt" === $"b.bkt" && $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"))
@@ -145,9 +190,7 @@ object Dedup {
       cand
         .join(scaled.select($"vec_id".as("d1"), $"v".as("va"), $"norm2".as("na")), "d1")
         .join(scaled.select($"vec_id".as("d2"), $"v".as("vb"), $"norm2".as("nb")), "d2")
-        .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
-        .withColumn("sim", round($"dot".cast("double") /
-          (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))), 6))
+        .withColumn("sim", cosine)
         .filter($"sim" >= 0.4)
         .select($"d1", $"d2", $"sim")
         .orderBy("d1", "d2")

@@ -154,13 +154,32 @@ object Relational {
         .agg(sum(U.revC).as("revenue_c"), count(lit(1)).as("n"))
         .orderBy("r_name")
     }),
-    // C7: theta (non-equi) join → BroadcastNestedLoopJoin with the small side broadcast.
+    // C7: theta (non-equi) join. Semantics: per part, count suppliers with
+    // s_acctbal < p_retailprice. The naive plan is an O(|part|·|supplier|)
+    // BroadcastNestedLoopJoin; instead we decompose into a value-bucketed
+    // histogram — count(s < p) = cum_count(buckets below) + strict-< count
+    // inside p's bucket. The cross-bucket part is a broadcast join against
+    // a tiny aggregated histogram; the within-bucket residual shuffles on
+    // the bucket key only. Both stages stay O(n) at any scale.
     "q_join_theta" -> ((s, d) => {
       import s.implicits._
-      Tables.part(s, d)
-        .join(broadcast(Tables.supplier(s, d)), $"s_acctbal" < $"p_retailprice")
-        .groupBy($"p_partkey")
-        .agg(count(lit(1)).as("n_cheaper"))
+      val bucket = (c: org.apache.spark.sql.Column) => floor(c / 100).cast("long")
+      val sup = Tables.supplier(s, d).select($"s_acctbal", bucket($"s_acctbal").as("bkt"))
+      val hist = sup.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+      val wcum = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist.select($"bkt", sum($"cnt").over(wcum).as("below")).na.fill(0, Seq("below"))
+      val parts = Tables.part(s, d)
+        .select($"p_partkey", $"p_retailprice", bucket($"p_retailprice").as("bkt"))
+      val inBucket = parts
+        .join(sup, Seq("bkt"))
+        .filter($"s_acctbal" < $"p_retailprice")
+        .groupBy($"p_partkey").agg(count(lit(1)).as("n_in"))
+      parts
+        .join(broadcast(cum), Seq("bkt"), "left")
+        .join(inBucket, Seq("p_partkey"), "left")
+        .withColumn("n_cheaper", coalesce($"below", lit(0L)) + coalesce($"n_in", lit(0L)))
+        .filter($"n_cheaper" > 0)
+        .select($"p_partkey", $"n_cheaper")
         .orderBy("p_partkey")
     }),
     // C8: range join — equi key + temporal band residual.

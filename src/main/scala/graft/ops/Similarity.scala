@@ -47,20 +47,10 @@ object Similarity {
     // (vec_id % 50 = 0) so recall is directly comparable in tests.
     "q_ann_lsh" -> ((s, d) => {
       import s.implicits._
-      val planeLits = (0 until Dedup.NumPlanes).map(p => array(Dedup.planes(p).map(lit): _*))
       val scaled = Tables.embeddings(s, d)
         .withColumn("v", expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))"))
         .withColumn("norm2", expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
-      val withBits = (0 until Dedup.NumPlanes).foldLeft(scaled) { (df, p) =>
-        df.withColumn(s"bit$p",
-          when(aggregate(zip_with($"v", planeLits(p), (x, y) => x * y),
-            lit(0L), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
-      }
-      val tableCols = array((0 until Dedup.NumTables).map { t =>
-        val code = (0 until 4).map(k => col(s"bit${4 * t + k}") * lit(1L << k)).reduce(_ + _)
-        concat_ws(":", lit(t), code)
-      }: _*)
-      val buckets = withBits.select($"vec_id", explode(tableCols).as("bkt"))
+      val buckets = Dedup.lshBuckets(scaled)
       val cand = buckets.as("a")
         .join(buckets.as("b"), $"a.bkt" === $"b.bkt" && $"a.vec_id" =!= $"b.vec_id")
         .filter($"a.vec_id" % 50 === 0)
