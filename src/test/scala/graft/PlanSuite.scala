@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Physical-plan audits (SURVEY.md §4): the properties that make these
+  * plans survive a 100× scale-up — column pruning reaching the scan,
+  * predicate pushdown, broadcast joins for dims, TakeOrdered for top-k,
+  * two-phase (partial+final) aggregation — asserted so regressions in
+  * query shape show up as test failures, not as 100 TB incidents. */
+class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def planOf(key: String): String = {
+    val df = SparkEntry.queries(key)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan: projection is pruned to selected columns at the parquet reader") {
+    val p = planOf("q_scan_parquet")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_comment") && !p.contains("l_shipdate"),
+      "scan reads columns the query never uses")
+  }
+
+  test("filter: range predicate is pushed to the parquet scan") {
+    val p = planOf("q_filter_range")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("PushedFilters: [GreaterThanOrEqual(l_shipdate"),
+      s"no pushed filters in:\n$p")
+  }
+
+  test("dim join: broadcast hash join chosen for nation⋈region") {
+    assert(planOf("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("star join: both small dims broadcast, no nested loop") {
+    val p = planOf("q_join_star")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("top-k: TakeOrderedAndProject, never a global sort of the full table") {
+    assert(planOf("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("group agg: two-phase hash aggregation (map-side partial + final)") {
+    val p = planOf("q_agg_group")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+
+  test("semi/anti joins stay semi/anti at the physical level (no row blowup)") {
+    assert(planOf("q_join_semi").contains("LeftSemi"))
+    assert(planOf("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("theta join decomposition: no BroadcastNestedLoopJoin in q_join_theta") {
+    val p = planOf("q_join_theta")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "theta join fell back to the O(n*m) nested loop")
+  }
+
+  test("whole-stage codegen covers the hot paths (no UDF-broken spans in Q1 shape)") {
+    val df = SparkEntry.queries("q_agg_group")(spark, sfDir)
+    df.collect() // finalize the AQE plan so codegen spans are visible
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators carry the "*(id)" prefix in the final AQE plan
+    assert(p.contains("*(1)") && p.contains("HashAggregate"),
+      s"no whole-stage-codegen span in:\n$p")
+  }
+}
