@@ -37,8 +37,12 @@ object U {
   /** Portable 60-bit hash: first 15 hex chars of md5 as int64. Identical
     * in DuckDB via list_reduce hex parse (Oracle.h64Sql) and in driver
     * Scala via h64Local — the shared randomness source for MinHash /
-    * SimHash / LSH, so sketches match the oracle bit-for-bit. */
-  def h64(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    * SimHash / LSH, so sketches match the oracle bit-for-bit.
+    * Backed by the native codegen'd expression graft.functions.H64
+    * (digest-bytes → long, no hex-string intermediates); the composed
+    * built-ins `conv(substring(md5(c),1,15),16,10)` compute the same
+    * value and remain in use inside SQL-string lambdas. */
+  def h64(c: Column): Column = graft.functions.H64.h64(c)
 
   /** Driver-side twin of h64 (for baking deterministic constants, e.g.
     * LSH hyperplanes, into both the Spark plan and the oracle SQL). */

@@ -166,10 +166,19 @@ object Relational {
       val bucket = (c: org.apache.spark.sql.Column) => floor(c / 100).cast("long")
       val sup = Tables.supplier(s, d).select($"s_acctbal", bucket($"s_acctbal").as("bkt"))
       val hist = sup.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
-      val wcum = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
-      val cum = hist.select($"bkt", sum($"cnt").over(wcum).as("below")).na.fill(0, Seq("below"))
       val parts = Tables.part(s, d)
         .select($"p_partkey", $"p_retailprice", bucket($"p_retailprice").as("bkt"))
+      // densify the bucket domain across BOTH sides before the cumulative
+      // sum — a part whose own bucket holds no suppliers must still see
+      // the counts from all lower buckets (sparse histograms otherwise
+      // drop them entirely)
+      val bounds = parts.select($"bkt").union(hist.select($"bkt"))
+        .agg(min($"bkt").as("lo"), max($"bkt").as("hi"))
+      val dense = bounds.select(explode(sequence($"lo", $"hi")).as("bkt"))
+      val wcum = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val cum = dense.join(hist, Seq("bkt"), "left")
+        .na.fill(0, Seq("cnt"))
+        .select($"bkt", coalesce(sum($"cnt").over(wcum), lit(0L)).as("below"))
       val inBucket = parts
         .join(sup, Seq("bkt"))
         .filter($"s_acctbal" < $"p_retailprice")
