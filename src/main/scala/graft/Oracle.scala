@@ -135,10 +135,11 @@ object Oracle {
     // ----- scans -----
     "q_scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice""",
     "q_scan_limit" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
-         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""",
 
     // ----- projections / filters -----
     "q_project" ->
@@ -147,7 +148,7 @@ object Oracle {
       s"""SELECT l_orderkey, l_linenumber,
             $revC AS revenue_c,
             CAST(FLOOR(l_quantity*100) AS BIGINT) + CAST(FLOOR(l_tax*100) AS BIGINT) AS qty_tax_c
-          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+          FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue_c, qty_tax_c""",
     "q_filter_eq" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE lang = 'en' ORDER BY doc_id""",
@@ -163,7 +164,7 @@ object Oracle {
       """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, ship_day""",
     "q_filter_null" ->
       """SELECT o_orderkey, COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS st
          FROM orders WHERE NULLIF(o_orderstatus, 'P') IS NULL
@@ -182,7 +183,8 @@ object Oracle {
          JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""",
     "q_join_inner" ->
       """SELECT o_orderkey, l_linenumber, o_orderstatus, l_quantity FROM orders
-         JOIN lineitem ON o_orderkey = l_orderkey ORDER BY o_orderkey, l_linenumber""",
+         JOIN lineitem ON o_orderkey = l_orderkey
+         ORDER BY o_orderkey, l_linenumber, l_quantity""",
     "q_join_left" ->
       """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders FROM customer
          LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY c_custkey""",
@@ -402,7 +404,8 @@ object Oracle {
                 greatest(l_quantity, l_tax * 100) AS gr,
                 least(l_orderkey, l_partkey) AS le,
                 CAST(sign(l_quantity - 25) AS BIGINT) AS sgn
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, price_r0, qty_dev, disc_ceil,
+           tax_floor, pk_mod7, gr, le, sgn""",
     "q_json_funcs" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_get,

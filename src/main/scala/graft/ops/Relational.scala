@@ -19,13 +19,13 @@ object Relational {
     "q_scan_parquet" -> ((s, d) => {
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice")
     }),
     // A1/F2: bounded scan — reference's MAX_RESULTS row cap (src/main.py:136).
     "q_scan_limit" -> ((s, d) => {
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
         .limit(100)
     }),
 
@@ -43,7 +43,7 @@ object Relational {
         .select($"l_orderkey", $"l_linenumber",
           U.revC.as("revenue_c"),
           (U.cents($"l_quantity") + U.cents($"l_tax")).as("qty_tax_c"))
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"revenue_c", $"qty_tax_c")
     }),
     // B3/J1: equality filter ≙ `lang:en` (src/main.py:89).
     "q_filter_eq" -> ((s, d) => {
@@ -76,7 +76,7 @@ object Relational {
         .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
                 $"l_shipdate" <  lit("1997-01-01").cast("timestamp"))
         .select($"l_orderkey", $"l_linenumber", U.dayStr($"l_shipdate").as("ship_day"))
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"ship_day")
     }),
     // B7: null guard ≙ `if 'data' in res` (src/main.py:148).
     "q_filter_null" -> ((s, d) => {
@@ -115,7 +115,7 @@ object Relational {
       Tables.orders(s, d)
         .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
         .select("o_orderkey", "l_linenumber", "o_orderstatus", "l_quantity")
-        .orderBy("o_orderkey", "l_linenumber")
+        .orderBy("o_orderkey", "l_linenumber", "l_quantity")
     }),
     // C3: left outer — customers with zero orders kept at n_orders=0.
     "q_join_left" -> ((s, d) => {

@@ -77,7 +77,8 @@ object Scalars {
           greatest($"l_quantity", $"l_tax" * 100).as("gr"),
           least($"l_orderkey", $"l_partkey").as("le"),
           signum($"l_quantity" - 25).cast("long").as("sgn"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "price_r0", "qty_dev", "disc_ceil",
+          "tax_floor", "pk_mod7", "gr", "le", "sgn")
     }),
     // H5: JSON family ≙ json.dumps/loads (src/main.py:120,153) on events.props.
     "q_json_funcs" -> ((s, d) => {

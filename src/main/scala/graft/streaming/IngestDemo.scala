@@ -3,13 +3,39 @@ package graft.streaming
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** CLI demo of the L1 ingest pipeline: generates a tweet-shaped NDJSON
-  * page (the reference's landed format, src/main.py:151-153), drains it
-  * with Trigger.AvailableNow, prints the landed partition tree. Run:
+/** CLI demo of the L1 ingest pipeline, mirroring the reference's main()
+  * flow (src/main.py:246-277): load versioned config → collect →
+  * partitioned landing. Generates a tweet-shaped NDJSON page (the
+  * reference's landed format, src/main.py:151-153), drains it with
+  * Trigger.AvailableNow, prints the landed partition tree. Run:
   * `tools/run.sh graft.streaming.IngestDemo [workdir]`. */
 object IngestDemo {
+
+  private val topicYaml =
+    """---
+      |version: 1.0
+      |---
+      |topic: "NBA"
+      |type: "League"
+      |aliases:
+      |  - "National Basketball Association"
+      |""".stripMargin
+
+  private val platformsYaml =
+    """---
+      |version: 1.0
+      |---
+      |platforms:
+      |  - "Twitter"
+      |""".stripMargin
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse(Files.createTempDirectory("graft_ingest").toString)
+    // config-as-dimension, versioned + fail-fast (≙ src/main.py:49-61,255-260)
+    val topic = graft.sources.TopicConfig.parseTopic(topicYaml)
+    val platforms = graft.sources.TopicConfig.parsePlatforms(platformsYaml)
+    println(s"CONFIG platform=${platforms.platforms.head} topic=${topic.topic} " +
+      s"type=${topic.`type`} aliases=${topic.aliases.mkString("|")}")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -23,7 +49,8 @@ object IngestDemo {
       s"""{"id":"$i","text":"tweet $i #NBA","created_at":"2021-01-0${day}T18:40:${10 + i}.000Z","public_metrics":{"retweet_count":$i,"reply_count":1,"like_count":${i * 2},"quote_count":0},"context_annotations":[],"entities":{"hashtags":[{"start":8,"end":12,"tag":"NBA"}],"mentions":[],"urls":[],"annotations":[]}}"""
     }
     Files.write(Paths.get(s"$base/src/page-00.json"), lines.mkString("\n").getBytes("UTF-8"))
-    Ingest.runAvailableNow(spark, s"$base/src", s"$base/out", s"$base/ckpt")
+    Ingest.runAvailableNow(spark, s"$base/src", s"$base/out", s"$base/ckpt",
+      platform = platforms.platforms.head, league = topic.topic)
     println("LANDED_TREE:")
     def walk(f: java.io.File, pad: String): Unit =
       f.listFiles.filterNot(_.getName.startsWith("_")).sortBy(_.getName).foreach { c =>

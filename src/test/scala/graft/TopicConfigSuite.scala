@@ -1,0 +1,52 @@
+package graft
+
+import graft.sources.TopicConfig
+
+/** Golden config-source tests (§2.A4): the reference's 2-doc versioned
+  * YAML shape, alias expansion, and fail-fast version dispatch. */
+class TopicConfigSuite extends SparkSpec {
+
+  private val nbaYaml =
+    """---
+      |version: 1.0
+      |---
+      |topic: "NBA"
+      |type: "League"
+      |aliases:
+      |  - "National Basketball Association"
+      |  - "basketball"
+      |""".stripMargin
+
+  private val platformsYaml =
+    """---
+      |version: 1.0
+      |---
+      |platforms:
+      |  - "Twitter"
+      |""".stripMargin
+
+  test("parses the reference's topic template shape") {
+    val t = TopicConfig.parseTopic(nbaYaml)
+    assert(t.version == 1.0)
+    assert(t.topic == "NBA" && t.`type` == "League")
+    assert(t.aliases == Seq("National Basketball Association", "basketball"))
+  }
+
+  test("parses the platform list") {
+    assert(TopicConfig.parsePlatforms(platformsYaml).platforms == Seq("Twitter"))
+  }
+
+  test("unknown version fails fast with a real exception") {
+    val bad = nbaYaml.replace("version: 1.0", "version: 9.9")
+    val e = intercept[IllegalArgumentException](TopicConfig.parseTopic(bad))
+    assert(e.getMessage.contains("9.9"))
+  }
+
+  test("topicDim expands aliases into a broadcast-sized dimension") {
+    val dim = TopicConfig.topicDim(spark, TopicConfig.parseTopic(nbaYaml))
+    val rows = dim.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.length == 3)
+    assert(rows.contains(("NBA", "NBA", "League")))
+    assert(rows.contains(("basketball", "NBA", "League")))
+  }
+}
