@@ -259,6 +259,19 @@ object Oracle {
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
          ORDER BY o_custkey""",
 
+    // ----- subqueries -----
+    "q_subquery_scalar" ->
+      """WITH o AS (SELECT o_orderkey, CAST(FLOOR(o_totalprice*100) AS BIGINT) AS total_c
+                    FROM orders)
+         SELECT o_orderkey, total_c FROM o
+         WHERE total_c > (SELECT AVG(total_c) FROM o)
+         ORDER BY o_orderkey""",
+    "q_subquery_in" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+
     // ----- aggregations -----
     "q_agg_global" ->
       s"""SELECT COUNT(*) AS n,
@@ -303,6 +316,21 @@ object Oracle {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
          ORDER BY st, prio""",
+    "q_agg_pivot" ->
+      """SELECT o_orderpriority,
+                CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    "q_agg_percentile" ->
+      """WITH o AS (SELECT o_orderpriority, CAST(FLOOR(o_totalprice*100) AS BIGINT) AS total_c
+                    FROM orders)
+         SELECT o_orderpriority,
+                round(quantile_cont(total_c, 0.25), 6) AS p25_c,
+                round(quantile_cont(total_c, 0.5), 6) AS median_c,
+                round(quantile_cont(total_c, 0.9), 6) AS p90_c,
+                COUNT(*) AS n
+         FROM o GROUP BY 1 ORDER BY o_orderpriority""",
     "q_agg_collect" ->
       """SELECT lang,
                 array_to_string(list_sort(list(DISTINCT source)), ',') AS sources_csv,

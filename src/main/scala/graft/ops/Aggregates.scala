@@ -101,6 +101,33 @@ object Aggregates {
              countDistinct($"user_id").as("exact_users"))
         .orderBy("event_type")
     }),
+    // PIVOT: status columns per priority (groupBy().pivot() with explicit
+    // pivot values — never let the engine scan for distinct values on a
+    // 100 TB table).
+    "q_agg_pivot" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .select($"o_orderpriority", $"F".as("n_f"), $"O".as("n_o"), $"P".as("n_p"))
+        .orderBy("o_orderpriority")
+    }),
+    // Exact percentiles (linear interpolation — same formula in DuckDB's
+    // quantile_cont) over int64 cents.
+    "q_agg_percentile" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .withColumn("total_c", U.cents($"o_totalprice"))
+        .groupBy($"o_orderpriority")
+        .agg(
+          round(expr("percentile(total_c, 0.25)"), 6).as("p25_c"),
+          round(expr("percentile(total_c, 0.5)"), 6).as("median_c"),
+          round(expr("percentile(total_c, 0.9)"), 6).as("p90_c"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
     // D9: bounded collect-style agg, rendered as a sorted CSV string so the
     // comparison is representation-free (≙ alias lists, reference src/nba.yaml:6-7).
     "q_agg_collect" -> ((s, d) => {

@@ -244,6 +244,32 @@ object Relational {
         .limit(50)
     }),
 
+    // ----- subqueries (Athena SQL surface, SURVEY §3.3/§4) --------------
+    // Scalar subquery: orders above the global average (exact int64 cents
+    // keep AVG deterministic: the sum fits in 2^53 so the double division
+    // is identical in both engines).
+    "q_subquery_scalar" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("total_c", floor(col("o_totalprice") * 100).cast("long"))
+        .createOrReplaceTempView("orders_sq")
+      s.sql("""
+        SELECT o_orderkey, total_c FROM orders_sq
+        WHERE total_c > (SELECT AVG(total_c) FROM orders_sq)
+        ORDER BY o_orderkey
+      """)
+    }),
+    // IN subquery (decorrelated to a semi join by Catalyst).
+    "q_subquery_in" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_sq")
+      Tables.orders(s, d).createOrReplaceTempView("orders_sq2")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer_sq
+        WHERE c_custkey IN (SELECT o_custkey FROM orders_sq2
+                            WHERE o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+      """)
+    }),
+
     // ----- §2.G set ops --------------------------------------------------
     // G1: UNION ALL ≙ multi-platform fan-out union (src/main.py:212-219).
     "q_union_all" -> ((s, d) => {

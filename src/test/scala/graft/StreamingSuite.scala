@@ -84,6 +84,22 @@ class StreamingSuite extends SparkSpec {
     assert(got == want)
   }
 
+  test("I8 rate source: built-in streaming source drives a windowed count") {
+    import spark.implicits._
+    val q = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+      .groupBy(window($"timestamp", "1 second"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("rate_sink")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      var tries = 0
+      while (spark.table("rate_sink").isEmpty && tries < 50) {
+        q.processAllAvailable(); Thread.sleep(100); tries += 1
+      }
+      assert(spark.table("rate_sink").count() > 0)
+    } finally q.stop()
+  }
+
   test("I4 watermark: events later than 30min behind max ts are dropped from append agg") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
