@@ -17,6 +17,11 @@ object Smoke {
     val df = SparkEntry.entry(spark)
     println("ENTRY_ROWS=" + df.count())
     df.show(10, truncate = false)
+    // stateful surface smoke: the flatMapGroupsWithState milestone emitter
+    // over the same events (batch mode = one state pass per key)
+    val ms = streaming.Stateful.milestones(
+      streaming.Stateful.eventsDs(spark, "/root/testdata/sf0.001"))
+    println("MILESTONES=" + ms.count())
     spark.stop()
   }
 }

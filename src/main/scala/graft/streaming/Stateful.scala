@@ -89,4 +89,31 @@ object Stateful {
   }
 
   val outputModeUpdate: OutputMode = OutputMode.Update()
+
+  /** flatMapGroupsWithState surface (§2.I6's 0..n-emissions form): emits
+    * one alert per 10-value-unit threshold a user's running value sum
+    * crosses — the "notify on milestone" pattern. Emission count depends
+    * on state, not batch boundaries, so streaming output over any
+    * batching equals the batch computation (asserted in tests). */
+  case class Milestone(user_id: Long, threshold: Long, atEventId: Long)
+
+  def milestones(events: Dataset[Ev]): Dataset[Milestone] = {
+    import events.sparkSession.implicits._
+    val step = 10L * 1000000L // 10 value-units in micros
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) => {
+          var acc = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer[Milestone]()
+          evs.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+            val before = acc / step
+            acc += e.valueMicros
+            val after = acc / step
+            (before + 1 to after).foreach(k => out += Milestone(user, k * step, e.event_id))
+          }
+          state.update(acc)
+          out.iterator
+        })
+  }
 }

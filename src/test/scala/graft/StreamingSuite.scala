@@ -84,6 +84,34 @@ class StreamingSuite extends SparkSpec {
     assert(got == want)
   }
 
+  test("I6b flatMapGroupsWithState milestones: streaming emissions == batch, any batching") {
+    import spark.implicits._
+    val evs = Stateful.eventsDs(spark, sfDir).collect().toSeq
+      .sortBy(e => (e.tsMicros, e.event_id))
+    // batch truth: per-user cumulative threshold crossings
+    val want = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+      var acc = 0L
+      es.sortBy(e => (e.tsMicros, e.event_id)).flatMap { e =>
+        val before = acc / 10000000L; acc += e.valueMicros
+        (before + 1 to acc / 10000000L).map(k => (u, k * 10000000L, e.event_id))
+      }
+    }.toSet
+    // stream in 3 uneven batches (events arrive in event-time order here,
+    // matching the per-batch sort inside the state function)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Stateful.milestones(mem.toDS())
+      .writeStream.format("memory").queryName("milestone_sink")
+      .outputMode(OutputMode.Append()).start()
+    Seq(evs.take(100), evs.slice(100, 101), evs.drop(101)).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("milestone_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("I8 rate source: built-in streaming source drives a windowed count") {
     import spark.implicits._
     val q = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
