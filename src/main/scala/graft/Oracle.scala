@@ -383,6 +383,15 @@ object Oracle {
          WINDOW w AS (PARTITION BY event_type ORDER BY sec
                       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    "q_win_first_last" ->
+      """SELECT user_id, event_id,
+                FIRST_VALUE(event_type) OVER w AS first_type,
+                LAST_VALUE(event_type) OVER w AS last_type,
+                NTH_VALUE(event_type, 2) OVER w AS second_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY event_id""",
     "q_win_topk_per_group" ->
       """SELECT event_type, rn, event_id, value FROM (
            SELECT event_type, event_id, value,
@@ -457,6 +466,16 @@ object Oracle {
          FROM events ORDER BY event_id""",
     "q_hash_funcs" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
+    "q_array_setops" ->
+      """WITH x AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                    FROM documents)
+         SELECT doc_id,
+                COALESCE(array_to_string(list_sort(list_filter(toks,
+                  t -> list_contains(['query','data','spark'], t))), ','), '') AS inter_csv,
+                COALESCE(array_to_string(list_sort(list_filter(['query','data','spark'],
+                  p -> NOT list_contains(toks, p))), ','), '') AS missing_csv,
+                CAST(len(list_distinct(list_concat(toks, ['query','data','spark']))) AS BIGINT) AS n_union
+         FROM x ORDER BY doc_id""",
 
     // ----- streaming batch-equivalents (§2.I) -----
     "q_stream_tumbling" ->

@@ -119,6 +119,19 @@ object Scalars {
           size($"m").cast("long").as("n_entries"))
         .orderBy("event_id")
     }),
+    // H6b: array set algebra — union/intersect/except between each doc's
+    // token set and a constant probe set, rendered sorted-CSV.
+    "q_array_setops" -> ((s, d) => {
+      import s.implicits._
+      val probe = array(lit("query"), lit("data"), lit("spark"))
+      Tables.documents(s, d)
+        .withColumn("toks", array_distinct(split($"text", " ")))
+        .select($"doc_id",
+          array_join(array_sort(array_intersect($"toks", probe)), ",").as("inter_csv"),
+          array_join(array_sort(array_except(probe, $"toks")), ",").as("missing_csv"),
+          size(array_union($"toks", probe)).cast("long").as("n_union"))
+        .orderBy("doc_id")
+    }),
     // H8: hash family — md5 only (cross-engine); used as dedup content key.
     "q_hash_funcs" -> ((s, d) => {
       import s.implicits._

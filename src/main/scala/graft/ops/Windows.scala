@@ -81,6 +81,20 @@ object Windows {
           count(lit(1)).over(w).as("trailing_n"))
         .orderBy("event_id")
     }),
+    // E8: value-positional family — first/last/nth over an explicit frame
+    // (last_value needs the full-partition frame; the default frame stops
+    // at CURRENT ROW and silently returns the current row's value).
+    "q_win_first_last" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select($"user_id", $"event_id",
+          first($"event_type").over(w).as("first_type"),
+          last($"event_type").over(w).as("last_type"),
+          nth_value($"event_type", 2).over(w).as("second_type"))
+        .orderBy("event_id")
+    }),
     // E7: top-K per group — "top tweets per team per day" shape.
     "q_win_topk_per_group" -> ((s, d) => {
       import s.implicits._
