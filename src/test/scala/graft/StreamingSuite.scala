@@ -84,6 +84,33 @@ class StreamingSuite extends SparkSpec {
     assert(got == want)
   }
 
+  test("I3 streaming session windows: closed sessions equal the batch q_stream_session rows") {
+    import spark.implicits._
+    val evs = Stateful.eventsDs(spark, sfDir).collect().toSeq
+      .sortBy(e => (e.tsMicros, e.event_id))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDS()
+      .withColumn("ts", timestamp_micros($"tsMicros"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("session_start"), $"n")
+    val q = agg.writeStream.format("memory").queryName("sess_sink")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(evs); q.processAllAvailable()
+    // flush: an event far past everything closes all sessions via watermark
+    val flush = Ev(999999L, evs.map(_.tsMicros).max + 365L * 86400L * 1000000L, 999999L, "x", 0L)
+    mem.addData(Seq(flush)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_sink")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = ops.Streaming.qs("q_stream_session")(spark, sfDir)
+      .select($"user_id", $"session_start", $"n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("I6b flatMapGroupsWithState milestones: streaming emissions == batch, any batching") {
     import spark.implicits._
     val evs = Stateful.eventsDs(spark, sfDir).collect().toSeq
