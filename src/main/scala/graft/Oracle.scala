@@ -466,6 +466,18 @@ object Oracle {
          FROM events ORDER BY event_id""",
     "q_hash_funcs" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
+    "q_gen_posexplode" ->
+      """SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok FROM (
+           SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+             (x, i) -> {'pos': i - 1, 'tok': x}), recursive := true)
+           FROM documents) t
+         ORDER BY doc_id, pos""",
+    "q_try_funcs" ->
+      """SELECT event_id,
+                round(CAST(FLOOR(value*1000000) AS BIGINT) / NULLIF(event_id % 3, 0), 6) AS div3,
+                TRY_CAST(event_type AS BIGINT) AS as_num,
+                COALESCE(NULLIF(event_type, 'click'), 'none') AS not_click
+         FROM events ORDER BY event_id""",
     "q_array_setops" ->
       """WITH x AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
                     FROM documents)

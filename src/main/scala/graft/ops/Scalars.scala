@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Q, Tables}
+import graft.{Q, Tables, U}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -131,6 +131,27 @@ object Scalars {
           array_join(array_sort(array_except(probe, $"toks")), ",").as("missing_csv"),
           size(array_union($"toks", probe)).cast("long").as("n_union"))
         .orderBy("doc_id")
+    }),
+    // K3: generator surface — posexplode (LATERAL VIEW shape) with
+    // positional output.
+    "q_gen_posexplode" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+        .select($"doc_id", $"pos".cast("long").as("pos"), $"tok")
+        .orderBy("doc_id", "pos")
+    }),
+    // Error-safe family — Spark 4 runs ANSI mode, so the try_* forms are
+    // the null-on-error path (÷0, bad casts) a pipeline needs to not
+    // abort a 100 TB job on one malformed row.
+    "q_try_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id",
+          round(try_divide(U.micros($"value"), $"event_id" % 3), 6).as("div3"),
+          expr("try_cast(event_type AS BIGINT)").as("as_num"),
+          coalesce(expr("nullif(event_type, 'click')"), lit("none")).as("not_click"))
+        .orderBy("event_id")
     }),
     // H8: hash family — md5 only (cross-engine); used as dedup content key.
     "q_hash_funcs" -> ((s, d) => {
