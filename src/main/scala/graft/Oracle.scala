@@ -639,6 +639,39 @@ object Oracle {
 
     // ----- similarity search / vector agg -----
     "q_ann_lsh" -> annLshSql,
+    "q_ann_ivf" ->
+      """WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+               FROM embeddings),
+         m AS (SELECT vec_id, label, v, list_sum(list_transform(v, x -> x * x)) AS norm2 FROM n),
+         e AS (SELECT label, i, v[i] AS c
+               FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix),
+         cs AS (SELECT label, i, CAST(FLOOR(CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cc
+                FROM e GROUP BY 1, 2),
+         cn AS (SELECT label, CAST(SUM(cc * cc) AS BIGINT) AS cn2 FROM cs GROUP BY 1),
+         q AS (SELECT vec_id AS q_id, v AS qv, CAST(norm2 AS DOUBLE) AS qn
+               FROM m WHERE vec_id % 50 = 0),
+         qc AS (SELECT q_id, qn, cs.label AS c_label, CAST(SUM(qv[i] * cc) AS DOUBLE) AS cdot
+                FROM q, cs GROUP BY 1, 2, 3),
+         sc AS (SELECT q_id, c_label,
+                       cdot / (sqrt(qn) * sqrt(CAST(cn2 AS DOUBLE))) AS simc
+                FROM qc JOIN cn ON cn.label = qc.c_label),
+         pr AS (SELECT q_id, c_label FROM (
+                  SELECT q_id, c_label,
+                         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY simc DESC, c_label) AS crk
+                  FROM sc) t WHERE crk <= 2),
+         cand AS (SELECT q_id, m.vec_id AS c_id
+                  FROM pr JOIN m ON m.label = pr.c_label
+                  WHERE m.vec_id <> q_id),
+         p AS (SELECT q_id, c_id,
+                      CAST(list_sum(list_transform(ma.v, (x, i) -> x * mb.v[i])) AS DOUBLE) AS dot,
+                      CAST(ma.norm2 AS DOUBLE) AS qn2, CAST(mb.norm2 AS DOUBLE) AS cn3
+               FROM cand JOIN m ma ON ma.vec_id = q_id JOIN m mb ON mb.vec_id = c_id),
+         r AS (SELECT q_id, c_id, round(dot / (sqrt(qn2) * sqrt(cn3)), 6) AS sim FROM p),
+         k AS (SELECT q_id, c_id, sim,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rk
+               FROM r)
+         SELECT q_id, rk, c_id, sim FROM k WHERE rk <= 3 ORDER BY q_id, rk""",
     "q_embed_centroid" ->
       """WITH n AS (SELECT CAST(label AS BIGINT) AS label,
                   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v

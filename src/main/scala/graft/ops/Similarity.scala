@@ -68,6 +68,47 @@ object Similarity {
         .select($"q_id", $"rk", $"c_id", $"sim")
         .orderBy("q_id", "rk")
     }),
+    // IVF ANN: coarse cells = labels, quantizer = per-cell centroid
+    // (int64-floored means, so cell assignment is exact cross-engine),
+    // nprobe=2 nearest cells per query, exact rerank inside the probed
+    // cells. The 10-cell centroid table is broadcast; members shuffle on
+    // the cell id — at 10^9 vectors this is the classic IVF cost shape:
+    // Q·cells coarse dots + Q·(N/cells·nprobe) exact dots.
+    "q_ann_ivf" -> ((s, d) => {
+      import s.implicits._
+      val scaled = Tables.embeddings(s, d)
+        .select($"vec_id", $"label".cast("long").as("label"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))").as("v"))
+        .withColumn("norm2", expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
+      val cells = scaled.select($"label", $"v").as[(Long, Array[Long])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(CentroidAgg.toColumn)
+        .map { case (label, (n, sums)) =>
+          (label, sums.map(s => math.floor(s.toDouble / n).toLong)) }
+        .toDF("c_label", "cvec")
+        .withColumn("cn2", expr("aggregate(cvec, 0L, (acc, x) -> acc + x * x)"))
+      val q = scaled.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+      val wCell = Window.partitionBy($"q_id").orderBy($"simc".desc, $"c_label")
+      val probed = q.join(broadcast(cells))
+        .withColumn("cdot", expr("aggregate(zip_with(qv, cvec, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("simc", $"cdot".cast("double") /
+          (sqrt($"qn".cast("double")) * sqrt($"cn2".cast("double"))))
+        .withColumn("crk", row_number().over(wCell))
+        .filter($"crk" <= 2)
+        .select($"q_id", $"qv", $"qn", $"c_label".as("label"))
+      val members = scaled.select($"vec_id".as("c_id"), $"label", $"v".as("cv"), $"norm2".as("cn"))
+      val wTop = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id")
+      probed.join(members, Seq("label"))
+        .filter($"c_id" =!= $"q_id")
+        .withColumn("dot", expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("sim", round($"dot".cast("double") /
+          (sqrt($"qn".cast("double")) * sqrt($"cn".cast("double"))), 6))
+        .withColumn("rk", row_number().over(wTop).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"q_id", $"rk", $"c_id", $"sim")
+        .orderBy("q_id", "rk")
+    }),
     // K2: per-label centroid via the typed Aggregator; first 8 components
     // as (label, comp, mean) rows.
     "q_embed_centroid" -> ((s, d) => {
