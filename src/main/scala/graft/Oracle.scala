@@ -192,6 +192,16 @@ object Oracle {
       """SELECT p_partkey, p_name FROM part
          WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
          ORDER BY p_partkey""",
+    "q_join_full" ->
+      """WITH early AS (SELECT o_custkey AS k, COUNT(*) AS n_1996 FROM orders
+                        WHERE year(o_orderdate) = 1996 GROUP BY 1),
+              late AS (SELECT o_custkey AS k, COUNT(*) AS n_1997 FROM orders
+                       WHERE year(o_orderdate) = 1997 GROUP BY 1)
+         SELECT COALESCE(early.k, late.k) AS k,
+                COALESCE(n_1996, 0) AS n_1996,
+                COALESCE(n_1997, 0) AS n_1997
+         FROM early FULL OUTER JOIN late ON early.k = late.k
+         ORDER BY k""",
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -134,6 +134,18 @@ object Relational {
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")
     }),
+    // C3b: full outer — keys on either side survive with nulls opposite.
+    "q_join_full" -> ((s, d) => {
+      import s.implicits._
+      val early = Tables.orders(s, d).filter(year($"o_orderdate") === 1996)
+        .groupBy($"o_custkey".as("k")).agg(count(lit(1)).as("n_1996"))
+      val late = Tables.orders(s, d).filter(year($"o_orderdate") === 1997)
+        .groupBy($"o_custkey".as("k")).agg(count(lit(1)).as("n_1997"))
+      early.join(late, Seq("k"), "full_outer")
+        .select($"k", coalesce($"n_1996", lit(0L)).as("n_1996"),
+          coalesce($"n_1997", lit(0L)).as("n_1997"))
+        .orderBy("k")
+    }),
     // C5: left anti (NOT EXISTS).
     "q_join_anti" -> ((s, d) => {
       import s.implicits._
