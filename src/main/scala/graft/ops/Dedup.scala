@@ -76,8 +76,7 @@ object Dedup {
   def lshBuckets(scaled: DataFrame): DataFrame = {
     val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
     val bits = transform(planesCol, p =>
-      when(aggregate(zip_with(col("v"), p, (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
+      when(graft.functions.DotL.dot(col("v"), p) > 0, 1L).otherwise(0L))
     val withBits = scaled.withColumn("bits", bits)
     val bkts = transform(sequence(lit(0), lit(NumTables - 1)), t =>
       concat_ws(":", t,
@@ -91,11 +90,11 @@ object Dedup {
   private def scaledVecs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d)
       .withColumn("v", expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))"))
-      .withColumn("norm2", expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("norm2", graft.functions.DotL.dot(col("v"), col("v")))
 
   /** Exact rounded cosine between joined scaled vectors va/vb. */
   private def cosine: Column =
-    round(expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").cast("double") /
+    round(graft.functions.DotL.dot(col("va"), col("vb")).cast("double") /
       (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
 
   val qs: Map[String, Q] = Map(

@@ -49,7 +49,7 @@ object Similarity {
       import s.implicits._
       val scaled = Tables.embeddings(s, d)
         .withColumn("v", expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))"))
-        .withColumn("norm2", expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
+        .withColumn("norm2", graft.functions.DotL.dot($"v", $"v"))
       val buckets = Dedup.lshBuckets(scaled)
       val cand = buckets.as("a")
         .join(buckets.as("b"), $"a.bkt" === $"b.bkt" && $"a.vec_id" =!= $"b.vec_id")
@@ -60,7 +60,7 @@ object Similarity {
       cand
         .join(scaled.select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn")), "q_id")
         .join(scaled.select($"vec_id".as("c_id"), $"v".as("cv"), $"norm2".as("cn")), "c_id")
-        .withColumn("dot", expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("dot", graft.functions.DotL.dot($"qv", $"cv"))
         .withColumn("sim", round($"dot".cast("double") /
           (sqrt($"qn".cast("double")) * sqrt($"cn".cast("double"))), 6))
         .withColumn("rk", row_number().over(w).cast("long"))
@@ -79,19 +79,19 @@ object Similarity {
       val scaled = Tables.embeddings(s, d)
         .select($"vec_id", $"label".cast("long").as("label"),
           expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))").as("v"))
-        .withColumn("norm2", expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
+        .withColumn("norm2", graft.functions.DotL.dot($"v", $"v"))
       val cells = scaled.select($"label", $"v").as[(Long, Array[Long])]
         .groupByKey(_._1).mapValues(_._2)
         .agg(CentroidAgg.toColumn)
         .map { case (label, (n, sums)) =>
           (label, sums.map(s => math.floor(s.toDouble / n).toLong)) }
         .toDF("c_label", "cvec")
-        .withColumn("cn2", expr("aggregate(cvec, 0L, (acc, x) -> acc + x * x)"))
+        .withColumn("cn2", graft.functions.DotL.dot($"cvec", $"cvec"))
       val q = scaled.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
       val wCell = Window.partitionBy($"q_id").orderBy($"simc".desc, $"c_label")
       val probed = q.join(broadcast(cells))
-        .withColumn("cdot", expr("aggregate(zip_with(qv, cvec, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("cdot", graft.functions.DotL.dot($"qv", $"cvec"))
         .withColumn("simc", $"cdot".cast("double") /
           (sqrt($"qn".cast("double")) * sqrt($"cn2".cast("double"))))
         .withColumn("crk", row_number().over(wCell))
@@ -101,7 +101,7 @@ object Similarity {
       val wTop = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id")
       probed.join(members, Seq("label"))
         .filter($"c_id" =!= $"q_id")
-        .withColumn("dot", expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("dot", graft.functions.DotL.dot($"qv", $"cv"))
         .withColumn("sim", round($"dot".cast("double") /
           (sqrt($"qn".cast("double")) * sqrt($"cn".cast("double"))), 6))
         .withColumn("rk", row_number().over(wTop).cast("long"))

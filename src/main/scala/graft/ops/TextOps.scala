@@ -108,13 +108,13 @@ object TextOps {
       import s.implicits._
       val scaled = Tables.embeddings(s, d)
         .withColumn("v", expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))"))
-        .withColumn("norm2", expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
+        .withColumn("norm2", graft.functions.DotL.dot($"v", $"v"))
       val q = scaled.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
       val c = scaled.select($"vec_id".as("c_id"), $"v".as("cv"), $"norm2".as("cn"))
       val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id")
       q.join(c, $"q_id" =!= $"c_id")
-        .withColumn("dot", expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("dot", graft.functions.DotL.dot($"qv", $"cv"))
         .withColumn("sim", round($"dot".cast("double") / (sqrt($"qn".cast("double")) * sqrt($"cn".cast("double"))), 6))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter($"rk" <= 3)
