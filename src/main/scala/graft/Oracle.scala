@@ -746,6 +746,42 @@ object Oracle {
                 CAST(len(rolls) AS BIGINT) AS n_windows
          FROM r ORDER BY doc_id""",
 
+    // ----- composed curation pipeline -----
+    "q_pipeline_curate" ->
+      s"""WITH docs AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+                        FROM documents),
+         t AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+         v AS (SELECT doc_id, ${h64Sql("tok")} % 5 AS lang_idx, COUNT(*) AS votes
+               FROM t GROUP BY 1, 2),
+         pred AS (SELECT doc_id,
+                         (['de','en','es','fr','zh'])[CAST(lang_idx + 1 AS INT)] AS pred_lang
+                  FROM (SELECT doc_id, lang_idx,
+                               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY votes DESC, lang_idx) AS rn
+                        FROM v) x WHERE rn = 1),
+         keepers AS (SELECT MIN(doc_id) AS keeper_id FROM docs GROUP BY md5(text)),
+         q AS (SELECT doc_id, toks,
+                      CAST(len(toks) AS BIGINT) AS n_toks,
+                      CAST(FLOOR(CAST(len(list_distinct(toks)) AS DOUBLE) * 1000000
+                        / len(toks)) AS BIGINT) AS ttr_micros,
+                      lang
+               FROM docs),
+         qq AS (SELECT doc_id, toks, n_toks,
+                       CASE WHEN n_toks >= 40 AND ttr_micros >= 350000 THEN 'high'
+                            WHEN n_toks >= 20 THEN 'medium' ELSE 'low' END AS quality
+                FROM q WHERE lang = 'en'),
+         f AS (SELECT qq.doc_id, quality, n_toks,
+                      list_transform(toks, t0 -> ${h64Sql("t0")}) AS hs
+               FROM qq
+               JOIN pred ON pred.doc_id = qq.doc_id AND pred.pred_lang = 'en'
+               JOIN keepers ON keepers.keeper_id = qq.doc_id
+               WHERE quality <> 'low')
+         SELECT doc_id, quality, n_toks,
+                list_min([list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hs, i - 7, i)),
+                   (a, h) -> (a * 257 + h) % 1000000007)
+                  for i in range(8, len(hs) + 1)]) AS fingerprint
+         FROM f ORDER BY doc_id""",
+
     // ----- multimodal binary plumbing -----
     "q_multimodal_binary" ->
       """WITH x AS (SELECT doc_id, md5(text) AS payload_md5,
