@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: the queries/oracleSql maps must stay in
+  * lockstep (a key in one but not the other silently weakens the
+  * correctness gate). */
+class ContractSuite extends AnyFunSuite {
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle SQL without a query: $missing")
+  }
+
+  test("every query has an oracle, except the documented sketch exceptions") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // D8: approx_count_distinct is algorithm-specific (SURVEY §2.D8) —
+    // covered by OperatorSuite's accuracy-bound test instead
+    assert(noOracle == Set("q_agg_hll"), s"unexpected oracle-less queries: $noOracle")
+  }
+
+  test("query keys are well-formed q_* identifiers") {
+    SparkEntry.queries.keySet.foreach { k =>
+      assert(k.matches("q_[a-z0-9_]+"), s"bad key: $k")
+    }
+  }
+
+  test("oracle SQL has no unresolved interpolation artifacts") {
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(!sql.contains("${"), s"$k: unresolved interpolation in oracle SQL")
+      assert(sql.toUpperCase.contains("ORDER BY"), s"$k: oracle lacks total ORDER BY")
+    }
+  }
+}
