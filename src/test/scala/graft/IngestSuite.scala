@@ -17,6 +17,27 @@ class IngestSuite extends SparkSpec {
       lines.mkString("\n").getBytes("UTF-8"))
   }
 
+  test("A3/A5: JSON schema inference reads the fixture; NDJSON sink round-trips") {
+    val base = Files.createTempDirectory("graft_json").toString
+    new java.io.File(s"$base/src").mkdirs()
+    fixture(s"$base/src")
+    // A3: schema-on-read inference (≙ the Glue crawler, main.tf:304-314)
+    val inferred = spark.read.json(s"$base/src")
+    assert(inferred.columns.toSet.contains("public_metrics"))
+    assert(inferred.schema("public_metrics").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(inferred.count() == 21)
+    // A5: NDJSON append sink (≙ one json.dumps per line, src/main.py:151-153)
+    val out = s"$base/ndjson_out"
+    inferred.write.mode("append").json(out)
+    inferred.write.mode("append").json(out) // append semantics: doubles
+    assert(spark.read.json(out).count() == 42)
+    // landed files are one JSON object per line
+    val aFile = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).head
+    val firstLine = Files.readAllLines(aFile.toPath).get(0)
+    assert(firstLine.trim.startsWith("{") && firstLine.trim.endsWith("}"))
+  }
+
   test("AvailableNow ingest lands filtered, projected, partitioned parquet") {
     val base = Files.createTempDirectory("graft_ingest").toString
     val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
