@@ -60,6 +60,12 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       "theta join fell back to the O(n*m) nested loop")
   }
 
+  test("minhash signature reduction combines map-side (partial_min before the shuffle)") {
+    val p = planOf("q_dedup_minhash")
+    assert(p.contains("partial_min"),
+      "minhash mins are not partially aggregated — the shuffle would carry one row per shingle")
+  }
+
   test("whole-stage codegen covers the hot paths (no UDF-broken spans in Q1 shape)") {
     val df = SparkEntry.queries("q_agg_group")(spark, sfDir)
     df.collect() // finalize the AQE plan so codegen spans are visible
