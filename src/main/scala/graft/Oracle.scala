@@ -476,6 +476,21 @@ object Oracle {
          FROM events ORDER BY event_id""",
     "q_hash_funcs" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
+    "q_bit_funcs" ->
+      """SELECT event_id,
+                event_id & 255 AS lo_byte,
+                event_id | 16 AS with_flag,
+                xor(event_id, user_id) AS mixed,
+                user_id << 4 AS shl,
+                event_id >> 2 AS shr,
+                CAST(bit_count(event_id) AS BIGINT) AS popcnt
+         FROM events ORDER BY event_id""",
+    "q_url_escape" ->
+      """SELECT p_partkey,
+                replace(replace(replace(
+                  'entity:"' || p_name || '" -#' || p_brand || ' lang:en',
+                  '%', '%25'), ' ', '%20'), '#', '%23') AS escaped
+         FROM part ORDER BY p_partkey""",
     "q_gen_posexplode" ->
       """SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok FROM (
            SELECT doc_id, unnest(list_transform(string_split(text, ' '),

@@ -132,6 +132,32 @@ object Scalars {
           size(array_union($"toks", probe)).cast("long").as("n_union"))
         .orderBy("doc_id")
     }),
+    // H9: bitwise family — the SimHash/bloom building blocks as a
+    // first-class query surface.
+    "q_bit_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id",
+          ($"event_id".bitwiseAND(255)).as("lo_byte"),
+          ($"event_id".bitwiseOR(16)).as("with_flag"),
+          ($"event_id".bitwiseXOR($"user_id")).as("mixed"),
+          shiftleft($"user_id", 4).as("shl"),
+          shiftright($"event_id", 2).as("shr"),
+          expr("bit_count(event_id)").cast("long").as("popcnt"))
+        .orderBy("event_id")
+    }),
+    // H10: URL/query-string escaping ≙ the reference percent-escaping its
+    // API query (%23 for '#', src/main.py:89) and building it from config
+    // strings (src/main.py:99-111).
+    "q_url_escape" -> ((s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .withColumn("q", concat(lit("entity:\""), $"p_name", lit("\" -#"), $"p_brand", lit(" lang:en")))
+        .select($"p_partkey",
+          replace(replace(replace($"q", lit("%"), lit("%25")), lit(" "), lit("%20")),
+            lit("#"), lit("%23")).as("escaped"))
+        .orderBy("p_partkey")
+    }),
     // K3: generator surface — posexplode (LATERAL VIEW shape) with
     // positional output.
     "q_gen_posexplode" -> ((s, d) => {
