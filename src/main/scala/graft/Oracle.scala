@@ -748,6 +748,14 @@ object Oracle {
                 CAST(list_sum(list_transform(regexp_extract_all(text, '[a-z0-9]+', 0),
                   t -> (length(t) + 3) // 4)) AS BIGINT) AS n_pieces
          FROM documents ORDER BY doc_id""",
+    "q_sample_hash" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+                   ${h64Sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+                FROM documents),
+         s AS (SELECT doc_id, lang FROM b
+               WHERE CASE WHEN lang = 'en' THEN bucket < 50 ELSE bucket < 10 END)
+         SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+         FROM s GROUP BY 1 ORDER BY lang""",
     "q_text_fingerprint" ->
       s"""WITH x AS (SELECT doc_id,
                   list_transform(string_split(text, ' '), t -> ${h64Sql("t")}) AS hs

@@ -77,6 +77,20 @@ object TextAnalysis {
           expr("aggregate(words, 0L, (acc, t) -> acc + (length(t) + 3) div 4)").as("n_pieces"))
         .orderBy("doc_id")
     }),
+    // Deterministic stratified sampling: hash-bucket the stable key and
+    // keep per-language rates (en 50%, others 10%) — the reproducible
+    // downsampling a training-data pipeline needs (TABLESAMPLE is
+    // engine/seed-dependent; h64 buckets are portable and rerun-stable).
+    "q_sample_hash" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("bucket", U.h64(concat(lit("sample:"), $"doc_id")) % 100)
+        .filter(when($"lang" === "en", $"bucket" < 50).otherwise($"bucket" < 10))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          min($"doc_id").as("first_id"), max($"doc_id").as("last_id"))
+        .orderBy("lang")
+    }),
     // Document fingerprint: min rolling polynomial hash (base 257 mod
     // 1e9+7) over 8-token windows of token hashes — the winnowing-style
     // content signature (robust to boundary shifts, unlike full-text md5).
