@@ -114,6 +114,21 @@ object Aggregates {
         .select($"o_orderpriority", $"F".as("n_f"), $"O".as("n_o"), $"P".as("n_p"))
         .orderBy("o_orderpriority")
     }),
+    // Approx percentiles — the mergeable KLL-style sketch
+    // (approx_percentile) that replaces the exact sort-based form at
+    // 100 TB. Algorithm-specific ⇒ no DuckDB oracle (like D8 HLL);
+    // OperatorSuite asserts the error bound against the exact values.
+    "q_agg_approx_pct" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .withColumn("total_c", U.cents($"o_totalprice"))
+        .groupBy($"o_orderpriority")
+        .agg(
+          expr("approx_percentile(total_c, 0.5, 1000)").as("approx_median_c"),
+          round(expr("percentile(total_c, 0.5)"), 6).as("exact_median_c"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
     // Exact percentiles (linear interpolation — same formula in DuckDB's
     // quantile_cont) over int64 cents.
     "q_agg_percentile" -> ((s, d) => {

@@ -14,9 +14,10 @@ class ContractSuite extends AnyFunSuite {
 
   test("every query has an oracle, except the documented sketch exceptions") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // D8: approx_count_distinct is algorithm-specific (SURVEY §2.D8) —
-    // covered by OperatorSuite's accuracy-bound test instead
-    assert(noOracle == Set("q_agg_hll"), s"unexpected oracle-less queries: $noOracle")
+    // algorithm-specific sketches (SURVEY §2.D8) — covered by
+    // OperatorSuite accuracy-bound tests instead
+    assert(noOracle == Set("q_agg_hll", "q_agg_approx_pct"),
+      s"unexpected oracle-less queries: $noOracle")
   }
 
   test("query keys are well-formed q_* identifiers") {

@@ -17,6 +17,16 @@ class OperatorSuite extends SparkSpec {
     }
   }
 
+  test("approx_percentile within 2% of exact median per group") {
+    val rows = ops.Aggregates.qs("q_agg_approx_pct")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1).toDouble, r.getDouble(2))
+      assert(math.abs(approx - exact) <= 0.02 * exact + 1,
+        s"group ${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
   test("MinHash-LSH candidates ⊇ exact Jaccard pairs at jac>=0.5 (planted near-dups)") {
     val exact = ops.TextOps.qs("q_sim_jaccard")(spark, sfDir)
       .filter(col("jac") >= 0.5)
