@@ -13,6 +13,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -20,7 +21,8 @@ object Verify {
     // run queries on a small thread pool — Spark schedules concurrent jobs
     // fine in one session, and overlapping the per-query planning/codegen
     // latencies cuts verify wall time several-fold
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(2, cpus.toInt / 4))
     import scala.jdk.CollectionConverters._
     val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
       new java.util.concurrent.Callable[Unit] {
