@@ -269,6 +269,20 @@ object Oracle {
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
          ORDER BY o_custkey""",
 
+    "q_upsert_merge" ->
+      """WITH base AS (SELECT event_id, user_id,
+                  CAST(FLOOR(value*1000000) AS BIGINT) AS value_c, CAST(0 AS BIGINT) AS ver
+               FROM events),
+         updates AS (SELECT event_id, user_id,
+                  CAST(FLOOR(value*1000000) AS BIGINT) + 1000000 AS value_c, CAST(1 AS BIGINT) AS ver
+               FROM events WHERE event_id % 100 = 0),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM updates),
+         r AS (SELECT event_id, user_id, value_c, ver,
+                      ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ver DESC) AS rn
+               FROM u)
+         SELECT event_id, user_id, value_c, ver AS from_update
+         FROM r WHERE rn = 1 ORDER BY event_id""",
+
     // ----- subqueries -----
     "q_subquery_scalar" ->
       """WITH o AS (SELECT o_orderkey, CAST(FLOOR(o_totalprice*100) AS BIGINT) AS total_c

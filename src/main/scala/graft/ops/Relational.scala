@@ -256,6 +256,28 @@ object Relational {
         .limit(50)
     }),
 
+    // A8 row-level: CDC-style upsert compaction — union(base, updates) →
+    // latest-wins per key. The merge the reference gets by overwriting a
+    // whole date partition (src/main.py:70-73), done at row granularity:
+    // the shuffle carries only the key + version ordinal, the standard
+    // lakehouse compaction shape.
+    "q_upsert_merge" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.events(s, d)
+        .select($"event_id", $"user_id", U.micros($"value").as("value_c"), lit(0L).as("ver"))
+      // the "update batch": re-delivered events with corrected values
+      val updates = Tables.events(s, d)
+        .filter($"event_id" % 100 === 0)
+        .select($"event_id", $"user_id", (U.micros($"value") + 1000000L).as("value_c"),
+          lit(1L).as("ver"))
+      val w = Window.partitionBy($"event_id").orderBy($"ver".desc)
+      base.unionByName(updates)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"event_id", $"user_id", $"value_c", $"ver".as("from_update"))
+        .orderBy("event_id")
+    }),
+
     // ----- subqueries (Athena SQL surface, SURVEY §3.3/§4) --------------
     // Scalar subquery: orders above the global average (exact int64 cents
     // keep AVG deterministic: the sum fits in 2^53 so the double division
