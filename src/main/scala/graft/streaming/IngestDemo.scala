@@ -60,6 +60,16 @@ object IngestDemo {
     val landed = spark.read.parquet(s"$base/out")
     landed.show(5, truncate = false)
     println("LANDED_COUNT=" + landed.count())
+    // manifest-committed sink variant (§2.I7): same source, exactly-once
+    // visibility via per-batch manifests
+    val mq = spark.readStream.schema(graft.model.TweetSchema.schema).json(s"$base/src")
+      .writeStream
+      .foreachBatch(ManifestSink.write(s"$base/manifested") _)
+      .option("checkpointLocation", s"$base/mckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    mq.awaitTermination()
+    println("MANIFESTED_COUNT=" + ManifestSink.read(spark, s"$base/manifested").count())
     // re-drain with same checkpoint: already-processed files are skipped
     Ingest.runAvailableNow(spark, s"$base/src", s"$base/out", s"$base/ckpt")
     println("AFTER_RERUN_COUNT=" + spark.read.parquet(s"$base/out").count())

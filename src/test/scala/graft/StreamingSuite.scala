@@ -139,6 +139,32 @@ class StreamingSuite extends SparkSpec {
     assert(got == want)
   }
 
+  test("I7 manifest sink: batch replay is idempotent, uncommitted batches invisible") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = mem.toDS().toDF()
+      .writeStream
+      .foreachBatch(streaming.ManifestSink.write(root) _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    mem.addData(Seq(Ev(1, microsOf(0), 1, "a", 10), Ev(2, microsOf(1), 1, "b", 20)))
+    q.processAllAvailable()
+    mem.addData(Seq(Ev(3, microsOf(2), 2, "c", 30)))
+    q.processAllAvailable()
+    q.stop()
+    assert(streaming.ManifestSink.read(spark, root).count() == 3)
+    // replay batch 0 (≙ restart between sink write and checkpoint commit)
+    val replay = Seq(Ev(1, microsOf(0), 1, "a", 10), Ev(2, microsOf(1), 1, "b", 20))
+      .toDF()
+    streaming.ManifestSink.write(root)(replay, 0L)
+    assert(streaming.ManifestSink.read(spark, root).count() == 3) // unchanged
+    // an uncommitted directory (no manifest) is invisible to readers
+    replay.write.mode("overwrite").parquet(s"$root/batch=99")
+    assert(streaming.ManifestSink.read(spark, root).count() == 3)
+  }
+
   test("I8 rate source: built-in streaming source drives a windowed count") {
     import spark.implicits._
     val q = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
