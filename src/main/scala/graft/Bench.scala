@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+
+/** Driver-run benchmark: every SparkEntry query at SPARK_GRAFT_SF_DIR,
+  * fully materialized (noop sink — sorts, projections and row rendering
+  * all execute, unlike a bare count() which lets Catalyst prune them).
+  * Emits ONE compact JSON line (3-decimal seconds so the line survives
+  * the driver's capture buffer) and mirrors it to bench_out.json.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,13 +24,23 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect() // session/scheduler warm-up
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        // noop data source: distributed full materialization of every
+        // output row (ordering included), zero driver/disk cost.
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
+    println(line)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -15,6 +15,9 @@ object SparkEntry {
     * src/main.py:70-73). */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    // Boundary guard: the driver builds this session, which may not pin
+    // the nanosecond-parquet legacy flag Tables.events needs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
     val dim = Seq(
       ("click", "engagement"), ("view", "engagement"),
@@ -26,7 +29,9 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(U.micros($"value")).as("value_micros"))
       .join(broadcast(dim), Seq("event_type"), "left")
       .select(U.dayStr($"w.start").as("day"), $"event_type", $"category", $"n", $"value_micros")
-    val out = s"${sys.props("java.io.tmpdir")}/graft_entry_out"
+    // unique per-run output dir — concurrent invocations must not collide
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_entry_out_").resolve("daily").toString
     daily.write.mode("overwrite").partitionBy("day").parquet(out)
     daily
   }

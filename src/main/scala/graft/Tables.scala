@@ -26,12 +26,13 @@ object Tables {
     * ([PARQUET_TYPE_ILLEGAL]). Read it as raw int64 ns and floor-divide to
     * a µs timestamp — the same truncation DuckDB applies on
     * CAST(ts AS TIMESTAMP), so both engines see identical µs instants
-    * (oracle SQL must CAST accordingly; never output raw ts). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * (oracle SQL must CAST accordingly; never output raw ts).
+    * `spark.sql.legacy.parquet.nanosAsLong=true` must be pinned at session
+    * build (Verify/Bench/SparkSpec do; SparkEntry.entry guards externally
+    * built sessions) — a loader must not mutate session state. */
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

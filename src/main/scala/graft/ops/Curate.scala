@@ -15,6 +15,7 @@ object Curate {
   val qs: Map[String, Q] = Map(
     "q_pipeline_curate" -> ((s, d) => {
       import s.implicits._
+      graft.functions.H64.register(s)
       val docs = Tables.documents(s, d).withColumn("toks", split($"text", " "))
       // language confidence: labeled 'en' AND the token-vote classifier
       // agrees (ops.TextAnalysis logic)
@@ -42,8 +43,7 @@ object Curate {
         .join(pred, "doc_id")
         .filter($"pred_lang" === "en")
         .join(keepers, $"doc_id" === $"keeper_id", "left_semi")
-        .withColumn("hs", expr(
-          "transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+        .withColumn("hs", expr("transform(toks, t -> h64(t))"))
         .withColumn("fingerprint", array_min(expr(
           """transform(sequence(8, size(hs)),
                i -> aggregate(slice(hs, i-7, 8), 0L, (a, h) -> (a * 257 + h) % 1000000007))""")))

@@ -96,10 +96,12 @@ object TextAnalysis {
     // content signature (robust to boundary shifts, unlike full-text md5).
     "q_text_fingerprint" -> ((s, d) => {
       import s.implicits._
+      // h64 registered on the session so the lambda body uses the native
+      // digest-bytes expression instead of interpreted conv∘substring∘md5.
+      graft.functions.H64.register(s)
       Tables.documents(s, d)
         .withColumn("toks", split($"text", " "))
-        .withColumn("hs", expr(
-          "transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+        .withColumn("hs", expr("transform(toks, t -> h64(t))"))
         .withColumn("rolls", expr(
           """transform(sequence(8, size(hs)),
                i -> aggregate(slice(hs, i-7, 8), 0L, (a, h) -> (a * 257 + h) % 1000000007))"""))
