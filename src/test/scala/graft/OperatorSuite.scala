@@ -62,9 +62,41 @@ class OperatorSuite extends SparkSpec {
     assert(df == brute)
   }
 
-  test("ANN-LSH results are a subset of brute-force candidates with correct sims") {
-    val brute = ops.TextOps.qs("q_sim_cosine")(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+  /** The all-pairs top-3 definition — the semantic ground truth both
+    * q_sim_cosine (exact, LSH-prefiltered plan) and q_ann_lsh
+    * (approximate) are measured against. Test-only: O(Q·N) join. */
+  private def bruteTop3 = {
+    import spark.implicits._
+    val scaled = Tables.embeddings(spark, sfDir)
+      .withColumn("v", org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))"))
+      .withColumn("norm2", functions.DotL.dot($"v", $"v"))
+    val q = scaled.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+    val c = scaled.select($"vec_id".as("c_id"), $"v".as("cv"), $"norm2".as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"sim".desc, $"c_id")
+    q.join(c, $"q_id" =!= $"c_id")
+      .withColumn("dot", functions.DotL.dot($"qv", $"cv"))
+      .withColumn("sim", round($"dot".cast("double") /
+        (sqrt($"qn".cast("double")) * sqrt($"cn".cast("double"))), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"c_id", $"sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+  }
+
+  test("q_sim_cosine (multiprobe-LSH prefilter) == exact all-pairs top-3") {
+    val got = ops.TextOps.qs("q_sim_cosine")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val brute = bruteTop3
+    assert(brute.nonEmpty)
+    assert(got == brute,
+      s"LSH prefilter lost true neighbors: missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("ANN-LSH recall@3 >= 0.7 vs brute force, sims exact on shared pairs") {
+    val brute = bruteTop3.map(t => (t._1, t._3) -> t._4).toMap
     val ann = ops.Similarity.qs("q_ann_lsh")(spark, sfDir).collect()
     assert(ann.nonEmpty)
     // every ANN hit that brute-force also ranked must carry the same sim
@@ -72,9 +104,9 @@ class OperatorSuite extends SparkSpec {
     annPairs.collect { case (k, sim) if brute.contains(k) =>
       assert(brute(k) == sim, s"sim mismatch for $k")
     }
-    // recall@3 vs brute force is reported, not asserted (bucket-dependent)
     val recall = annPairs.count(p => brute.contains(p._1)).toDouble / math.max(1, brute.size)
     info(f"ANN-LSH recall@3 vs brute force: $recall%.2f")
+    assert(recall >= 0.7, f"ANN recall@3 $recall%.2f below 0.7 floor")
   }
 
   test("K2 centroid Aggregator matches SQL per-component mean") {
