@@ -1,6 +1,5 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
 
 /** Driver-run benchmark: every SparkEntry query at SPARK_GRAFT_SF_DIR,
   * fully materialized (noop sink — sorts, projections and row rendering
@@ -22,22 +21,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // session/scheduler warm-up
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
+      val ok = try {
         // noop data source: distributed full materialization of every
         // output row (ordering included), zero driver/disk cost.
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += name
+        false
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a crashed query must not read as a fast passing one: sentinel -1.0
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    def r3(v: Double): String = f"$v%.3f"
+    // explicit locale: a comma-decimal default (de_DE etc.) would emit
+    // 32,765 and break the JSON line
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
     println(line)
     System.out.flush()

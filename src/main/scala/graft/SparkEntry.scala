@@ -29,11 +29,26 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(U.micros($"value")).as("value_micros"))
       .join(broadcast(dim), Seq("event_type"), "left")
       .select(U.dayStr($"w.start").as("day"), $"event_type", $"category", $"n", $"value_micros")
-    // unique per-run output dir — concurrent invocations must not collide
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_entry_out_").resolve("daily").toString
+    // unique per-run output dir — concurrent invocations must not collide;
+    // the per-process root is deleted on JVM exit so repeated calls
+    // (tests, benchmarks) don't accumulate orphaned tmp output
+    val out = entryOutRoot.resolve(s"daily_${java.util.UUID.randomUUID()}").toString
     daily.write.mode("overwrite").partitionBy("day").parquet(out)
     daily
+  }
+
+  private lazy val entryOutRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_entry_out_")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(root)) {
+        val s = Files.walk(root)
+        try s.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
+        finally s.close()
+      }
+    }
+    root
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

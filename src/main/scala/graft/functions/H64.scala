@@ -38,10 +38,19 @@ case class H64Expr(child: Expression) extends UnaryExpression {
 }
 
 object H64 {
+  // One digest instance per executor thread — getInstance() does a
+  // provider lookup + allocation, which is measurable when sketch
+  // operators hash millions of tokens per batch. digest() leaves the
+  // instance reset, so reuse is safe.
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Top 60 bits of md5(bytes) — equals parsing the first 15 hex chars
     * big-endian. Called from generated code; must stay static + cheap. */
   def hash(s: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val d = md.digest(s.getBytes)
     // first 8 bytes as big-endian unsigned, dropping the low nibble
     var acc = 0L

@@ -19,22 +19,33 @@ case class UserState(n_events: Long, value_c: Long,
 object Stateful {
 
   /** mapGroupsWithState update fn — processes each micro-batch's new
-    * events for a user, folding them into the running state in
-    * (event-time, id) order so results are deterministic and identical
-    * to the batch q_stream_stateful query. */
+    * events for a user with a single-pass incremental fold: count and sum
+    * are commutative and last_type is max-by-(tsMicros, event_id), so no
+    * ordering of the input is needed — results are deterministic for ANY
+    * iterator order and identical to the batch q_stream_stateful query.
+    *
+    * Deliberately O(1) heap per key: the group iterator streams from
+    * Spark's (disk-backed) shuffle, so a whale key that receives millions
+    * of events in one micro-batch costs no executor memory. (The previous
+    * toSeq.sortBy materialized + sorted the whole batch per key — one
+    * skewed key could OOM an executor; WhaleKeySuite pins the new bound.) */
   def update(user: Long, events: Iterator[Ev],
              state: GroupState[UserState]): (Long, UserState) = {
     val init = state.getOption.getOrElse(UserState(0L, 0L, null, Long.MinValue, Long.MinValue))
-    val next = events.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foldLeft(init) { (st, e) =>
-      val isNewer = e.tsMicros > st.lastTsMicros ||
-        (e.tsMicros == st.lastTsMicros && e.event_id > st.lastId)
-      UserState(
-        st.n_events + 1,
-        st.value_c + e.valueMicros,
-        if (isNewer) e.event_type else st.last_type,
-        if (isNewer) e.tsMicros else st.lastTsMicros,
-        if (isNewer) e.event_id else st.lastId)
+    var n = init.n_events
+    var v = init.value_c
+    var lastType = init.last_type
+    var lastTs = init.lastTsMicros
+    var lastId = init.lastId
+    while (events.hasNext) {
+      val e = events.next()
+      n += 1
+      v += e.valueMicros
+      if (e.tsMicros > lastTs || (e.tsMicros == lastTs && e.event_id > lastId)) {
+        lastType = e.event_type; lastTs = e.tsMicros; lastId = e.event_id
+      }
     }
+    val next = UserState(n, v, lastType, lastTs, lastId)
     state.update(next)
     (user, next)
   }
@@ -92,28 +103,37 @@ object Stateful {
 
   /** flatMapGroupsWithState surface (§2.I6's 0..n-emissions form): emits
     * one alert per 10-value-unit threshold a user's running value sum
-    * crosses — the "notify on milestone" pattern. Emission count depends
-    * on state, not batch boundaries, so streaming output over any
-    * batching equals the batch computation (asserted in tests). */
-  case class Milestone(user_id: Long, threshold: Long, atEventId: Long)
+    * crosses — the "notify on milestone" pattern.
+    *
+    * The emission is deliberately order-free: with non-negative event
+    * values the thresholds a batch crosses are exactly
+    * (floor(accBefore/step), floor(accAfter/step)], which depends only on
+    * the running sum — not on the order events are folded in, and not on
+    * how the stream is batched. That makes the operator a single-pass
+    * O(1)-heap fold per key (whale-safe, same reasoning as `update`) and
+    * exactly-once across any batching. Attributing each crossing to the
+    * specific event that crossed it would require a total (ts, id) order
+    * over arbitrary arrival — i.e. buffering a whale key's entire
+    * micro-batch — for a decoration the alert semantic doesn't need. */
+  case class Milestone(user_id: Long, threshold: Long)
+
+  val MilestoneStep: Long = 10L * 1000000L // 10 value-units in micros
+
+  /** The state fn, named so WhaleKeySuite can drive it directly with a
+    * lazily-generated 10^7-event iterator through one key. */
+  def milestoneFold(user: Long, evs: Iterator[Ev],
+                    state: GroupState[Long]): Iterator[Milestone] = {
+    var acc = state.getOption.getOrElse(0L)
+    val before = acc / MilestoneStep
+    while (evs.hasNext) acc += evs.next().valueMicros
+    state.update(acc)
+    (before + 1 to acc / MilestoneStep).iterator.map(k => Milestone(user, k * MilestoneStep))
+  }
 
   def milestones(events: Dataset[Ev]): Dataset[Milestone] = {
     import events.sparkSession.implicits._
-    val step = 10L * 1000000L // 10 value-units in micros
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) => {
-          var acc = state.getOption.getOrElse(0L)
-          val out = scala.collection.mutable.ArrayBuffer[Milestone]()
-          evs.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
-            val before = acc / step
-            acc += e.valueMicros
-            val after = acc / step
-            (before + 1 to after).foreach(k => out += Milestone(user, k * step, e.event_id))
-          }
-          state.update(acc)
-          out.iterator
-        })
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(milestoneFold _)
   }
 }

@@ -115,16 +115,15 @@ class StreamingSuite extends SparkSpec {
     import spark.implicits._
     val evs = Stateful.eventsDs(spark, sfDir).collect().toSeq
       .sortBy(e => (e.tsMicros, e.event_id))
-    // batch truth: per-user cumulative threshold crossings
-    val want = evs.groupBy(_.user_id).flatMap { case (u, es) =>
-      var acc = 0L
-      es.sortBy(e => (e.tsMicros, e.event_id)).flatMap { e =>
-        val before = acc / 10000000L; acc += e.valueMicros
-        (before + 1 to acc / 10000000L).map(k => (u, k * 10000000L, e.event_id))
-      }
+    // batch truth: thresholds crossed depend only on each user's running
+    // sum (order-free emission semantics), so the expected set is every
+    // step multiple up to the user's total
+    val want = evs.groupBy(_.user_id).iterator.flatMap { case (u, es) =>
+      val total = es.map(_.valueMicros).sum
+      (1L to total / Stateful.MilestoneStep).map(k => (u, k * Stateful.MilestoneStep))
     }.toSet
-    // stream in 3 uneven batches (events arrive in event-time order here,
-    // matching the per-batch sort inside the state function)
+    // stream in 3 uneven batches — emissions must be identical (and
+    // exactly-once) regardless of batching
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
     val q = Stateful.milestones(mem.toDS())
@@ -134,9 +133,10 @@ class StreamingSuite extends SparkSpec {
       mem.addData(b); q.processAllAvailable()
     }
     q.stop()
-    val got = spark.table("milestone_sink").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == want)
+    val emitted = spark.table("milestone_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(emitted.length == emitted.distinct.length, "duplicate milestone emissions")
+    assert(emitted.toSet == want)
   }
 
   test("I7 manifest sink: batch replay is idempotent, uncommitted batches invisible") {

@@ -1,0 +1,76 @@
+package graft
+
+import graft.streaming.{Ev, Stateful, UserState}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.api.java.Optional
+
+/** Skew hardening for the §2.I6 state functions: one "whale" key
+  * receiving millions of events in a single micro-batch must fold in
+  * O(1) heap. The event iterators below are generated lazily — with the
+  * old toSeq.sortBy buffering this materializes tens of millions of
+  * objects at once; the incremental folds never hold more than one. */
+class WhaleKeySuite extends AnyFunSuite {
+
+  private val N = 10_000_000L
+
+  // lazily generated: event i at ts=i micros, value 3 micro-units
+  private def whale(n: Long): Iterator[Ev] =
+    (0L until n).iterator.map(i => Ev(i, i, 42L, if (i == n - 1) "last" else "mid", 3L))
+
+  test("update folds 10M events through one key incrementally (O(1) heap)") {
+    val state = TestGroupState.create[UserState](
+      Optional.empty(), GroupStateTimeout.NoTimeout(), 0L, Optional.empty(), false)
+    val (user, st) = Stateful.update(42L, whale(N), state)
+    assert(user == 42L)
+    assert(st.n_events == N)
+    assert(st.value_c == 3L * N)
+    assert(st.last_type == "last")
+    assert(st.lastTsMicros == N - 1)
+    assert(st.lastId == N - 1)
+    assert(state.get == st)
+  }
+
+  test("update result is order-independent (commutative fold)") {
+    def run(evs: Iterator[Ev]): UserState = {
+      val state = TestGroupState.create[UserState](
+        Optional.empty(), GroupStateTimeout.NoTimeout(), 0L, Optional.empty(), false)
+      Stateful.update(7L, evs, state)._2
+    }
+    val evs = Seq(Ev(1, 100, 7, "a", 5), Ev(2, 300, 7, "b", 7), Ev(3, 200, 7, "c", 11))
+    assert(run(evs.iterator) == run(evs.reverse.iterator))
+    assert(run(evs.iterator) == run(scala.util.Random.shuffle(evs).iterator))
+  }
+
+  test("milestoneFold streams 10M events through one key, emissions exact") {
+    val state = TestGroupState.create[Long](
+      Optional.of(4_000_000L), GroupStateTimeout.NoTimeout(), 0L, Optional.empty(), false)
+    val out = Stateful.milestoneFold(42L, whale(N), state).toSeq
+    val total = 4_000_000L + 3L * N
+    assert(state.get == total)
+    val wantFrom = 4_000_000L / Stateful.MilestoneStep + 1
+    val wantTo = total / Stateful.MilestoneStep
+    assert(out.map(_.threshold) == (wantFrom to wantTo).map(_ * Stateful.MilestoneStep))
+    assert(out.forall(_.user_id == 42L))
+  }
+
+  test("milestoneFold emissions are exactly-once across any batching") {
+    val evs = Seq(Ev(1, 1, 9, "a", 4_000_000L), Ev(2, 2, 9, "a", 7_000_000L),
+      Ev(3, 3, 9, "a", 12_000_000L), Ev(4, 4, 9, "a", 1_000_000L))
+    def run(batches: Seq[Seq[Ev]]): Seq[Long] = {
+      var st = Optional.empty[Long]()
+      batches.flatMap { b =>
+        val state = TestGroupState.create[Long](
+          st, GroupStateTimeout.NoTimeout(), 0L, Optional.empty(), false)
+        val out = Stateful.milestoneFold(9L, b.iterator, state).toSeq
+        st = Optional.of(state.get)
+        out.map(_.threshold)
+      }
+    }
+    val oneBatch = run(Seq(evs))
+    val perEvent = run(evs.map(Seq(_)))
+    val split = run(Seq(evs.take(2), evs.drop(2)))
+    assert(oneBatch == perEvent && oneBatch == split)
+    assert(oneBatch == Seq(10000000L, 20000000L))
+  }
+}
