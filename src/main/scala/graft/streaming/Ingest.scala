@@ -67,6 +67,17 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Schema-drift-tolerant read of a landed parquet dataset: footers are
+    * merged across files (`mergeSchema`) so a field that first appeared
+    * in a later batch (≙ the Glue crawler re-inferring the schema daily,
+    * reference main.tf:304-314) is visible as a nullable column, null
+    * for rows written before it existed. Kept off Spark's default read
+    * path on purpose — footer merging is a per-file metadata pass, so
+    * callers opt in at the boundary where drift is expected rather than
+    * paying it on every scan. */
+  def readMerged(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(outDir)
+
   /** Batch form over already-landed NDJSON (≙ re-processing a day). */
   def runBatch(spark: SparkSession, srcDir: String, outDir: String,
                platform: String = "Twitter", league: String = "NBA"): Unit =

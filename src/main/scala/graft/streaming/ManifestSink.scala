@@ -1,55 +1,66 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** Exactly-once-ish foreachBatch sink: each micro-batch lands under its
-  * own `batch=<id>` directory and becomes visible only when its manifest
-  * file commits. Replayed batch ids (restart after failure between write
-  * and checkpoint) are skipped by manifest presence — the idempotence the
-  * reference approximates by overwriting whole date-partition keys on
-  * re-run (src/main.py:70-73, SURVEY §2.A8), done at micro-batch
-  * granularity. Readers list manifests, not directories, so half-written
-  * batches are never visible.
+  * own `batch=<id>` directory and becomes visible only when its commit
+  * line is appended to the manifest log. Replayed batch ids (restart
+  * after failure between write and checkpoint) are skipped by log
+  * membership — the idempotence the reference approximates by
+  * overwriting whole date-partition keys on re-run (src/main.py:70-73,
+  * SURVEY §2.A8), done at micro-batch granularity.
+  *
+  * The manifest is a SINGLE append-only log (`_manifests/commits.log`,
+  * one `<batchId>\t<dir>` line per committed batch) rather than one file
+  * per batch: at ~10^5 batches a per-batch layout turns every read into
+  * 10^5 metadata ops (list + open per file — the classic small-file
+  * problem on an object store), while the log is one sequential read of
+  * a few MB. The commit point is the appended line: readers resolve
+  * directories from the log only, so half-written batch directories are
+  * never visible, and a torn tail line from a crash mid-append fails to
+  * parse and is ignored (its batch simply replays).
   */
 object ManifestSink {
 
-  private def manifestPath(root: String, batchId: Long) =
-    Paths.get(s"$root/_manifests/$batchId.manifest")
+  private def logPath(root: String) =
+    Paths.get(s"$root/_manifests/commits.log")
+
+  /** Committed batchId -> data directory, parsed from the log. Lines
+    * that don't parse (torn tail from a crash mid-append) are skipped. */
+  def committed(root: String): Map[Long, String] = {
+    val p = logPath(root)
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p), UTF_8)
+      .linesIterator
+      .flatMap { ln =>
+        ln.split('\t') match {
+          case Array(id, dir) if dir.nonEmpty =>
+            id.toLongOption.map(_ -> dir)
+          case _ => None
+        }
+      }
+      .toMap // last write wins on a (impossible by construction) dup id
+  }
 
   /** The foreachBatch function: idempotent per batchId. */
   def write(root: String)(batch: DataFrame, batchId: Long): Unit = {
-    val m = manifestPath(root, batchId)
-    if (!Files.exists(m)) {
+    if (!committed(root).contains(batchId)) {
       val dir = s"$root/batch=$batchId"
       batch.write.mode("overwrite").parquet(dir)
-      Files.createDirectories(m.getParent)
+      val p = logPath(root)
+      Files.createDirectories(p.getParent)
       // manifest commit point: the batch is visible from here on
-      Files.write(m, dir.getBytes("UTF-8"),
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.write(p, s"$batchId\t$dir\n".getBytes(UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }
   }
 
   /** Read all committed batches (uncommitted directories are invisible). */
   def read(spark: SparkSession, root: String): DataFrame = {
-    val mdir = Paths.get(s"$root/_manifests")
-    val dirs =
-      if (!Files.exists(mdir)) Seq.empty
-      else {
-        val s = Files.list(mdir)
-        try s.iterator().asScala
-          .filter(_.toString.endsWith(".manifest"))
-          .map(p => new String(Files.readAllBytes(p), "UTF-8")).toList
-        finally s.close()
-      }
+    val dirs = committed(root).values.toSeq
     if (dirs.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(dirs: _*)
-  }
-
-  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
-    }
   }
 }

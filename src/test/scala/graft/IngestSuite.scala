@@ -38,6 +38,36 @@ class IngestSuite extends SparkSpec {
     assert(firstLine.trim.startsWith("{") && firstLine.trim.endsWith("}"))
   }
 
+  test("A3b schema drift: a field added in a later batch merges as nullable (mergeSchema)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_drift").toString
+    val out = s"$base/out"
+    // day 1: the original shape
+    val d1 = s"$base/day1"; new java.io.File(d1).mkdirs()
+    Files.write(Paths.get(s"$d1/page.json"),
+      Seq("""{"id":"1","text":"first day","like_count":3}""",
+          """{"id":"2","text":"also first","like_count":5}""")
+        .mkString("\n").getBytes("UTF-8"))
+    spark.read.json(d1).write.mode("append").parquet(out)
+    // day 2: upstream starts sending a new nullable field `lang`
+    // (≙ the producer evolving; the Glue crawler re-crawl, main.tf:304-314)
+    val d2 = s"$base/day2"; new java.io.File(d2).mkdirs()
+    Files.write(Paths.get(s"$d2/page.json"),
+      Seq("""{"id":"3","text":"second day","like_count":7,"lang":"en"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    spark.read.json(d2).write.mode("append").parquet(out)
+    // merged read: old + new rows both queryable, lang nullable
+    val merged = Ingest.readMerged(spark, out)
+    assert(merged.columns.toSet == Set("id", "text", "like_count", "lang"))
+    assert(merged.count() == 3)
+    val byId = merged.select($"id", $"lang").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(byId == Map("1" -> None, "2" -> None, "3" -> Some("en")))
+    // drifted field is filterable across the union (old rows just miss)
+    assert(merged.filter($"lang" === "en").select($"id").as[String].collect().toSeq == Seq("3"))
+    assert(merged.filter($"lang".isNull).count() == 2)
+  }
+
   test("AvailableNow ingest lands filtered, projected, partitioned parquet") {
     val base = Files.createTempDirectory("graft_ingest").toString
     val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"

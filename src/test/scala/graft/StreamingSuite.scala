@@ -163,6 +163,17 @@ class StreamingSuite extends SparkSpec {
     // an uncommitted directory (no manifest) is invisible to readers
     replay.write.mode("overwrite").parquet(s"$root/batch=99")
     assert(streaming.ManifestSink.read(spark, root).count() == 3)
+    // compacted manifest: ONE append-log regardless of batch count, not
+    // one file per batch (metadata bottleneck at ~1e5 batches)
+    val mfiles = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/_manifests"))
+    try assert(mfiles.toArray.toList.map(_.toString.split('/').last) == List("commits.log"))
+    finally mfiles.close()
+    assert(streaming.ManifestSink.committed(root).keySet == Set(0L, 1L))
+    // a torn tail line (crash mid-append) is ignored, committed batches stay visible
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/_manifests/commits.log"),
+      "99\t".getBytes("UTF-8"), java.nio.file.StandardOpenOption.APPEND)
+    assert(streaming.ManifestSink.committed(root).keySet == Set(0L, 1L))
+    assert(streaming.ManifestSink.read(spark, root).count() == 3)
   }
 
   test("I8 rate source: built-in streaming source drives a windowed count") {
