@@ -189,6 +189,16 @@ object Oracle {
     "q_join_broadcast" ->
       """SELECT n_nationkey, n_name, r_name FROM nation
          JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""",
+    // dim inlined as VALUES: it comes from TopicConfig.ExampleTopicYaml
+    // (config bytes, not a parquet table) — topic + each alias, one row each
+    "q_topic_alias" ->
+      """WITH dim(alias, topic, "type") AS (
+           VALUES ('spark','spark','engine'),
+                  ('stream','spark','engine'),
+                  ('vector','spark','engine'))
+         SELECT d.doc_id, m.alias, m.topic, m."type"
+         FROM documents d JOIN dim m ON contains(d.text, m.alias)
+         ORDER BY doc_id, alias""",
     "q_join_inner" ->
       """SELECT o_orderkey, l_linenumber, o_orderstatus, l_quantity FROM orders
          JOIN lineitem ON o_orderkey = l_orderkey

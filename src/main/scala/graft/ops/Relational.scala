@@ -109,6 +109,24 @@ object Relational {
         .select("n_nationkey", "n_name", "r_name")
         .orderBy("n_nationkey")
     }),
+    // C1b/A4: the alias-enrichment join — the reference's ONLY join:
+    // expand the topic config's aliases into a dimension and annotate
+    // every document whose text contains one (src/main.py:171-186,
+    // src/nba.yaml:6-7). The dim is config-sized (a handful of rows), so
+    // it broadcasts and the containment predicate runs map-side over the
+    // corpus scan — the big side never shuffles, at any scale. (The
+    // resulting BroadcastNestedLoopJoin is the RIGHT plan here: "nested
+    // loop" over a 3-row broadcast side is a per-row predicate battery,
+    // not an O(n·m) blowup — pinned in PlanSuite.)
+    "q_topic_alias" -> ((s, d) => {
+      import s.implicits._
+      val topic = graft.sources.TopicConfig.parseTopic(graft.sources.TopicConfig.ExampleTopicYaml)
+      val dim = graft.sources.TopicConfig.topicDim(s, topic)
+      Tables.documents(s, d)
+        .join(broadcast(dim), contains($"text", $"alias"))
+        .select($"doc_id", $"alias", $"topic", $"type")
+        .orderBy("doc_id", "alias")
+    }),
     // C2: shuffle join on the two fact tables (sort-merge / shuffled-hash by AQE).
     "q_join_inner" -> ((s, d) => {
       import s.implicits._

@@ -88,6 +88,20 @@ object TopicConfig {
     Platforms(v, ds(1).getOrElse("platforms", Seq.empty[String]).asInstanceOf[Seq[String]])
   }
 
+  /** Bundled example topic config — the same 2-document stream shape as
+    * the reference's topic template (src/nba.yaml:1-7), with topic/alias
+    * terms drawn from the synthetic documents vocabulary so the
+    * enrichment join (q_topic_alias) matches real rows. */
+  val ExampleTopicYaml: String =
+    """version: 1.0
+      |---
+      |topic: "spark"
+      |type: "engine"
+      |aliases:
+      |  - "stream"
+      |  - "vector"
+      |""".stripMargin
+
   /** Topic + alias expansion as a broadcast-sized dimension DataFrame
     * (one row per alias incl. the topic itself) — the enrichment-join
     * shape of src/main.py:171-186. */

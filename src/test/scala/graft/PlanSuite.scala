@@ -39,6 +39,15 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("alias enrichment: config dim is broadcast; corpus side never shuffles") {
+    val p = planOf("q_topic_alias")
+    // the containment predicate forces a nested-loop form — correct here
+    // ONLY because the dim side is broadcast and config-sized (per-row
+    // predicate battery, not O(n*m)); the corpus side must stream map-side
+    assert(p.contains("BroadcastNestedLoopJoin"), s"dim side not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("top-k: TakeOrderedAndProject, never a global sort of the full table") {
     assert(planOf("q_topk").contains("TakeOrderedAndProject"))
   }
