@@ -1,0 +1,94 @@
+package graft
+
+import graft.sources.paged.PagedApi
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** The cursor-paginated DSv2 source (≙ reference src/main.py:136-160):
+  * page clamp, per-trigger admission, global cap, and — the behavior
+  * that matters — a killed-and-restarted query resuming from the
+  * checkpointed cursor WITHOUT re-fetching pages it already committed.
+  * `_access.log` records every page the "API" serves, so re-reads are
+  * directly observable; the append-only parquet sink makes re-delivery
+  * observable as duplicate ids. */
+class PagedSourceSuite extends SparkSpec {
+
+  private def mkApi(n: Int, startId: Int = 0): String = {
+    val root = Files.createTempDirectory("graft_paged_api").toString
+    PagedApi.appendRecords(root,
+      (startId until startId + n).map(i => (i.toLong, f"2021-01-06T18:40:${i % 60}%02d.000Z", s"tweet $i #NBA")))
+    root
+  }
+
+  /** start= cursors of every page fetch the service has served, sorted —
+    * a trigger's pages are fetched in parallel across executor threads
+    * (by design), so raw log order within a batch is nondeterministic. */
+  private def fetchedCursors(root: String): (Seq[Long], Boolean) = {
+    val p = PagedApi.accessLogPath(root)
+    val raw =
+      if (!Files.exists(p)) Seq.empty[Long]
+      else new String(Files.readAllBytes(p), "UTF-8").linesIterator
+        .map(l => l.split(' ')(1).stripPrefix("start=").toLong).toSeq
+    (raw.sorted, raw.distinct.size == raw.size)
+  }
+
+  private def drain(root: String, out: String, ckpt: String,
+                    opts: Map[String, String]): Unit = {
+    var reader = spark.readStream.format("graft-pages").option("path", root)
+    opts.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def landedIds(out: String): Seq[Long] = {
+    import spark.implicits._
+    spark.read.parquet(out).select($"id").as[Long].collect().sorted.toSeq
+  }
+
+  test("A1 drain: requested page size is clamped to the server max (src/main.py:95-96)") {
+    val root = mkApi(170)
+    val base = Files.createTempDirectory("graft_paged").toString
+    drain(root, s"$base/out", s"$base/ckpt",
+      Map("pageSize" -> "1000", "maxRecords" -> "100000"))
+    assert(landedIds(s"$base/out") == (0L until 170L))
+    // 1000 requested → 100 served: exactly two pages, cursors 0 and 100
+    assert(fetchedCursors(root) == (Seq(0L, 100L), true))
+  }
+
+  test("A1 restart: resumes from the checkpointed cursor, no page re-read") {
+    val root = mkApi(80)
+    val base = Files.createTempDirectory("graft_paged").toString
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    // run 1: drain what the API has (4 pages of 20, 2 pages per trigger)
+    drain(root, out, ckpt,
+      Map("pageSize" -> "20", "maxPagesPerTrigger" -> "2", "maxRecords" -> "100000"))
+    assert(landedIds(out) == (0L until 80L))
+    assert(fetchedCursors(root) == (Seq(0L, 20L, 40L, 60L), true))
+    // the API receives more data; the query was stopped (≙ kill) and is
+    // restarted against the SAME checkpoint + append sink
+    PagedApi.appendRecords(root,
+      (80 until 120).map(i => (i.toLong, "2021-01-07T00:00:00.000Z", s"tweet $i")))
+    drain(root, out, ckpt,
+      Map("pageSize" -> "20", "maxPagesPerTrigger" -> "2", "maxRecords" -> "100000"))
+    // every id exactly once — a re-delivered page would show as duplicates
+    assert(landedIds(out) == (0L until 120L),
+      "restart must deliver only post-cursor records, exactly once")
+    // and no committed page was re-fetched from the API across the restart
+    assert(fetchedCursors(root) == (Seq(0L, 20L, 40L, 60L, 80L, 100L), true))
+  }
+
+  test("A1 global cap: admission stops at maxRecords (≙ MAX_RESULTS, src/main.py:18,136)") {
+    val root = mkApi(100)
+    val base = Files.createTempDirectory("graft_paged").toString
+    drain(root, s"$base/out", s"$base/ckpt",
+      Map("pageSize" -> "20", "maxRecords" -> "50"))
+    assert(landedIds(s"$base/out") == (0L until 50L))
+    // final page is a partial fetch up to the cap; nothing past it
+    assert(fetchedCursors(root) == (Seq(0L, 20L, 40L), true))
+  }
+}
