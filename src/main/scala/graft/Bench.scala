@@ -47,6 +47,13 @@ object Bench {
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
     println(line)
+    // The driver captures a bounded TAIL of stdout (r2 evidence: the full
+    // line above lost its head to the tail buffer once sbt's [success]
+    // noise landed after it, so "parsed" came back null). Emit a compact
+    // summary as the LAST line we print: it always fits whole inside any
+    // tail buffer, so a line-wise JSON scan finds something parseable;
+    // full per-query detail stays in the line above and bench_out.json.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"failed":$failedJson,"sf":"$sfDir","detail":"bench_out.json"}""")
     System.out.flush()
     spark.stop()
   }
