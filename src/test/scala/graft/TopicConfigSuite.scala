@@ -49,4 +49,15 @@ class TopicConfigSuite extends SparkSpec {
     assert(rows.contains(("NBA", "NBA", "League")))
     assert(rows.contains(("basketball", "NBA", "League")))
   }
+
+  test("A7 CloudConf: s3a committer confs chain onto a session builder") {
+    // the sandbox has no object store; what we can pin is that the knob
+    // set is the magic-committer wiring and that it applies cleanly to a
+    // builder (on a cluster: CloudConf(builder).getOrCreate())
+    import graft.sources.CloudConf
+    assert(CloudConf.s3aCommitter("spark.hadoop.fs.s3a.committer.name") == "magic")
+    assert(CloudConf.s3aCommitter.keySet.exists(_.contains("commitProtocolClass")))
+    val b = CloudConf(org.apache.spark.sql.SparkSession.builder())
+    assert(b != null) // chaining is side-effect-free until getOrCreate
+  }
 }
