@@ -94,19 +94,16 @@ object TextAnalysis {
     // Document fingerprint: min rolling polynomial hash (base 257 mod
     // 1e9+7) over 8-token windows of token hashes — the winnowing-style
     // content signature (robust to boundary shifts, unlike full-text md5).
+    // One native O(n) expression (functions.RollFp): per-token h64 +
+    // O(1)-per-window rolling update, replacing the interpreted
+    // transform∘aggregate∘slice chain (HOFs are CodegenFallback — that
+    // chain re-folded 8 hashes per window outside codegen).
     "q_text_fingerprint" -> ((s, d) => {
       import s.implicits._
-      // h64 registered on the session so the lambda body uses the native
-      // digest-bytes expression instead of interpreted conv∘substring∘md5.
-      graft.functions.H64.register(s)
       Tables.documents(s, d)
         .withColumn("toks", split($"text", " "))
-        .withColumn("hs", expr("transform(toks, t -> h64(t))"))
-        .withColumn("rolls", expr(
-          """transform(sequence(8, size(hs)),
-               i -> aggregate(slice(hs, i-7, 8), 0L, (a, h) -> (a * 257 + h) % 1000000007))"""))
-        .select($"doc_id", array_min($"rolls").as("fingerprint"),
-          size($"rolls").cast("long").as("n_windows"))
+        .select($"doc_id", graft.functions.RollFp.fp($"toks").as("fingerprint"),
+          greatest(size($"toks") - 7, lit(0)).cast("long").as("n_windows"))
         .orderBy("doc_id")
     })
   )

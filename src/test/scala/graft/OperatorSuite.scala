@@ -27,6 +27,27 @@ class OperatorSuite extends SparkSpec {
     }
   }
 
+  test("L12 native roll_fp == declarative rolling-hash chain; NULL under 8 tokens") {
+    import spark.implicits._
+    graft.functions.H64.register(spark)
+    val docs = Tables.documents(spark, sfDir).withColumn("toks", split($"text", " "))
+    val chain = docs
+      .withColumn("hs", expr("transform(toks, t -> h64(t))"))
+      .withColumn("rolls", expr(
+        """transform(sequence(8, size(hs)),
+             i -> aggregate(slice(hs, i-7, 8), 0L, (a, h) -> (a * 257 + h) % 1000000007))"""))
+      .select($"doc_id", array_min($"rolls").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = ops.TextAnalysis.qs("q_text_fingerprint")(spark, sfDir)
+      .select($"doc_id", $"fingerprint")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.nonEmpty && native == chain)
+    // no complete window -> NULL fingerprint (≙ the oracle's empty range)
+    val short = Seq("a b c").toDF("text")
+      .select(functions.RollFp.fp(split($"text", " ")).as("fp"))
+    assert(short.collect().head.isNullAt(0))
+  }
+
   test("MinHash-LSH candidates ⊇ exact Jaccard pairs at jac>=0.5 (planted near-dups)") {
     val exact = ops.TextOps.qs("q_sim_jaccard")(spark, sfDir)
       .filter(col("jac") >= 0.5)
