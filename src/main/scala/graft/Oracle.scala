@@ -788,6 +788,27 @@ object Oracle {
                WHERE CASE WHEN lang = 'en' THEN bucket < 50 ELSE bucket < 10 END)
          SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
          FROM s GROUP BY 1 ORDER BY lang""",
+    "q_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         g AS (SELECT doc_id,
+                      unnest(list_distinct([array_to_string(list_slice(tk, i - 4, i), ' ')
+                                            for i in range(5, len(tk) + 1)])) AS gram
+               FROM t),
+         h AS (SELECT doc_id, ${h64Sql("gram")} AS gh FROM g)
+         SELECT tr.doc_id,
+                CAST(COUNT(DISTINCT tr.gh) AS BIGINT) AS n_shared,
+                CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+         FROM h tr JOIN h ev ON tr.gh = ev.gh
+         WHERE tr.doc_id % 10 <> 7 AND ev.doc_id % 10 = 7
+         GROUP BY tr.doc_id ORDER BY tr.doc_id""",
+    "q_text_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         k AS (SELECT doc_id, tk,
+                      list_filter(tk, x -> x <> 'the' AND x <> 'a') AS kept
+               FROM t)
+         SELECT doc_id, array_to_string(kept, ' ') AS scrubbed,
+                CAST(len(tk) - len(kept) AS BIGINT) AS n_removed
+         FROM k ORDER BY doc_id""",
     "q_text_fingerprint" ->
       s"""WITH x AS (SELECT doc_id,
                   list_transform(string_split(text, ' '), t -> ${h64Sql("t")}) AS hs

@@ -91,6 +91,42 @@ object TextAnalysis {
           min($"doc_id").as("first_id"), max($"doc_id").as("last_id"))
         .orderBy("lang")
     }),
+    // Benchmark decontamination (the training-data hygiene op): flag
+    // train docs sharing any complete 5-token gram with the held-out
+    // "benchmark" slice (doc_id % 10 = 7) — the n-gram-overlap decontam
+    // check run before pretraining. Scale shape: grams carried as h64
+    // hashes (8 B), eval side is a small broadcast, equi-join on the
+    // gram hash — work ∝ matches, never corpus².
+    "q_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      val grams = Tables.documents(s, d)
+        .withColumn("toks", split($"text", " "))
+        .select($"doc_id", explode(expr(
+          "array_distinct(transform(sequence(5, size(toks)), i -> concat_ws(' ', slice(toks, i-4, 5))))")).as("gram"))
+        .select($"doc_id", U.h64($"gram").as("gh"))
+      val evalG = grams.filter($"doc_id" % 10 === 7)
+        .select($"gh", $"doc_id".as("eval_id")).distinct()
+      grams.filter($"doc_id" % 10 =!= 7)
+        .join(broadcast(evalG), "gh")
+        .groupBy($"doc_id")
+        .agg(countDistinct($"gh").as("n_shared"),
+          countDistinct($"eval_id").as("n_eval_docs"))
+        .orderBy("doc_id")
+    }),
+    // Text scrub / normalization: deny-list token removal with a removal
+    // count — the PII/stopword-scrub shape of a curation pipeline (the
+    // deny-list would be a broadcast dim at scale; inline here). Pure
+    // map-side work, exact cross-engine string parity.
+    "q_text_scrub" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("toks", split($"text", " "))
+        .withColumn("kept", expr("filter(toks, t -> t <> 'the' AND t <> 'a')"))
+        .select($"doc_id",
+          array_join($"kept", " ").as("scrubbed"),
+          (size($"toks") - size($"kept")).cast("long").as("n_removed"))
+        .orderBy("doc_id")
+    }),
     // Document fingerprint: min rolling polynomial hash (base 257 mod
     // 1e9+7) over 8-token windows of token hashes — the winnowing-style
     // content signature (robust to boundary shifts, unlike full-text md5).
