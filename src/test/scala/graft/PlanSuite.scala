@@ -48,6 +48,12 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("decontamination: eval grams broadcast, match is a hash equi-join") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval-gram side not broadcast in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("top-k: TakeOrderedAndProject, never a global sort of the full table") {
     assert(planOf("q_topk").contains("TakeOrderedAndProject"))
   }
