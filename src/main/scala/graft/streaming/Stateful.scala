@@ -31,7 +31,14 @@ object Stateful {
     * skewed key could OOM an executor; WhaleKeySuite pins the new bound.) */
   def update(user: Long, events: Iterator[Ev],
              state: GroupState[UserState]): (Long, UserState) = {
-    val init = state.getOption.getOrElse(UserState(0L, 0L, null, Long.MinValue, Long.MinValue))
+    val next = fold(
+      state.getOption.getOrElse(UserState(0L, 0L, null, Long.MinValue, Long.MinValue)),
+      events)
+    state.update(next)
+    (user, next)
+  }
+
+  private def fold(init: UserState, events: Iterator[Ev]): UserState = {
     var n = init.n_events
     var v = init.value_c
     var lastType = init.last_type
@@ -45,9 +52,36 @@ object Stateful {
         lastType = e.event_type; lastTs = e.tsMicros; lastId = e.event_id
       }
     }
-    val next = UserState(n, v, lastType, lastTs, lastId)
-    state.update(next)
-    (user, next)
+    UserState(n, v, lastType, lastTs, lastId)
+  }
+
+  /** §2.I6 with state expiry — the other half of state hardening: per-key
+    * O(1) heap (the incremental fold) bounds a BATCH; TTL eviction bounds
+    * the STORE. At 100 TB key cardinalities (billions of users), state
+    * for idle keys must age out or the state store grows without bound.
+    * `ProcessingTimeTimeout`: a key idle past `ttl` emits its final state
+    * once more (flush) and is removed; if it reappears, it restarts from
+    * zero (tested in StreamingSuite I6c). */
+  def userCountersWithTtl(events: Dataset[Ev],
+                          ttl: java.time.Duration): Dataset[(Long, UserState)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            (user, last)
+          } else {
+            val next = fold(
+              state.getOption.getOrElse(UserState(0L, 0L, null, Long.MinValue, Long.MinValue)),
+              evs)
+            state.update(next)
+            state.setTimeoutDuration(ttl.toMillis)
+            (user, next)
+          }
+      }
   }
 
   /** Streaming per-user counters over a (possibly streaming) Dataset[Ev].

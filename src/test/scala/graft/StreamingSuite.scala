@@ -139,6 +139,42 @@ class StreamingSuite extends SparkSpec {
     assert(emitted.toSet == want)
   }
 
+  test("I6c state TTL: idle keys are evicted and restart from zero on return") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // NOTE: ProcessingTimeTimeout makes the engine schedule batches
+    // continuously (shouldRunAnotherBatch == true), which can race
+    // processAllAvailable's no-new-data latch — so this test polls the
+    // sink with a bounded wait instead.
+    def rows42(): Seq[(Long, Long)] = spark.table("ttl_sink")
+      .filter($"user_id" === 42L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    def waitFor(n: Int): Unit = {
+      val end = System.currentTimeMillis + 30000
+      while (rows42().size < n && System.currentTimeMillis < end) Thread.sleep(100)
+      assert(rows42().size >= n, s"sink stuck at ${rows42()} waiting for $n rows")
+    }
+    val mem = MemoryStream[Ev]
+    val q = Stateful.userCountersWithTtl(mem.toDS(), java.time.Duration.ofMillis(200))
+      .map { case (u, st) => (u, st.n_events, st.value_c) }
+      .toDF("user_id", "n_events", "value_c")
+      .writeStream.format("memory").queryName("ttl_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Seq(Ev(1L, microsOf(0), 42L, "a", 5L)))
+      waitFor(1)
+      // the TTL lapses; the continuously-scheduled batches fire the
+      // timeout: one final flush emission, then eviction
+      waitFor(2)
+      // 42 returns after eviction: state must restart from zero
+      mem.addData(Seq(Ev(3L, microsOf(2), 42L, "a", 7L)))
+      waitFor(3)
+    } finally q.stop()
+    // first batch, timeout flush, fresh-start batch
+    assert(rows42().take(3) == Seq((1L, 5L), (1L, 5L), (1L, 7L)),
+      s"expected evict + restart-from-zero, got ${rows42()}")
+  }
+
   test("I7 manifest sink: batch replay is idempotent, uncommitted batches invisible") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_manifest").toString
