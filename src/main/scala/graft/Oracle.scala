@@ -631,11 +631,12 @@ object Oracle {
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keeper_id""",
     "q_sim_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
                   list_slice(tk, 3, len(tk)),
                   (x, i) -> tk[i] || ' ' || tk[i+1] || ' ' || x))) AS s
                 FROM toks),
+         sh AS (SELECT doc_id, ${h64Sql("s")} AS s FROM sh0),
          sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Q, Tables}
+import graft.{Q, Tables, U}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -83,10 +83,14 @@ object TextOps {
     }),
     // J6: exact near-dup Jaccard on word-3-gram shingle sets, blocked by
     // shared shingle (the exact twin of the MinHash-LSH path in ops.Dedup).
+    // Shingles travel as 8-byte h64 keys (hashed in the ORACLE too, so
+    // the comparison stays bit-identical even under a collision): the
+    // widest self-join in the suite shuffles longs, not 3-word strings.
     "q_sim_jaccard" -> ((s, d) => {
       import s.implicits._
       val sh = withToks(Tables.documents(s, d))
-        .select($"doc_id", explode(array_distinct(shinglesExpr)).as("sh"))
+        .select($"doc_id", explode(array_distinct(shinglesExpr)).as("s"))
+        .select($"doc_id", U.h64($"s").as("sh"))
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val inter = sh.as("a").join(sh.as("b"),
           $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
