@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout WITHOUT sbt's "[info] " logger
+// prefix: the driver's bench capture does a line-wise JSON scan of the
+// tail, and "[info] {...}" defeats it (BENCH_r01–r03 all "parsed": null).
+// Unscoped: run, runMain and test all delegate here.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

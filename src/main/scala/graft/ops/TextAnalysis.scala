@@ -101,6 +101,11 @@ object TextAnalysis {
       import s.implicits._
       val grams = Tables.documents(s, d)
         .withColumn("toks", split($"text", " "))
+        // guard: sequence(5, n) steps DOWNWARD when n < 5, so transform
+        // would reach i=4 and slice() would throw on a short doc; a doc
+        // with < 5 tokens has no 5-gram by definition (the DuckDB
+        // oracle's range(5, len+1) is empty for the same doc)
+        .filter(size($"toks") >= 5)
         .select($"doc_id", explode(expr(
           "array_distinct(transform(sequence(5, size(toks)), i -> concat_ws(' ', slice(toks, i-4, 5))))")).as("gram"))
         .select($"doc_id", U.h64($"gram").as("gh"))

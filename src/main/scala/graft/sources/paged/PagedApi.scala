@@ -71,9 +71,21 @@ object PagedApi {
   }
 
   /** Append records to the service (the "API" receiving new upstream
-    * data between runs). Records are `(id, created_at, text)`. */
+    * data between runs). Records are `(id, created_at, text)`.
+    *
+    * Framing contract: one record per line, first two '\t' are field
+    * separators, the remainder is `text` verbatim (readers split with
+    * limit 3, so tabs INSIDE text survive). Newlines in any field, or
+    * tabs in `created_at`, would corrupt line framing / cursor
+    * arithmetic — rejected here rather than silently truncated. */
   def appendRecords(root: String, recs: Seq[(Long, String, String)]): Unit = {
     Files.createDirectories(Paths.get(root))
+    recs.foreach { case (id, at, tx) =>
+      require(!at.contains('\t') && !at.contains('\n') && !at.contains('\r'),
+        s"record $id: created_at must not contain tab/newline")
+      require(!tx.contains('\n') && !tx.contains('\r'),
+        s"record $id: text must not contain newline (tabs are allowed)")
+    }
     val lines = recs.map { case (id, at, tx) => s"$id\t$at\t$tx" }
     Files.write(recordsPath(root),
       lines.mkString("", "\n", "\n").getBytes(UTF_8),

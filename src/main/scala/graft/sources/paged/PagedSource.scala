@@ -49,10 +49,14 @@ class PagedSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = PagedSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
-    val root = Option(properties.get("path")).getOrElse(
+    // DSv2 options are case-insensitive by convention (Spark hands this
+    // method asCaseSensitiveMap): without the wrap, .option("pagesize",…)
+    // would be silently ignored and fall back to the default.
+    val opts = new CaseInsensitiveStringMap(properties)
+    val root = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-pages: option 'path' is required"))
-    def intOpt(k: String, dflt: Int) = Option(properties.get(k)).map(_.toInt).getOrElse(dflt)
-    def longOpt(k: String, dflt: Long) = Option(properties.get(k)).map(_.toLong).getOrElse(dflt)
+    def intOpt(k: String, dflt: Int) = Option(opts.get(k)).map(_.toInt).getOrElse(dflt)
+    def longOpt(k: String, dflt: Long) = Option(opts.get(k)).map(_.toLong).getOrElse(dflt)
     new PagedTable(root,
       intOpt("pageSize", PagedApi.MaxServerPageSize),
       intOpt("maxPagesPerTrigger", 10),
@@ -174,7 +178,9 @@ class PagedReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean =
         if (!it.hasNext) false
         else {
-          val parts = it.next().split('\t')
+          // limit 3: the text field keeps any embedded tabs intact
+          // (framing only owns the first two separators)
+          val parts = it.next().split("\t", 3)
           row = new GenericInternalRow(Array[Any](
             parts(0).toLong,
             UTF8String.fromString(if (parts.length > 1) parts(1) else null),

@@ -27,21 +27,31 @@ object ManifestSink {
   private def logPath(root: String) =
     Paths.get(s"$root/_manifests/commits.log")
 
-  /** Committed batchId -> data directory, parsed from the log. Lines
-    * that don't parse (torn tail from a crash mid-append) are skipped. */
+  /** Committed batchId -> data directory, parsed from the log. Torn
+    * tails from a crash mid-append are rejected two ways: (1) a line is
+    * only accepted if its dir is EXACTLY the writer's canonical
+    * `$root/batch=$id` — a truncated "12\t$root/batch=1" (torn from
+    * "...batch=12") would otherwise alias batch 12 onto batch 1's
+    * directory and double-read it; (2) the final line is dropped
+    * entirely when the log doesn't end in '\n', since an unterminated
+    * tail can never be a completed append. The rejected batch simply
+    * replays (idempotent by log membership). */
   def committed(root: String): Map[Long, String] = {
     val p = logPath(root)
     if (!Files.exists(p)) Map.empty
-    else new String(Files.readAllBytes(p), UTF_8)
-      .linesIterator
-      .flatMap { ln =>
-        ln.split('\t') match {
-          case Array(id, dir) if dir.nonEmpty =>
-            id.toLongOption.map(_ -> dir)
-          case _ => None
+    else {
+      val raw = new String(Files.readAllBytes(p), UTF_8)
+      val complete = if (raw.endsWith("\n")) raw else raw.take(raw.lastIndexOf('\n') + 1)
+      complete.linesIterator
+        .flatMap { ln =>
+          ln.split('\t') match {
+            case Array(id, dir) =>
+              id.toLongOption.filter(b => dir == s"$root/batch=$b").map(_ -> dir)
+            case _ => None
+          }
         }
-      }
-      .toMap // last write wins on a (impossible by construction) dup id
+        .toMap // last write wins on a (impossible by construction) dup id
+    }
   }
 
   /** The foreachBatch function: idempotent per batchId. */

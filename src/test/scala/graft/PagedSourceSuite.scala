@@ -116,6 +116,36 @@ class PagedSourceSuite extends SparkSpec {
     assert(ids() == (0L until 80L), "duplicate or missing rows after restart")
   }
 
+  test("A1 options are case-insensitive (DSv2 convention): 'pagesize'/'maxrecords' honored") {
+    val root = mkApi(100)
+    val base = Files.createTempDirectory("graft_paged").toString
+    // all-lowercase keys: before the CaseInsensitiveStringMap wrap these
+    // were silently ignored and the stream fell back to maxRecords=3000
+    drain(root, s"$base/out", s"$base/ckpt",
+      Map("pagesize" -> "20", "maxrecords" -> "50"))
+    assert(landedIds(s"$base/out") == (0L until 50L),
+      "lowercase maxrecords=50 must cap the stream (silently ignored before)")
+    assert(fetchedCursors(root) == (Seq(0L, 20L, 40L), true),
+      "lowercase pagesize=20 must size the pages")
+  }
+
+  test("A1 framing: tabs inside text survive; newlines are rejected at append") {
+    val root = Files.createTempDirectory("graft_paged_api").toString
+    PagedApi.appendRecords(root, Seq((1L, "2021-01-06T18:40:00.000Z", "col1\tcol2\tcol3")))
+    val base = Files.createTempDirectory("graft_paged").toString
+    drain(root, s"$base/out", s"$base/ckpt", Map("maxRecords" -> "10"))
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$base/out").select($"text").as[String].collect()
+    assert(texts.toSeq == Seq("col1\tcol2\tcol3"),
+      "text containing tabs must round-trip whole, not truncate at the first tab")
+    intercept[IllegalArgumentException] {
+      PagedApi.appendRecords(root, Seq((2L, "2021-01-06", "line1\nline2")))
+    }
+    intercept[IllegalArgumentException] {
+      PagedApi.appendRecords(root, Seq((3L, "2021\t01", "ok")))
+    }
+  }
+
   test("A1 global cap: admission stops at maxRecords (≙ MAX_RESULTS, src/main.py:18,136)") {
     val root = mkApi(100)
     val base = Files.createTempDirectory("graft_paged").toString

@@ -205,11 +205,29 @@ class StreamingSuite extends SparkSpec {
     try assert(mfiles.toArray.toList.map(_.toString.split('/').last) == List("commits.log"))
     finally mfiles.close()
     assert(streaming.ManifestSink.committed(root).keySet == Set(0L, 1L))
-    // a torn tail line (crash mid-append) is ignored, committed batches stay visible
+    // torn tail shape 1: "99\t" (no dir, no newline) — ignored
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/_manifests/commits.log"),
       "99\t".getBytes("UTF-8"), java.nio.file.StandardOpenOption.APPEND)
     assert(streaming.ManifestSink.committed(root).keySet == Set(0L, 1L))
     assert(streaming.ManifestSink.read(spark, root).count() == 3)
+    // torn tail shape 2 (the dangerous one): "12\t$root/batch=1" — a
+    // mid-append crash truncating "batch=12" to "batch=1" still parses
+    // as (id, dir) but would alias batch 12 onto batch 1's existing
+    // directory and DOUBLE-READ it. Rejected: dir must be the writer's
+    // canonical "$root/batch=$id". (Written newline-terminated so it
+    // survives the unterminated-tail drop and exercises the dir check.)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/_manifests/commits.log"),
+      s"\n12\t$root/batch=1\n".getBytes("UTF-8"), java.nio.file.StandardOpenOption.APPEND)
+    assert(streaming.ManifestSink.committed(root).keySet == Set(0L, 1L),
+      "truncated-dir tear must not alias another batch's directory")
+    assert(streaming.ManifestSink.read(spark, root).count() == 3)
+    // torn tail shape 3: a complete-LOOKING line with no trailing newline
+    // ("7\t$root/batch=7" could still be a torn "7\t$root/batch=70\n"):
+    // an unterminated final line is never a completed append — dropped
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/_manifests/commits.log"),
+      s"7\t$root/batch=7".getBytes("UTF-8"), java.nio.file.StandardOpenOption.APPEND)
+    assert(streaming.ManifestSink.committed(root).keySet == Set(0L, 1L),
+      "unterminated tail line must be dropped even if it parses")
   }
 
   test("I8 rate source: built-in streaming source drives a windowed count") {
