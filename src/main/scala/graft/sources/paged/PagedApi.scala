@@ -26,7 +26,37 @@ object PagedApi {
   /** ≙ RESULTS_PER_PAGE (reference src/main.py:10-12 default 100). */
   val MaxServerPageSize = 100
 
-  case class Page(records: Seq[String], nextToken: Option[String])
+  /** The record fields the service can serve (≙ tweet.fields,
+    * reference src/main.py:90). */
+  val Fields: Seq[String] = Seq("id", "created_at", "text")
+
+  /** A server-side query — the engine-side identity of the reference's
+    * API query string (`build_query`, src/main.py:89-101): conjunctive
+    * id-range bounds (≙ start_time/end_time params) and text-contains
+    * terms (≙ the keyword/alias terms). The service evaluates it BEFORE
+    * paging, so the cursor walks the *filtered* stream and non-matching
+    * records never cross the wire. */
+  case class Query(minId: Option[Long] = None, maxId: Option[Long] = None,
+                   contains: Seq[String] = Nil) {
+    def isEmpty: Boolean = minId.isEmpty && maxId.isEmpty && contains.isEmpty
+    def matches(id: Long, text: String): Boolean =
+      minId.forall(id >= _) && maxId.forall(id <= _) &&
+        contains.forall(t => text != null && text.contains(t))
+    /** Conjunction: tightest bounds win. */
+    def and(other: Query): Query = Query(
+      (minId ++ other.minId).reduceOption(_ max _),
+      (maxId ++ other.maxId).reduceOption(_ min _),
+      contains ++ other.contains)
+    def repr: String =
+      if (isEmpty) "-"
+      else (minId.map("id>=" + _) ++ maxId.map("id<=" + _) ++
+        contains.map("text~" + _)).mkString("&")
+  }
+  object Query { val All: Query = Query() }
+
+  /** A page of already-projected rows: one slot per requested field
+    * (null where the record has none), in request order. */
+  case class PageRows(rows: Seq[Array[String]], nextToken: Option[String])
 
   private def recordsPath(root: String) = Paths.get(root, "records.tsv")
   def accessLogPath(root: String) = Paths.get(root, "_access.log")
@@ -42,25 +72,60 @@ object PagedApi {
     }
   }
 
+  /** Matching-record count under a query — a cheap metadata probe (≙ the
+    * API's result-count estimate; not a page fetch; not access-logged). */
+  def countMatching(root: String, q: Query): Long =
+    if (q.isEmpty) countAvailable(root)
+    else {
+      val p = recordsPath(root)
+      if (!Files.exists(p)) 0L
+      else {
+        val s = Files.lines(p, UTF_8)
+        try s.filter(ln => matchesLine(ln, q)).count() finally s.close()
+      }
+    }
+
+  private def matchesLine(ln: String, q: Query): Boolean = {
+    val parts = ln.split("\t", 3)
+    q.matches(parts(0).toLong, if (parts.length > 2) parts(2) else null)
+  }
+
   /** One page request. `token` is the continuation from the previous
-    * page (None = start of stream). */
-  def fetch(root: String, token: Option[String], maxResults: Int): Page = {
+    * page (None = start); with a query, the cursor walks the FILTERED
+    * stream (the reference's next_token is likewise a cursor over the
+    * query's result stream, src/main.py:156-160). `fields` is the
+    * server-side projection (≙ tweet.fields): rows come back with one
+    * slot per requested field, in request order. */
+  def fetch(root: String, token: Option[String], maxResults: Int,
+            query: Query = Query.All,
+            fields: Seq[String] = Fields): PageRows = {
     val start = token.map(_.toLong).getOrElse(0L)
     val n = math.min(math.max(maxResults, 1), MaxServerPageSize)
-    logAccess(root, s"token=${token.getOrElse("-")} start=$start max=$n")
+    logAccess(root,
+      s"token=${token.getOrElse("-")} start=$start max=$n q=${query.repr} fields=${fields.mkString(";")}")
     val s = Files.lines(recordsPath(root), UTF_8)
-    val records =
+    val rows =
       try {
-        val it = s.skip(start).limit(n).iterator()
-        val buf = Seq.newBuilder[String]
-        while (it.hasNext) buf += it.next()
-        buf.result()
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(ln => query.isEmpty || matchesLine(ln, query))
+          .slice(start.toInt, start.toInt + n)
+          .map { ln =>
+            val parts = ln.split("\t", 3)
+            fields.map {
+              case "id" => parts(0)
+              case "created_at" => if (parts.length > 1) parts(1) else null
+              case "text" => if (parts.length > 2) parts(2) else null
+              case other => throw new IllegalArgumentException(s"unknown field: $other")
+            }.toArray
+          }
+          .toSeq
       } finally s.close()
-    val total = countAvailable(root)
+    val total = countMatching(root, query)
     val next =
-      if (start + records.size < total) Some((start + records.size).toString)
+      if (start + rows.size < total) Some((start + rows.size).toString)
       else None
-    Page(records, next)
+    PageRows(rows, next)
   }
 
   // synchronized: page readers run in parallel executor threads (one JVM

@@ -4,18 +4,18 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringContains}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** §2.A1 as a first-class streaming source: the reference's
-  * cursor-paginated collection loop (src/main.py:136-160) re-expressed
-  * as a DataSource V2 `MicroBatchStream`.
+/** §2.A1 as a first-class source: the reference's cursor-paginated
+  * collection loop (src/main.py:136-160) re-expressed as a DataSource V2
+  * table readable BOTH as a batch scan and as a `MicroBatchStream`.
   *
-  *   spark.readStream.format("graft-pages")
+  *   spark.readStream.format("graft-pages")     // or spark.read
   *     .option("path", apiRoot)            // the paged "service"
   *     .option("pageSize", 100)            // clamped to the server max
   *     .option("maxPagesPerTrigger", 10)   // admission per micro-batch
@@ -33,9 +33,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `maxRecords` ≙ the MAX_RESULTS cap (src/main.py:18,136): the
   *     stream never admits records past it;
   *   - pagination ends when the cursor reaches what the service has —
-  *     ≙ the `next_token`-absent break (src/main.py:157-160).
+  *     ≙ the `next_token`-absent break (src/main.py:157-160);
+  *   - FILTER AND PROJECTION PUSHDOWN ≙ the reference compiling its
+  *     filters, field list and limits *into the API query string*
+  *     (`build_query` + tweet.fields, src/main.py:89-101): the scan
+  *     builder implements `SupportsPushDownFilters` (id-range bounds ≙
+  *     start_time/end_time; text-contains ≙ keyword terms) and
+  *     `SupportsPushDownRequiredColumns` (≙ tweet.fields), so
+  *     `spark.read.format("graft-pages").load().filter($"id" >= n)`
+  *     fetches ONLY matching records — never the client-side
+  *     fetch-everything-then-filter the reference explicitly avoids.
   *
-  * Scale shape: each page is its own `InputPartition`, so a trigger's
+  * Scale shape: each page is its own `InputPartition`, so a scan's
   * admitted pages are fetched IN PARALLEL across executors (the
   * reference fetches serially on one thread); per-trigger admission
   * bounds memory, and the cursor advances only through the checkpoint
@@ -43,6 +52,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * domain. Implements `SupportsTriggerAvailableNow`, so the scheduled
   * drain-everything run (≙ the daily EventBridge batch, main.tf:214-218)
   * is `.trigger(Trigger.AvailableNow)`.
+  *
+  * With a pushed filter the offset counts records of the FILTERED
+  * stream (exactly the reference's `next_token`, which is a cursor over
+  * the query's result stream): a given checkpoint is only meaningful
+  * for the query it was built with — restarting the same checkpoint
+  * with a different pushed filter is undefined, same as reusing a
+  * Twitter next_token across different query strings.
   */
 class PagedSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-pages"
@@ -57,10 +73,22 @@ class PagedSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException("graft-pages: option 'path' is required"))
     def intOpt(k: String, dflt: Int) = Option(opts.get(k)).map(_.toInt).getOrElse(dflt)
     def longOpt(k: String, dflt: Long) = Option(opts.get(k)).map(_.toLong).getOrElse(dflt)
+    // Explicit server-side query options — the reference CONSTRUCTS its
+    // query string from config before paging (build_query,
+    // src/main.py:89-101); these are that construction for the streaming
+    // path, where Catalyst's V2 pushdown rule does not run (it only
+    // rewrites batch DataSourceV2Relations). Batch reads get the same
+    // effect automatically from .filter(...) via SupportsPushDownFilters;
+    // both compose (tightest bounds win).
+    val baseQuery = PagedApi.Query(
+      minId = Option(opts.get("query.minId")).map(_.toLong),
+      maxId = Option(opts.get("query.maxId")).map(_.toLong),
+      contains = Option(opts.get("query.contains")).toSeq.flatMap(_.split(',')).filter(_.nonEmpty))
     new PagedTable(root,
       intOpt("pageSize", PagedApi.MaxServerPageSize),
       intOpt("maxPagesPerTrigger", 10),
-      longOpt("maxRecords", 3000L)) // reference default, src/main.py:18
+      longOpt("maxRecords", 3000L), // reference default, src/main.py:18
+      baseQuery)
   }
 }
 
@@ -72,25 +100,89 @@ object PagedSource {
     StructField("text", StringType)))
 }
 
-class PagedTable(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecords: Long)
+class PagedTable(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecords: Long,
+                 baseQuery: PagedApi.Query = PagedApi.Query.All)
   extends Table with SupportsRead {
   override def name(): String = s"graft-pages:$root"
   override def schema(): StructType = PagedSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = PagedSource.Schema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new PagedMicroBatchStream(root, pageSize, maxPagesPerTrigger, maxRecords)
-      }
-    }
+    new PagedScanBuilder(root, pageSize, maxPagesPerTrigger, maxRecords, baseQuery)
 }
 
-/** The durable cursor: number of records consumed from the stream head.
-  * This is the engine-side identity of the API's opaque `next_token` —
-  * serialized into the offset log, so restart resumes exactly here. */
+/** Pushdown-capable scan builder — the Spark-native form of the
+  * reference building its API query string before paging
+  * (src/main.py:89-101). Accepted predicates leave the Spark plan and
+  * become server-side query terms; everything else stays a residual
+  * filter evaluated in-plan. */
+class PagedScanBuilder(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecords: Long,
+                       baseQuery: PagedApi.Query = PagedApi.Query.All)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var query: PagedApi.Query = baseQuery
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = PagedSource.Schema
+
+  /** A filter the service can evaluate: id-range bounds (≙
+    * start_time/end_time) or text-contains (≙ query keywords). */
+  private def asQuery(f: Filter): Option[PagedApi.Query] = f match {
+    case EqualTo("id", v: Number) =>
+      Some(PagedApi.Query(minId = Some(v.longValue), maxId = Some(v.longValue)))
+    case GreaterThan("id", v: Number) => Some(PagedApi.Query(minId = Some(v.longValue + 1)))
+    case GreaterThanOrEqual("id", v: Number) => Some(PagedApi.Query(minId = Some(v.longValue)))
+    case LessThan("id", v: Number) => Some(PagedApi.Query(maxId = Some(v.longValue - 1)))
+    case LessThanOrEqual("id", v: Number) => Some(PagedApi.Query(maxId = Some(v.longValue)))
+    case StringContains("text", t) => Some(PagedApi.Query(contains = Seq(t)))
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition(f => asQuery(f).isDefined)
+    query = supported.flatMap(asQuery).foldLeft(baseQuery)(_ and _)
+    pushed = supported
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new PagedScan(root, pageSize, maxPagesPerTrigger, maxRecords, query, required)
+}
+
+class PagedScan(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecords: Long,
+                query: PagedApi.Query, required: StructType) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-pages root=$root query=${query.repr} fields=${required.fieldNames.mkString(";")}"
+  override def toBatch: Batch =
+    new PagedBatch(root, pageSize, maxRecords, query, required)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PagedMicroBatchStream(root, pageSize, maxPagesPerTrigger, maxRecords, query, required)
+}
+
+/** Batch form: one InputPartition per page of the (filtered) stream —
+  * the pages are planned from a single matching-count metadata probe and
+  * fetched in parallel across executors. */
+class PagedBatch(root: String, requestedPageSize: Int, maxRecords: Long,
+                 query: PagedApi.Query, required: StructType) extends Batch {
+  private val pageSize = math.min(math.max(requestedPageSize, 1), PagedApi.MaxServerPageSize)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = math.min(PagedApi.countMatching(root, query), maxRecords)
+    Iterator.iterate(0L)(_ + pageSize).takeWhile(_ < total)
+      .map(from => PagedInputPartition(root, from, math.min(from + pageSize, total),
+        query, required.fieldNames.toSeq): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new PagedReaderFactory
+}
+
+/** The durable cursor: number of records consumed from the (filtered)
+  * stream head. This is the engine-side identity of the API's opaque
+  * `next_token` — serialized into the offset log, so restart resumes
+  * exactly here. */
 case class PagedOffset(record: Long) extends Offset {
   override def json: String = s"""{"record":$record}"""
 }
@@ -104,7 +196,9 @@ object PagedOffset {
 }
 
 class PagedMicroBatchStream(root: String, requestedPageSize: Int,
-                            maxPagesPerTrigger: Int, maxRecords: Long)
+                            maxPagesPerTrigger: Int, maxRecords: Long,
+                            query: PagedApi.Query = PagedApi.Query.All,
+                            required: StructType = PagedSource.Schema)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // clamp ≙ src/main.py:95-96: the server never serves more than its max
@@ -115,7 +209,7 @@ class PagedMicroBatchStream(root: String, requestedPageSize: Int,
   @volatile private var preparedEnd: Option[Long] = None
 
   private def capped(n: Long): Long = math.min(n, maxRecords)
-  private def availableNow(): Long = capped(PagedApi.countAvailable(root))
+  private def availableNow(): Long = capped(PagedApi.countMatching(root, query))
 
   override def initialOffset(): Offset = PagedOffset(0L)
   override def deserializeOffset(json: String): Offset = PagedOffset.fromJson(json)
@@ -150,7 +244,8 @@ class PagedMicroBatchStream(root: String, requestedPageSize: Int,
     val s = start.asInstanceOf[PagedOffset].record
     val e = end.asInstanceOf[PagedOffset].record
     Iterator.iterate(s)(_ + pageSize).takeWhile(_ < e)
-      .map(from => PagedInputPartition(root, from, math.min(from + pageSize, e)): InputPartition)
+      .map(from => PagedInputPartition(root, from, math.min(from + pageSize, e),
+        query, required.fieldNames.toSeq): InputPartition)
       .toArray
   }
 
@@ -162,29 +257,36 @@ class PagedMicroBatchStream(root: String, requestedPageSize: Int,
   override def stop(): Unit = ()
 }
 
-case class PagedInputPartition(root: String, from: Long, until: Long) extends InputPartition
+case class PagedInputPartition(root: String, from: Long, until: Long,
+                               query: PagedApi.Query = PagedApi.Query.All,
+                               fields: Seq[String] = PagedApi.Fields)
+  extends InputPartition
 
 class PagedReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagedInputPartition]
     new PartitionReader[InternalRow] {
-      // executor-side page fetch: token = the page's start cursor
+      // executor-side page fetch: token = the page's start cursor;
+      // query + field projection ride the request (server-side eval)
       private val page = PagedApi.fetch(
         p.root,
         if (p.from == 0L) None else Some(p.from.toString),
-        (p.until - p.from).toInt)
-      private val it = page.records.iterator
+        (p.until - p.from).toInt,
+        p.query, p.fields)
+      private val it = page.rows.iterator
       private var row: InternalRow = _
       override def next(): Boolean =
         if (!it.hasNext) false
         else {
-          // limit 3: the text field keeps any embedded tabs intact
-          // (framing only owns the first two separators)
-          val parts = it.next().split("\t", 3)
-          row = new GenericInternalRow(Array[Any](
-            parts(0).toLong,
-            UTF8String.fromString(if (parts.length > 1) parts(1) else null),
-            UTF8String.fromString(if (parts.length > 2) parts(2) else null)))
+          val vals = it.next()
+          row = new GenericInternalRow(
+            p.fields.indices.map { i =>
+              (p.fields(i), vals(i)) match {
+                case (_, null) => null
+                case ("id", v) => v.toLong
+                case (_, v) => UTF8String.fromString(v)
+              }
+            }.toArray[Any])
           true
         }
       override def get(): InternalRow = row

@@ -116,6 +116,86 @@ class PagedSourceSuite extends SparkSpec {
     assert(ids() == (0L until 80L), "duplicate or missing rows after restart")
   }
 
+  /** All access-log lines the service has served, raw. */
+  private def accessLines(root: String): Seq[String] = {
+    val p = PagedApi.accessLogPath(root)
+    if (!Files.exists(p)) Seq.empty
+    else new String(Files.readAllBytes(p), "UTF-8").linesIterator.toSeq
+  }
+
+  private def pagedScanOf(df: org.apache.spark.sql.DataFrame): graft.sources.paged.PagedScan =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.sources.paged.PagedScan]
+    }.head
+
+  test("A1 filter pushdown: predicate is compiled into the API query (src/main.py:89-101)") {
+    import spark.implicits._
+    val root = mkApi(1000)
+    def read() = spark.read.format("graft-pages")
+      .option("path", root).option("pageSize", "50").option("maxRecords", "100000")
+      .load()
+    // unfiltered: the full stream is 20 pages of 50
+    assert(read().count() == 1000)
+    val fullPages = accessLines(root).size
+    assert(fullPages == 20)
+    // filtered: the predicate leaves the Spark plan and becomes a
+    // server-side query — only the ~100 matching records are paged
+    val df = read().filter($"id" >= 900L && $"text".contains("#NBA"))
+    assert(df.select($"id").as[Long].collect().sorted.toSeq == (900L until 1000L))
+    val pushedLines = accessLines(root).drop(fullPages)
+    assert(pushedLines.size == 2,
+      s"expected 2 pages of the filtered stream, got ${pushedLines.size}: $pushedLines")
+    assert(pushedLines.forall(_.contains("q=id>=900&text~#NBA")),
+      s"filter must ride the API request: $pushedLines")
+    // and the plan records the pushdown (scan description carries the query)
+    assert(pagedScanOf(df).description().contains("query=id>=900&text~#NBA"))
+  }
+
+  test("A1 projection pushdown: field list is compiled into the request (≙ tweet.fields)") {
+    import spark.implicits._
+    val root = mkApi(10)
+    val df = spark.read.format("graft-pages")
+      .option("path", root).option("maxRecords", "100000").load()
+      .select($"text")
+    assert(df.as[String].collect().length == 10)
+    assert(pagedScanOf(df).readSchema().fieldNames.toSeq == Seq("text"),
+      "scan must read only the required column")
+    assert(accessLines(root).forall(_.endsWith("fields=text")),
+      s"projection must ride the API request: ${accessLines(root)}")
+  }
+
+  test("A1 residual filters stay in-plan: unsupported predicate is not pushed") {
+    import spark.implicits._
+    val root = mkApi(100)
+    val df = spark.read.format("graft-pages")
+      .option("path", root).option("maxRecords", "100000").load()
+      .filter($"id" % 7 === 0) // not expressible as an API query term
+    assert(df.select($"id").as[Long].collect().sorted.toSeq ==
+      (0L until 100L).filter(_ % 7 == 0))
+    assert(pagedScanOf(df).description().contains("query=-"),
+      "unsupported predicate must not be pushed")
+  }
+
+  test("A1 streaming query options: server-side query string for the micro-batch path") {
+    import spark.implicits._
+    // Catalyst's V2 pushdown rule doesn't rewrite streaming relations, so
+    // the streaming path carries the query as explicit options — the
+    // reference's own shape (build_query assembles the string from
+    // config, src/main.py:89-101)
+    val root = mkApi(200)
+    val base = Files.createTempDirectory("graft_paged").toString
+    drain(root, s"$base/out", s"$base/ckpt",
+      Map("pageSize" -> "20", "maxRecords" -> "100000",
+        "query.minId" -> "150", "query.contains" -> "#NBA"))
+    assert(landedIds(s"$base/out") == (150L until 200L),
+      "streamed rows must be exactly the server-side matches")
+    // 50 matching records → 3 pages of 20, not the 10 pages of the raw stream
+    val lines = accessLines(root)
+    assert(lines.size == 3, s"expected 3 filtered pages, got: $lines")
+    assert(lines.forall(_.contains("q=id>=150&text~#NBA")))
+  }
+
   test("A1 options are case-insensitive (DSv2 convention): 'pagesize'/'maxrecords' honored") {
     val root = mkApi(100)
     val base = Files.createTempDirectory("graft_paged").toString
