@@ -871,6 +871,20 @@ object Oracle {
                 substring(hx, 2 * (1 * (n_bytes // 4)) + 1, 2) ||
                 substring(hx, 2 * (2 * (n_bytes // 4)) + 1, 2) ||
                 substring(hx, 2 * (3 * (n_bytes // 4)) + 1, 2) AS stride_hex
-         FROM x ORDER BY doc_id"""
+         FROM x ORDER BY doc_id""",
+
+    // ----- catalog-name SQL surface (≙ Athena over the Glue db) -----
+    "q_catalog_sql" ->
+      """SELECT n_name AS nation, r_name AS region, COUNT(*) AS n_cust,
+                CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name, r_name
+         ORDER BY nation, region""",
+    "q_catalog_pruned" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM documents WHERE lang IN ('en', 'fr')
+         GROUP BY lang ORDER BY lang"""
   )
 }

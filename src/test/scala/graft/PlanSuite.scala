@@ -81,6 +81,29 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       "minhash mins are not partially aggregated — the shuffle would carry one row per shingle")
   }
 
+  test("catalog: partition predicate prunes the managed partitioned table at plan time") {
+    val tbl = sources.Catalog.ensurePartitionedDocs(spark, sfDir)
+    val all = spark.table(tbl)
+    val pruned = spark.sql(s"SELECT doc_id, lang FROM $tbl WHERE lang = 'en'")
+    // planning-time pruning: the filtered query's file set is a strict
+    // subset — at 100 TB this is reading one lang=…/ tree, not the corpus
+    assert(pruned.inputFiles.length > 0)
+    assert(pruned.inputFiles.length < all.inputFiles.length,
+      s"no pruning: ${pruned.inputFiles.length} vs ${all.inputFiles.length} files")
+    assert(pruned.inputFiles.forall(_.contains("lang=en")),
+      "pruned scan must only touch the lang=en partition tree")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters:") && p.contains("lang"),
+      s"partition filter not recorded in the scan:\n$p")
+  }
+
+  test("catalog SQL star join: dims broadcast through the by-name path too") {
+    val df = SparkEntry.queries("q_catalog_sql")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"catalog-path dims not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen covers the hot paths (no UDF-broken spans in Q1 shape)") {
     val df = SparkEntry.queries("q_agg_group")(spark, sfDir)
     df.collect() // finalize the AQE plan so codegen spans are visible
