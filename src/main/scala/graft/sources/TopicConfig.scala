@@ -102,6 +102,16 @@ object TopicConfig {
       |  - "vector"
       |""".stripMargin
 
+  /** Bundled example platforms config — the 2-document stream shape of
+    * the reference's platform list (src/platforms.yaml:1-5). */
+  val ExamplePlatformsYaml: String =
+    """version: 1.0
+      |---
+      |platforms:
+      |  - "Twitter"
+      |  - "Mastodon"
+      |""".stripMargin
+
   /** Topic + alias expansion as a broadcast-sized dimension DataFrame
     * (one row per alias incl. the topic itself) — the enrichment-join
     * shape of src/main.py:171-186. */

@@ -86,4 +86,37 @@ object Ingest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("platform", "league", "year", "month", "day")
       .parquet(outDir)
+
+  /** Platforms this engine has a collector for (≙ the reference's
+    * platform dispatch, src/main.py:214-219, which only implements
+    * Twitter and raises on anything else). Both names here share the
+    * tweet-shaped NDJSON collector; a differently-shaped platform would
+    * register its own (schema, transform) pair. */
+  val KnownPlatforms: Set[String] = Set("Twitter", "Mastodon")
+
+  /** Multi-platform fan-out (≙ collect_and_write_all_platform_data_v1_0,
+    * reference src/main.py:203-219): one landed `platform=<p>/…`
+    * partition tree per configured platform, driven by the versioned
+    * platforms config (TopicConfig.parsePlatforms).
+    *
+    * Fail-fast is STRICTER than the reference: every platform is
+    * validated BEFORE any work starts (a real exception, not the
+    * reference's raise-a-string TypeError, src/main.py:218 — and not
+    * its mid-loop failure that leaves earlier platforms landed and
+    * later ones not, a half-written fan-out an idempotent re-run then
+    * has to repair). Dynamic partition overwrite keeps the whole run
+    * re-runnable per §2.A8. */
+  def runPlatforms(spark: SparkSession,
+                   platforms: graft.sources.TopicConfig.Platforms,
+                   srcDirFor: String => String, outDir: String,
+                   league: String = "NBA"): Unit = {
+    val unknown = platforms.platforms.filterNot(KnownPlatforms)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown platform(s) ${unknown.mkString(", ")}: no collector registered " +
+          s"(known: ${KnownPlatforms.toSeq.sorted.mkString(", ")})")
+    platforms.platforms.foreach { p =>
+      runBatch(spark, srcDirFor(p), outDir, platform = p, league = league)
+    }
+  }
 }

@@ -68,6 +68,38 @@ class IngestSuite extends SparkSpec {
     assert(merged.filter($"lang".isNull).count() == 2)
   }
 
+  test("platform fan-out: one partition tree per configured platform; unknown fails fast") {
+    import graft.sources.TopicConfig
+    val base = Files.createTempDirectory("graft_fanout").toString
+    val out = s"$base/out"
+    // per-platform landing zones (≙ each platform's collection endpoint)
+    TopicConfig.parsePlatforms(TopicConfig.ExamplePlatformsYaml).platforms.foreach { p =>
+      val d = s"$base/src_$p"; new java.io.File(d).mkdirs(); fixture(d)
+    }
+    // fan-out driven by the VERSIONED platforms config (src/platforms.yaml shape)
+    Ingest.runPlatforms(spark,
+      TopicConfig.parsePlatforms(TopicConfig.ExamplePlatformsYaml),
+      p => s"$base/src_$p", out)
+    // 2 platforms in → 2 partition trees out (src/main.py:203-219)
+    assert(new java.io.File(s"$out/platform=Twitter/league=NBA/year=2021").exists)
+    assert(new java.io.File(s"$out/platform=Mastodon/league=NBA/year=2021").exists)
+    val landed = spark.read.parquet(out)
+    assert(landed.count() == 40) // 20 valid rows per platform
+    import spark.implicits._
+    assert(landed.select($"platform").distinct().as[String].collect().sorted.toSeq ==
+      Seq("Mastodon", "Twitter"))
+    // unknown platform: a REAL exception (not the reference's
+    // raise-a-string bug, src/main.py:218), and fail-fast — validation
+    // happens before any platform lands, so the output is untouched
+    val bad = TopicConfig.Platforms(1.0, Seq("Twitter", "FriendFace"))
+    val e = intercept[IllegalArgumentException] {
+      Ingest.runPlatforms(spark, bad, p => s"$base/src_$p", s"$base/out2")
+    }
+    assert(e.getMessage.contains("FriendFace"))
+    assert(!new java.io.File(s"$base/out2").exists,
+      "fail-fast must reject the whole run before any platform lands")
+  }
+
   test("AvailableNow ingest lands filtered, projected, partitioned parquet") {
     val base = Files.createTempDirectory("graft_ingest").toString
     val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"

@@ -59,5 +59,26 @@ class TopicConfigSuite extends SparkSpec {
     assert(CloudConf.s3aCommitter.keySet.exists(_.contains("commitProtocolClass")))
     val b = CloudConf(org.apache.spark.sql.SparkSession.builder())
     assert(b != null) // chaining is side-effect-free until getOrCreate
+    // …and the confs actually LAND on a built session (all are
+    // modifiable, none static). One caveat this sandbox can't avoid:
+    // both spark.sql.* committer confs VALIDATE their class is loadable
+    // at set time, and both classes ship in spark-hadoop-cloud, which
+    // (like the object store itself) isn't in this sandbox. So: the 3
+    // spark.hadoop.* knobs must land verbatim, and the 2 spark.sql.*
+    // knobs must fail ONLY with the missing-cloud-jar class signature —
+    // proving the wiring is correct and merely endpoint-less here.
+    val s = SparkSpec.session
+    val (needsCloudJar, settable) =
+      CloudConf.s3aCommitter.partition(_._1.startsWith("spark.sql."))
+    assert(settable.size == 3 && needsCloudJar.size == 2)
+    settable.foreach { case (k, v) =>
+      s.conf.set(k, v)
+      assert(s.conf.get(k) == v, s"conf $k did not land on the built session")
+    }
+    needsCloudJar.foreach { case (k, v) =>
+      val e = intercept[Exception] { s.conf.set(k, v) }
+      assert(e.getMessage.contains("org.apache.spark.internal.io.cloud."),
+        s"$k must fail only because spark-hadoop-cloud isn't shipped here, got: ${e.getMessage}")
+    }
   }
 }
