@@ -1,7 +1,6 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Typed media record: opaque binary payload + typed metadata struct —
   * the multimodal column model (images/audio/video ride through the
@@ -9,66 +8,70 @@ import org.apache.spark.sql.functions._
 case class MediaMeta(mime: String, width: Int, height: Int)
 case class MediaRecord(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
 
-/** Extracted features per media item. */
-case class MediaFeatures(doc_id: Long, n_bytes: Int,
+/** Extracted features per media item: decoded dimensions, per-channel
+  * pixel means, a 16-bucket intensity histogram over the decoded
+  * raster, and sampled "keyframes". */
+case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                         mean_r: Double, mean_g: Double, mean_b: Double,
                          byte_hist: Array[Long], frames: Array[Array[Byte]])
 
-/** Multimodal processing pipeline. The *plumbing* — schema, encoders,
-  * partition-preserving batched execution, frame-sample shapes — is real
-  * and tested; the codec call itself is STUBBED (no image/audio libs in
-  * this container) behind a deterministic fake, marked below.
-  *
-  * `mapPartitions` + `grouped(batchSize)` is the Scala/Tungsten analogue
-  * of `mapInPandas`: the decode UDF sees bounded batches of rows per
-  * partition, so peak memory is batchSize × payload, independent of
-  * partition size — the property that matters at 100 TB.
+/** Multimodal processing pipeline: binary payloads are REAL images
+  * (binary PPM, see [[Ppm]]) decoded by a real header-then-raster
+  * parser — no codec stub. The plumbing is the part that matters at
+  * 100 TB: `mapPartitions` + `grouped(batchSize)` is the Scala/Tungsten
+  * analogue of `mapInPandas` — the decoder sees bounded batches of rows
+  * per partition, so peak memory is batchSize × payload, independent of
+  * partition size. Swapping [[Ppm]] for a JNI JPEG decoder changes no
+  * line outside `decode`.
   */
 object Media {
 
-  /** Media table derived from documents: payload = utf-8 bytes of text
-    * (stand-in for image bytes), metadata deterministic from n_chars. */
+  /** Media table derived from documents: payload = an actual encoded
+    * P6 image whose dimensions derive from n_chars and whose raster is
+    * the document's UTF-8 bytes tiled across the pixels — deterministic,
+    * and a genuine exercise of the decoder on every row. */
   def load(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     graft.Tables.documents(spark, dir)
       .select($"doc_id", $"text", $"n_chars")
       .map { r =>
-        val bytes = r.getString(1).getBytes("UTF-8")
+        val txt = r.getString(1).getBytes("UTF-8")
         val n = r.getLong(2)
-        MediaRecord(r.getLong(0), bytes,
-          MediaMeta("image/fake", (n % 640).toInt + 1, (n % 480).toInt + 1))
+        val w = (n % 13).toInt + 4
+        val h = (n % 7).toInt + 4
+        val rgb = Array.tabulate(w * h * 3)(i =>
+          if (txt.isEmpty) 0.toByte else txt(i % txt.length))
+        MediaRecord(r.getLong(0), Ppm.encode(Ppm.Image(w, h, rgb)),
+          MediaMeta("image/x-portable-pixmap", w, h))
       }
   }
 
-  /** Deterministic stand-in for a real codec. A production build swaps
-    * this single function for e.g. a JNI image decoder; everything
-    * around it (batching, schema, shuffle behavior) is unchanged.
-    * STUB: byte histogram ≙ "decoded pixel statistics". */
-  private def decodeStub(payload: Array[Byte]): Array[Long] = {
-    val hist = Array.fill(16)(0L)
-    payload.foreach(b => hist((b & 0xff) % 16) += 1)
-    hist
-  }
-
-  /** "Frame sampling": n evenly-spaced fixed-width byte slices — the
-    * shape of video keyframe extraction (each frame is itself a binary
-    * column downstream). */
-  def frameSample(payload: Array[Byte], n: Int, width: Int): Array[Array[Byte]] =
-    if (payload.isEmpty) Array.empty
+  /** "Frame sampling": n evenly-spaced fixed-width byte slices of the
+    * DECODED raster — the shape of video keyframe extraction (each
+    * frame is itself a binary column downstream). */
+  def frameSample(raster: Array[Byte], n: Int, width: Int): Array[Array[Byte]] =
+    if (raster.isEmpty) Array.empty
     else Array.tabulate(n) { k =>
-      val off = (payload.length.toLong * k / n).toInt
-      payload.slice(off, math.min(off + width, payload.length))
+      val off = (raster.length.toLong * k / n).toInt
+      raster.slice(off, math.min(off + width, raster.length))
     }
 
   /** Batched feature extraction over each partition — bounded-memory,
-    * partition-preserving (no shuffle). */
+    * partition-preserving (no shuffle). Each record's payload is decoded
+    * by the real PPM parser; features are pixel statistics of the
+    * decoded raster. */
   def extractFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // one "vectorized" call per batch ≙ a mapInPandas pandas batch
         batch.iterator.map { r =>
-          MediaFeatures(r.doc_id, r.payload.length,
-            decodeStub(r.payload), frameSample(r.payload, 4, 8))
+          val img = Ppm.decode(r.payload)
+          val hist = Array.fill(16)(0L)
+          img.rgb.foreach(b => hist((b & 0xff) % 16) += 1)
+          MediaFeatures(r.doc_id, r.payload.length, img.width, img.height,
+            img.meanChannel(0), img.meanChannel(1), img.meanChannel(2),
+            hist, frameSample(img.rgb, 4, 8))
         }
       }
     }

@@ -86,9 +86,10 @@ class OperatorSuite extends SparkSpec {
   /** The all-pairs top-3 definition — the semantic ground truth both
     * q_sim_cosine (exact, LSH-prefiltered plan) and q_ann_lsh
     * (approximate) are measured against. Test-only: O(Q·N) join. */
-  private def bruteTop3 = {
+  private def bruteTop3 = bruteTop3In(sfDir)
+  private def bruteTop3In(dir: String) = {
     import spark.implicits._
-    val scaled = Tables.embeddings(spark, sfDir)
+    val scaled = Tables.embeddings(spark, dir)
       .withColumn("v", org.apache.spark.sql.functions.expr(
         "transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))"))
       .withColumn("norm2", functions.DotL.dot($"v", $"v"))
@@ -130,6 +131,43 @@ class OperatorSuite extends SparkSpec {
     assert(recall >= 0.7, f"ANN recall@3 $recall%.2f below 0.7 floor")
   }
 
+  /** A second, independently-seeded corpus with the driver table's exact
+    * schema (vec_id int64, embedding list<float>[64], label int32) —
+    * clustered like a real embedding table (10 gaussian centers + noise)
+    * but a completely different draw. Guards the multiprobe fan-out
+    * tuning against silently rotting into "approximate with no recall
+    * floor" when the data distribution changes (VERDICT r3 wrong-#2). */
+  private lazy val secondSeedDir: String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val centers = Array.fill(10, 64)(rnd.nextGaussian())
+    val rows = (0 until 500).map { i =>
+      val lab = i % 10
+      val emb = Array.tabulate(64)(j => (centers(lab)(j) + 0.35 * rnd.nextGaussian()).toFloat)
+      (i.toLong, emb, lab)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_seed2").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("second seed: q_sim_cosine stays exact and ANN-LSH recall holds on a fresh draw") {
+    val brute = bruteTop3In(secondSeedDir)
+    assert(brute.nonEmpty)
+    val got = ops.TextOps.qs("q_sim_cosine")(spark, secondSeedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == brute,
+      s"q_sim_cosine's exactness is corpus-tuned no more: on a second seed it lost " +
+        s"missing=${brute -- got} extra=${got -- brute}")
+    val bruteMap = brute.map(t => (t._1, t._3) -> t._4).toMap
+    val annPairs = ops.Similarity.qs("q_ann_lsh")(spark, secondSeedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    val recall = annPairs.count(p => bruteMap.contains(p._1)).toDouble / math.max(1, bruteMap.size)
+    info(f"second-seed ANN-LSH recall@3: $recall%.2f")
+    assert(recall >= 0.7, f"second-seed ANN recall@3 $recall%.2f below 0.7 floor")
+  }
+
   test("K2 centroid Aggregator matches SQL per-component mean") {
     import spark.implicits._
     val agg = ops.Similarity.qs("q_embed_centroid")(spark, sfDir).collect()
@@ -152,7 +190,10 @@ class OperatorSuite extends SparkSpec {
     val rows = feats.collect().sortBy(_.doc_id)
     assert(rows.length == 500)
     rows.foreach { f =>
-      assert(f.byte_hist.sum == f.n_bytes)     // stub "decode" is total
+      // real decode: histogram covers exactly the decoded raster
+      assert(f.byte_hist.sum == f.width.toLong * f.height * 3)
+      assert(f.n_bytes > f.width * f.height * 3) // payload = header + raster
+      assert(f.mean_r >= 0 && f.mean_r <= 255)
       assert(f.frames.length == 4)             // keyframe count
       assert(f.frames.forall(_.length <= 8))   // frame width bound
     }
