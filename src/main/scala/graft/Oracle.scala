@@ -873,6 +873,26 @@ object Oracle {
                 substring(hx, 2 * (3 * (n_bytes // 4)) + 1, 2) AS stride_hex
          FROM x ORDER BY doc_id""",
 
+    // ----- correlated EXISTS + unpivot -----
+    "q_exists_correlated" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT'
+                         AND o.o_totalprice > c.c_acctbal)
+         ORDER BY c_custkey""",
+    "q_unpivot" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, measure, val
+         FROM (SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+                 FROM lineitem WHERE l_orderkey <= 100
+               UNION ALL
+               SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+                 FROM lineitem WHERE l_orderkey <= 100
+               UNION ALL
+               SELECT l_orderkey, l_linenumber, 'discount', l_discount
+                 FROM lineitem WHERE l_orderkey <= 100)
+         ORDER BY l_orderkey, l_linenumber, measure""",
+
     // ----- catalog-name SQL surface (≙ Athena over the Glue db) -----
     "q_catalog_sql" ->
       """SELECT n_name AS nation, r_name AS region, COUNT(*) AS n_cust,

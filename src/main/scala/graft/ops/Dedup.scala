@@ -125,7 +125,16 @@ object Dedup {
     // banding) is shared with the oracle.
     "q_dedup_minhash" -> ((s, d) => {
       import s.implicits._
-      val sh = withShingles(Tables.documents(s, d)).cache()
+      // The shingle-set DF is reused by the band build AND both sides of
+      // the verify join: without persistence the corpus is re-shingled 3×.
+      // DISK_ONLY is the deliberate 100 TB choice — a corpus-sized
+      // materialization must not compete with shuffle/agg memory (it
+      // would evict the working set); one sequential disk re-read per
+      // reuse is the cheaper side of that trade. (Recompute-instead is
+      // also defensible when storage is tight: drop the persist and pay
+      // 2 extra shingling passes — CPU, not memory.)
+      val sh = withShingles(Tables.documents(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val bands = minhashBands(sh.select($"doc_id", explode($"shs").as("sh")), "doc_id", "sh")
       val cand = bands.as("a")
         .join(bands.as("b"), $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
@@ -180,7 +189,9 @@ object Dedup {
         .withColumn("gs", expr(
           "array_distinct(transform(sequence(1, length(text)-4), i -> substring(text, i, 5)))"))
         .select($"doc_id", $"gs")
-        .cache()
+        // reused by band build + verify join; DISK_ONLY for the same
+        // corpus-sized-materialization reasoning as q_dedup_minhash above
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val bands = minhashBands(grams.select($"doc_id", explode($"gs").as("g")),
         "doc_id", "g", rows = 4)
       val cand = bands.as("a")

@@ -322,6 +322,38 @@ object Relational {
       """)
     }),
 
+    // Correlated EXISTS — Catalyst decorrelates it (RewritePredicateSubquery)
+    // into a LeftSemi whose join condition carries BOTH the correlation key
+    // and the per-row comparison; distinct from q_subquery_in (uncorrelated
+    // IN) and q_join_semi (explicit semi): this is the shape migrating SQL
+    // actually arrives in.
+    "q_exists_correlated" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_ex")
+      Tables.orders(s, d).createOrReplaceTempView("orders_ex")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer_ex c
+        WHERE EXISTS (SELECT 1 FROM orders_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT'
+                        AND o.o_totalprice > c.c_acctbal)
+        ORDER BY c_custkey
+      """)
+    }),
+    // UNPIVOT / melt: wide measure columns → (measure, value) rows — the
+    // reshape feeding a generic metrics pipeline. stack() is the built-in
+    // generator form: one pass over the input, rows emitted map-side (no
+    // join, no shuffle beyond the final ORDER BY); the oracle pins it to
+    // the portable 3-way UNION ALL definition.
+    "q_unpivot" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_orderkey" <= 100)
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+          expr("stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice, 'discount', l_discount)")
+            .as(Seq("measure", "val")))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }),
+
     // ----- §2.G set ops --------------------------------------------------
     // G1: UNION ALL ≙ multi-platform fan-out union (src/main.py:212-219).
     "q_union_all" -> ((s, d) => {

@@ -69,6 +69,12 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(planOf("q_join_anti").contains("LeftAnti"))
   }
 
+  test("correlated EXISTS decorrelates to a LeftSemi (no per-row subquery)") {
+    val p = planOf("q_exists_correlated")
+    assert(p.contains("LeftSemi"), s"EXISTS not decorrelated in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("theta join decomposition: no BroadcastNestedLoopJoin in q_join_theta") {
     val p = planOf("q_join_theta")
     assert(!p.contains("BroadcastNestedLoopJoin"),
