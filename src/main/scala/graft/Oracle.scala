@@ -873,6 +873,19 @@ object Oracle {
                 substring(hx, 2 * (3 * (n_bytes // 4)) + 1, 2) AS stride_hex
          FROM x ORDER BY doc_id""",
 
+    // ----- stream-stream interval join (batch-equivalent form) -----
+    "q_stream_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+                    FROM events WHERE event_type = 'click'),
+              p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+                    FROM events WHERE event_type = 'purchase')
+         SELECT p.user_id, purchase_id, COUNT(*) AS n_clicks_1h,
+                MIN(click_id) AS first_click_id
+         FROM p JOIN c ON c.user_id = p.user_id
+                      AND cts <= pts AND cts >= pts - INTERVAL 1 HOUR
+         GROUP BY p.user_id, purchase_id
+         ORDER BY p.user_id, purchase_id""",
+
     // ----- correlated EXISTS + unpivot -----
     "q_exists_correlated" ->
       """SELECT c_custkey, c_name FROM customer c

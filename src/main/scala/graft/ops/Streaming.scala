@@ -60,6 +60,27 @@ object Streaming {
         .select($"user_id", $"event_type", $"event_id".as("first_event_id"))
         .orderBy("user_id", "event_type")
     }),
+    // I9: stream-stream interval join (click attribution): for each
+    // purchase, the same user's clicks in the preceding hour. Batch form
+    // here (oracle-backed; equi-join on user_id + time-range residual);
+    // the TRUE two-stream form — both sides watermarked, the interval
+    // condition bounding join state so clicks older than the watermark
+    // are evicted — runs in StreamingSuite and is asserted equal to this
+    // plan's pairs on the same input.
+    "q_stream_join" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"))
+      purchases.join(clicks, Seq("user_id"))
+        .filter($"click_ts" <= $"purchase_ts" &&
+          $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR"))
+        .groupBy($"user_id", $"purchase_id")
+        .agg(count(lit(1)).as("n_clicks_1h"), min($"click_id").as("first_click_id"))
+        .orderBy("user_id", "purchase_id")
+    }),
     // I6: stateful per-key processing — the final state a
     // mapGroupsWithState counter would hold per user: event count,
     // value sum, last event type. (The true streaming form is in

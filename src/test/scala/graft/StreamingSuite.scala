@@ -175,6 +175,57 @@ class StreamingSuite extends SparkSpec {
       s"expected evict + restart-from-zero, got ${rows42()}")
   }
 
+  test("I9 stream-stream interval join: two watermarked streams == batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two INDEPENDENT streams (clicks, purchases) — the real two-source
+    // shape, not a split of one stream inside the plan
+    val clicksSrc = MemoryStream[Ev]
+    val purchSrc = MemoryStream[Ev]
+    val clicks = clicksSrc.toDS().toDF()
+      .withColumn("click_ts", expr("timestamp_micros(tsMicros)"))
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"click_ts")
+      .withWatermark("click_ts", "2 hours")
+    val purchases = purchSrc.toDS().toDF()
+      .withColumn("purchase_ts", expr("timestamp_micros(tsMicros)"))
+      .select($"user_id", $"event_id".as("purchase_id"), $"purchase_ts")
+      .withWatermark("purchase_ts", "2 hours")
+    // interval condition bounds the join state: a click older than
+    // (watermark - 1 hour) can never match a future purchase → evicted
+    val joined = purchases.join(clicks,
+      $"user_id" === $"c_user" &&
+        $"click_ts" <= $"purchase_ts" &&
+        $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR"))
+      .select($"user_id", $"purchase_id", $"click_id")
+    val sink = s"ssj_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    // feed both streams in event-time order across batches (watermark 2h
+    // > join window 1h, so no true match is ever state-evicted early)
+    val evs = Stateful.eventsDs(spark, sfDir).collect().toSeq.sortBy(_.tsMicros)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    Seq(b1, b2).foreach { b =>
+      clicksSrc.addData(b.filter(_.event_type == "click"))
+      purchSrc.addData(b.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val e = Tables.events(spark, sfDir)
+    val want = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("pts"))
+      .join(e.filter($"event_type" === "click")
+        .select($"user_id".as("cu"), $"event_id".as("click_id"), $"ts".as("cts")),
+        $"user_id" === $"cu" && $"cts" <= $"pts" &&
+          $"cts" >= $"pts" - expr("INTERVAL 1 HOUR"))
+      .select($"user_id", $"purchase_id", $"click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream-stream join diverged from batch: missing=${want -- got} extra=${got -- want}")
+  }
+
   test("I7 manifest sink: batch replay is idempotent, uncommitted batches invisible") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_manifest").toString
