@@ -886,6 +886,20 @@ object Oracle {
          GROUP BY p.user_id, purchase_id
          ORDER BY p.user_id, purchase_id""",
 
+    // ----- null-safe join + ordered string agg -----
+    "q_join_nullsafe" ->
+      """WITH f AS (SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS prio
+                    FROM orders),
+              d AS (SELECT prio, COALESCE(prio, '(urgent-as-null)') AS prio_tag
+                    FROM (SELECT DISTINCT prio FROM f))
+         SELECT prio_tag, COUNT(*) AS n, MIN(o_orderkey) AS first_key
+         FROM f JOIN d ON f.prio IS NOT DISTINCT FROM d.prio
+         GROUP BY prio_tag ORDER BY prio_tag""",
+    "q_agg_listagg" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+                string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation GROUP BY 1 ORDER BY regionkey""",
+
     // ----- correlated EXISTS + unpivot -----
     "q_exists_correlated" ->
       """SELECT c_custkey, c_name FROM customer c

@@ -152,6 +152,17 @@ object Aggregates {
         .agg(array_join(array_sort(collect_set($"source")), ",").as("sources_csv"),
              count(lit(1)).as("n"))
         .orderBy("lang")
+    }),
+    // D10: ordered string aggregation (LISTAGG/STRING_AGG semantics,
+    // duplicates KEPT unlike q_agg_collect's set form). The explicit
+    // array_sort makes the concatenation order total — the only way a
+    // string agg is deterministic on a distributed engine.
+    "q_agg_listagg" -> ((s, d) => {
+      import s.implicits._
+      Tables.nation(s, d)
+        .groupBy($"n_regionkey".cast("long").as("regionkey"))
+        .agg(array_join(array_sort(collect_list($"n_name")), ",").as("nations"))
+        .orderBy("regionkey")
     })
   )
 }

@@ -322,6 +322,24 @@ object Relational {
       """)
     }),
 
+    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    // each other instead of vanishing — the join semantics migrating SQL
+    // uses for "same value or both missing". The NULLs are derived
+    // (urgent → NULL) since the test tables carry none natively; a plain
+    // equi-join here would silently drop every urgent order, and the
+    // '(urgent-as-null)' output row proves they survived. EqualNullSafe
+    // is still a hash-joinable equi-condition (no nested loop).
+    "q_join_nullsafe" -> ((s, d) => {
+      import s.implicits._
+      val facts = Tables.orders(s, d)
+        .select($"o_orderkey", expr("nullif(o_orderpriority, '1-URGENT')").as("prio"))
+      val dim = facts.select($"prio").distinct()
+        .select($"prio", coalesce($"prio", lit("(urgent-as-null)")).as("prio_tag"))
+      facts.as("f").join(dim.as("d"), $"f.prio" <=> $"d.prio")
+        .groupBy($"prio_tag")
+        .agg(count(lit(1)).as("n"), min($"o_orderkey").as("first_key"))
+        .orderBy("prio_tag")
+    }),
     // Correlated EXISTS — Catalyst decorrelates it (RewritePredicateSubquery)
     // into a LeftSemi whose join condition carries BOTH the correlation key
     // and the per-row comparison; distinct from q_subquery_in (uncorrelated
