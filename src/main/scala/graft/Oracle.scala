@@ -39,9 +39,11 @@ object Oracle {
     .map(b => s"concat_ws(':', $b, m${4 * b}, m${4 * b + 1}, m${4 * b + 2}, m${4 * b + 3})")
     .mkString(", ")
 
-  private val minhashSql: String = {
+  /** CTE list ending in `j(d1, d2, jac)` — the verified minhash candidate
+    * pairs, shared by the q_dedup_minhash and q_dedup_cluster oracles. */
+  private val minhashPairCtes: String = {
     val p = permMod
-    s"""WITH $shingleCtes,
+    s"""$shingleCtes,
         e0 AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
         e AS (SELECT doc_id, ${h64Sql("sh")} % $p AS h FROM e0),
         mins AS (SELECT doc_id, $minCols FROM e GROUP BY 1),
@@ -52,9 +54,29 @@ object Oracle {
                      CAST(len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) AS BIGINT) AS ni,
                      len(sa.shs) AS na, len(sb.shs) AS nb
               FROM cand JOIN sh sa ON sa.doc_id = d1 JOIN sh sb ON sb.doc_id = d2),
-        j AS (SELECT d1, d2, round(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jac FROM v)
-        SELECT d1, d2, jac FROM j WHERE jac >= 0.2 ORDER BY d1, d2"""
+        j AS (SELECT d1, d2, round(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jac FROM v)"""
   }
+
+  private val minhashSql: String =
+    s"""WITH $minhashPairCtes
+        SELECT d1, d2, jac FROM j WHERE jac >= 0.2 ORDER BY d1, d2"""
+
+  /** Connected components over the minhash pair graph: min-reachable-
+    * vertex per vertex via a recursive CTE — the oracle twin of
+    * Dedup.connectedComponents' hash-to-min fixpoint. */
+  private val dedupClusterSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+        pairs AS (SELECT d1, d2 FROM j WHERE jac >= 0.2),
+        edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+                  UNION ALL SELECT d2, d1 FROM pairs),
+        reach(vid, lbl) AS (
+          SELECT DISTINCT u, u FROM edges
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.vid),
+        comp AS (SELECT vid AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+        sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM comp GROUP BY 1)
+        SELECT doc_id, c.cluster_id, n_members
+        FROM comp c JOIN sz USING (cluster_id) ORDER BY doc_id"""
 
   private val simhashSql: String = {
     val bitSums = (0 until 32)
@@ -675,6 +697,7 @@ object Oracle {
 
     // ----- dedup extensions (MinHash-LSH / SimHash / n-gram / embedding) -----
     "q_dedup_minhash" -> minhashSql,
+    "q_dedup_cluster" -> dedupClusterSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_embed" -> embedLshSql,
     "q_dedup_ngram" ->
@@ -741,6 +764,21 @@ object Oracle {
                FROM e GROUP BY 1, 2)
          SELECT label, comp, n, round(sc / n, 6) AS mean_c
          FROM g ORDER BY label, comp""",
+    "q_embed_quantize" ->
+      """WITH n AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+               FROM embeddings),
+         m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM n),
+         r AS (SELECT vec_id, v, mn, mx, greatest(mx - mn, 1) AS rng FROM m),
+         q AS (SELECT vec_id, v, mn, mx, rng,
+                      list_transform(v, x -> (x - mn) * 255 // rng) AS qv FROM r),
+         dq AS (SELECT vec_id, v, mn, mx,
+                       list_transform(qv, c -> mn + (c * rng) // 255) AS dv FROM q),
+         e AS (SELECT vec_id, mn, mx,
+                      list_transform(v, (x, i) -> abs(x - dv[i])) AS errs FROM dq)
+         SELECT vec_id, mn, mx, list_max(errs) AS max_err,
+                CAST(list_sum(errs) AS BIGINT) AS sum_err
+         FROM e ORDER BY vec_id""",
 
     // ----- text analysis extensions -----
     "q_text_langid" ->
@@ -789,6 +827,23 @@ object Oracle {
                WHERE CASE WHEN lang = 'en' THEN bucket < 50 ELSE bucket < 10 END)
          SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
          FROM s GROUP BY 1 ORDER BY lang""",
+    "q_sample_mixture" ->
+      s"""WITH w(lang, w_ppm) AS (SELECT * FROM (VALUES
+           ('de', 150000), ('en', 400000), ('es', 80000),
+           ('fr', 120000), ('zh', 250000))),
+         d AS (SELECT doc_id, lang FROM documents),
+         n AS (SELECT lang, COUNT(*) AS n_obs FROM d GROUP BY 1),
+         t AS (SELECT MIN(n_obs * 1000000 // w_ppm) AS t_max
+               FROM n JOIN w USING (lang)),
+         k AS (SELECT lang, t_max * w_ppm // 1000000 AS k_target
+               FROM w CROSS JOIN t),
+         r AS (SELECT doc_id, lang,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                        ORDER BY ${h64Sql("'mix:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+                        AS BIGINT) AS rk
+               FROM d)
+         SELECT doc_id, lang FROM r JOIN k USING (lang)
+         WHERE rk <= k_target ORDER BY doc_id""",
     "q_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          g AS (SELECT doc_id,
@@ -822,6 +877,20 @@ object Oracle {
          SELECT doc_id, list_min(rolls) AS fingerprint,
                 CAST(len(rolls) AS BIGINT) AS n_windows
          FROM r ORDER BY doc_id""",
+    "q_text_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         sc AS (SELECT doc_id, tf.tok AS tok,
+                       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+                FROM tf JOIN df USING (tok) CROSS JOIN n),
+         r AS (SELECT doc_id, tok, score,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, tok) AS BIGINT) AS rk
+               FROM sc)
+         SELECT doc_id, rk, tok, score FROM r WHERE rk <= 3
+         ORDER BY doc_id, rk""",
 
     // ----- composed curation pipeline -----
     "q_pipeline_curate" ->

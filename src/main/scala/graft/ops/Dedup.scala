@@ -118,36 +118,101 @@ object Dedup {
     round(graft.functions.DotL.dot(col("va"), col("vb")).cast("double") /
       (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
 
+  /** MinHash-recalled, exact-Jaccard-verified near-dup pairs (d1 < d2,
+    * jac ≥ 0.2) — the edge set shared by q_dedup_minhash (reported as-is)
+    * and q_dedup_cluster (grouped into duplicate clusters). */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // The shingle-set DF is reused by the band build AND both sides of
+    // the verify join: without persistence the corpus is re-shingled 3×.
+    // DISK_ONLY is the deliberate 100 TB choice — a corpus-sized
+    // materialization must not compete with shuffle/agg memory (it
+    // would evict the working set); one sequential disk re-read per
+    // reuse is the cheaper side of that trade. (Recompute-instead is
+    // also defensible when storage is tight: drop the persist and pay
+    // 2 extra shingling passes — CPU, not memory.)
+    val sh = withShingles(Tables.documents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val bands = minhashBands(sh.select($"doc_id", explode($"shs").as("sh")), "doc_id", "sh")
+    val cand = bands.as("a")
+      .join(bands.as("b"), $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+    cand
+      .join(sh.select($"doc_id".as("d1"), $"shs".as("sa")), "d1")
+      .join(sh.select($"doc_id".as("d2"), $"shs".as("sb")), "d2")
+      .withColumn("ni", size(array_intersect($"sa", $"sb")).cast("long"))
+      .withColumn("jac", round($"ni".cast("double") / (size($"sa") + size($"sb") - $"ni"), 6))
+      .filter($"jac" >= 0.2)
+      .select($"d1", $"d2", $"jac")
+  }
+
+  /** Connected components over an undirected edge list (u, v) by
+    * iterated hash-to-min label propagation: every vertex starts labeled
+    * with itself; each round every vertex adopts the minimum label among
+    * itself and its neighbors; fixpoint = each vertex carries its
+    * component's minimum id.
+    *
+    * Scale shape (100 TB): each round is one shuffle-on-vertex-id
+    * (join + min-agg — both partial-aggregable), rounds ∝ graph diameter
+    * — and near-dup graphs are unions of small dense clusters, so the
+    * diameter is tiny regardless of corpus size (3–4 rounds in practice;
+    * pathological chain graphs would want the large-star/small-star
+    * variant that pointer-doubles in O(log n) rounds). Per-round results
+    * are persisted and materialized by the convergence count, and
+    * localCheckpoint truncates the lineage so the plan doesn't grow
+    * exponentially with rounds (a real cluster job would use a reliable
+    * checkpoint dir instead of executor-local blocks). The convergence
+    * aggregate is the only driver-side value — labels never leave
+    * executors. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val ss = edges.sparkSession
+    import ss.implicits._
+    val sym = edges.select($"u", $"v")
+      .union(edges.select($"v".as("u"), $"u".as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select($"u".as("vid")).distinct()
+      .select($"vid", $"vid".as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = sym.join(labels, $"u" === $"vid")
+        .groupBy($"v").agg(min($"lbl").as("nbr"))
+        .select($"v".as("pid"), $"nbr")
+      val next = labels.join(prop, $"vid" === $"pid", "left")
+        .select($"vid", least($"lbl", coalesce($"nbr", $"lbl")).as("lbl"),
+          ($"lbl" > coalesce($"nbr", $"lbl")).as("moved"))
+        .localCheckpoint(true)
+      changed = next.filter($"moved").count()
+      labels = next.select($"vid", $"lbl")
+    }
+    sym.unpersist()
+    labels
+  }
+
   val qs: Map[String, Q] = Map(
     // MinHash + LSH banding over word-3-gram shingles; exact-Jaccard
     // verify of candidates. Output == the exact q_sim_jaccard pairs that
     // LSH recalls — deterministic because the hash (and therefore the
     // banding) is shared with the oracle.
-    "q_dedup_minhash" -> ((s, d) => {
+    "q_dedup_minhash" -> ((s, d) => minhashPairs(s, d).orderBy("d1", "d2")),
+    // Duplicate-cluster assignment — the step after pair discovery in
+    // every production dedup pipeline: near-dup PAIRS become duplicate
+    // GROUPS (transitively: A~B, B~C ⇒ {A,B,C}) so one canonical doc per
+    // group survives. Connected components over the minhash pair graph
+    // via hash-to-min propagation (see connectedComponents); cluster_id
+    // is the component-minimum doc_id (= the canonical survivor), and
+    // n_members sizes each group. Oracle: DuckDB recursive CTE computing
+    // min-reachable-vertex over the same edges.
+    "q_dedup_cluster" -> ((s, d) => {
       import s.implicits._
-      // The shingle-set DF is reused by the band build AND both sides of
-      // the verify join: without persistence the corpus is re-shingled 3×.
-      // DISK_ONLY is the deliberate 100 TB choice — a corpus-sized
-      // materialization must not compete with shuffle/agg memory (it
-      // would evict the working set); one sequential disk re-read per
-      // reuse is the cheaper side of that trade. (Recompute-instead is
-      // also defensible when storage is tight: drop the persist and pay
-      // 2 extra shingling passes — CPU, not memory.)
-      val sh = withShingles(Tables.documents(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val bands = minhashBands(sh.select($"doc_id", explode($"shs").as("sh")), "doc_id", "sh")
-      val cand = bands.as("a")
-        .join(bands.as("b"), $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-        .distinct()
-      cand
-        .join(sh.select($"doc_id".as("d1"), $"shs".as("sa")), "d1")
-        .join(sh.select($"doc_id".as("d2"), $"shs".as("sb")), "d2")
-        .withColumn("ni", size(array_intersect($"sa", $"sb")).cast("long"))
-        .withColumn("jac", round($"ni".cast("double") / (size($"sa") + size($"sb") - $"ni"), 6))
-        .filter($"jac" >= 0.2)
-        .select($"d1", $"d2", $"jac")
-        .orderBy("d1", "d2")
+      val edges = minhashPairs(s, d).select($"d1".as("u"), $"d2".as("v"))
+      val comp = connectedComponents(edges)
+        .select($"vid".as("doc_id"), $"lbl".as("cluster_id"))
+      val sizes = comp.groupBy($"cluster_id").agg(count(lit(1)).as("n_members"))
+      comp.join(sizes, "cluster_id")
+        .select($"doc_id", $"cluster_id", $"n_members")
+        .orderBy("doc_id")
     }),
     // SimHash: 32-bit signature from token-frequency-weighted hash bits;
     // 4-byte blocking gives EXACT recall for hamming distance ≤ 3

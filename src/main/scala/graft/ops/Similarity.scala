@@ -131,6 +131,29 @@ object Similarity {
         .select($"label", ($"pos" + 1).cast("long").as("comp"), $"n",
           round($"sum_c".cast("double") / $"n", 6).as("mean_c"))
         .orderBy("label", "comp")
+    }),
+    // Scalar int8 quantization of the embedding store — the 4×
+    // compression step a 100 TB vector corpus applies before ANN serving.
+    // Per-vector affine codebook (mn, range/255); the whole round-trip is
+    // int64 arithmetic on the 1e7-scaled components, so quantized codes
+    // AND reconstruction error are bit-exact cross-engine (no float
+    // division anywhere). Pure map-side per-row lambdas — one
+    // WholeStageCodegen projection, flat O(corpus).
+    "q_embed_quantize" -> ((s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .withColumn("v", expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))"))
+        .withColumn("mn", array_min($"v"))
+        .withColumn("mx", array_max($"v"))
+        .withColumn("rng", greatest($"mx" - $"mn", lit(1L)))
+        .withColumn("q", expr("transform(v, x -> ((x - mn) * 255) div rng)"))
+        .withColumn("dq", expr("transform(q, c -> mn + (c * rng) div 255)"))
+        .withColumn("errs", expr("zip_with(v, dq, (a, b) -> abs(a - b))"))
+        .select($"vec_id", $"mn", $"mx",
+          expr("array_max(errs)").as("max_err"),
+          expr("aggregate(errs, 0L, (acc, x) -> acc + x)").as("sum_err"))
+        .orderBy("vec_id")
     })
   )
 }

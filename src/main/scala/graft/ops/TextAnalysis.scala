@@ -146,6 +146,63 @@ object TextAnalysis {
         .select($"doc_id", graft.functions.RollFp.fp($"toks").as("fingerprint"),
           greatest(size($"toks") - 7, lit(0)).cast("long").as("n_windows"))
         .orderBy("doc_id")
+    }),
+    // Corpus TF-IDF: top-3 salient terms per document — the classic
+    // keyword/relevance signal a curation pipeline computes corpus-wide.
+    // Two-phase shape at 100 TB: tf is a per-doc map-side group; df is a
+    // vocab-sized aggregate (vocab ≪ corpus — Heaps' law), joined back on
+    // the token key (both sides already hash-partitioned by tok, one
+    // shuffle); N arrives as a broadcast scalar, never a driver value.
+    // Ranking uses the ROUNDED score (4 dp) so the window order is
+    // identical cross-engine despite ln() being libm-dependent in the
+    // last ulp.
+    "q_text_tfidf" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok")
+      tf.join(df, "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          round($"tf" * log($"n_docs".cast("double") / $"df"), 4))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"rk", $"tok", $"score")
+        .orderBy("doc_id", "rk")
+    }),
+    // Domain-mixture resampling: the largest subsample whose language
+    // mix EXACTLY matches target ppm weights (no upsampling) — the
+    // mixture-rebalancing step before pretraining. T = max total s.t.
+    // T·wᵢ ≤ nᵢ ∀i; per-stratum quota kᵢ = ⌊T·wᵢ/1e6⌋; membership = the
+    // kᵢ docs with smallest portable hash — deterministic and
+    // rerun-stable (same corpus ⇒ same sample). Scale note: the
+    // rank-within-stratum window sorts each language partition — exact,
+    // but a hot stratum is one sort at 100 TB; the streaming-scale
+    // variant replaces rank ≤ kᵢ with hash < tᵢ where tᵢ is the kᵢ-th
+    // smallest hash from an approx-quantile pass (same plan minus the
+    // full sort, ± a few docs at the boundary).
+    "q_sample_mixture" -> ((s, d) => {
+      import s.implicits._
+      val w = Seq(("de", 150000L), ("en", 400000L), ("es", 80000L),
+        ("fr", 120000L), ("zh", 250000L)).toDF("lang", "w_ppm")
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang")
+      val nObs = docs.groupBy($"lang").agg(count(lit(1)).as("n_obs"))
+      val tMax = nObs.join(w, "lang")
+        .agg(min(expr("n_obs * 1000000 div w_ppm")).as("t_max"))
+      val quota = w.crossJoin(broadcast(tMax))
+        .select($"lang", expr("t_max * w_ppm div 1000000").as("k_target"))
+      val win = Window.partitionBy($"lang").orderBy($"hk", $"doc_id")
+      docs
+        .withColumn("hk", U.h64(concat(lit("mix:"), $"doc_id")))
+        .withColumn("rk", row_number().over(win).cast("long"))
+        .join(broadcast(quota), "lang")
+        .filter($"rk" <= $"k_target")
+        .select($"doc_id", $"lang")
+        .orderBy("doc_id")
     })
   )
 }

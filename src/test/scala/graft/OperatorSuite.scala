@@ -210,4 +210,60 @@ class OperatorSuite extends SparkSpec {
       "Twitter", "NBA")
     assert(batch.columns.contains("year") && batch.columns.contains("hashtags"))
   }
+
+  test("connectedComponents: transitive closure on chains, stars, isolated pairs") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 (diameter 5 → needs several propagation rounds),
+    // star 10-{11,12,13}, isolated pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L)).toDF("u", "v")
+    val got = ops.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == want)
+  }
+
+  test("q_dedup_cluster: canonical id is the component min; clusters have >=2 members") {
+    val rows = ops.Dedup.qs("q_dedup_cluster")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0), s"cluster_id must be component min: $r")
+      assert(r.getLong(2) >= 2L, s"singleton cluster leaked into output: $r")
+    }
+    // each cluster_id labels itself (the canonical doc is a member)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.exists(_.getLong(0) == cid), s"canonical doc $cid missing")
+      assert(members.forall(_.getLong(2) == members.length), s"n_members wrong for $cid")
+    }
+  }
+
+  test("q_embed_quantize: int8 round-trip error bounded by quantization step + 1") {
+    val rows = ops.Similarity.qs("q_embed_quantize")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mx, maxErr) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val rng = math.max(mx - mn, 1L)
+      assert(maxErr <= rng / 255 + 1, s"vec ${r.getLong(0)}: err $maxErr > step bound")
+    }
+  }
+
+  test("q_sample_mixture: per-language counts hit the exact mixture quotas") {
+    import spark.implicits._
+    val wPpm = Map("de" -> 150000L, "en" -> 400000L, "es" -> 80000L,
+      "fr" -> 120000L, "zh" -> 250000L)
+    val nObs = Tables.documents(spark, sfDir)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tMax = wPpm.map { case (l, w) => nObs(l) * 1000000L / w }.min
+    val kept = ops.TextAnalysis.qs("q_sample_mixture")(spark, sfDir)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    wPpm.foreach { case (l, w) =>
+      val kTarget = tMax * w / 1000000L
+      assert(kept.getOrElse(l, 0L) == kTarget,
+        s"$l: kept ${kept.getOrElse(l, 0L)} != quota $kTarget (obs ${nObs(l)})")
+    }
+  }
 }
