@@ -877,6 +877,26 @@ object Oracle {
          SELECT doc_id, list_min(rolls) AS fingerprint,
                 CAST(len(rolls) AS BIGINT) AS n_windows
          FROM r ORDER BY doc_id""",
+    "q_text_repetition" ->
+      """WITH x AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         y AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+                      ['2:' || tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))] AS g2,
+                      ['3:' || tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)] AS g3
+               FROM x WHERE len(tk) >= 3),
+         e AS (SELECT doc_id, n_toks, unnest(list_concat(g2, g3)) AS g FROM y),
+         c AS (SELECT doc_id, n_toks, g, COUNT(*) AS c FROM e GROUP BY 1, 2, 3),
+         m AS (SELECT doc_id, n_toks,
+                      MAX(CASE WHEN g LIKE '2:%' THEN c END) AS c2,
+                      MAX(CASE WHEN g LIKE '3:%' THEN c END) AS c3
+               FROM c GROUP BY 1, 2),
+         f AS (SELECT doc_id,
+                      CAST(floor(CAST(c2 AS DOUBLE) * 1000000 / (n_toks - 1)) AS BIGINT) AS top2_ppm,
+                      CAST(floor(CAST(c3 AS DOUBLE) * 1000000 / (n_toks - 2)) AS BIGINT) AS top3_ppm
+               FROM m)
+         SELECT doc_id, top2_ppm, top3_ppm,
+                CASE WHEN top2_ppm > 200000 OR top3_ppm > 180000
+                     THEN 'drop' ELSE 'keep' END AS verdict
+         FROM f ORDER BY doc_id""",
     "q_text_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),

@@ -174,6 +174,34 @@ object TextAnalysis {
         .select($"doc_id", $"rk", $"tok", $"score")
         .orderBy("doc_id", "rk")
     }),
+    // Repetition filter (the Gopher/MassiveText quality rule): fraction
+    // of n-grams claimed by the single most-repeated 2-gram / 3-gram,
+    // micro-scaled; docs over threshold (top-2-gram > 20%, top-3-gram >
+    // 18%) are boilerplate/spam-shaped and dropped. Both arities ride ONE
+    // explode pass (arity-prefixed gram keys) → count → max, all
+    // partial-aggregable, so the shuffle carries one row per distinct
+    // (doc, gram) and the op stays flat O(corpus) at 100 TB.
+    "q_text_repetition" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 3)
+        .select($"doc_id", size($"toks").cast("long").as("n_toks"),
+          explode(concat(
+            expr("transform(sequence(2, size(toks)), i -> concat('2:', element_at(toks, i-1), ' ', element_at(toks, i)))"),
+            expr("transform(sequence(3, size(toks)), i -> concat('3:', element_at(toks, i-2), ' ', element_at(toks, i-1), ' ', element_at(toks, i)))")
+          )).as("g"))
+        .groupBy($"doc_id", $"n_toks", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id", $"n_toks").agg(
+          max(when($"g".startsWith("2:"), $"c")).as("c2"),
+          max(when($"g".startsWith("3:"), $"c")).as("c3"))
+        .select($"doc_id",
+          floor($"c2".cast("double") * 1000000 / ($"n_toks" - 1)).as("top2_ppm"),
+          floor($"c3".cast("double") * 1000000 / ($"n_toks" - 2)).as("top3_ppm"))
+        .withColumn("verdict",
+          when($"top2_ppm" > 200000 || $"top3_ppm" > 180000, "drop").otherwise("keep"))
+        .orderBy("doc_id")
+    }),
     // Domain-mixture resampling: the largest subsample whose language
     // mix EXACTLY matches target ppm weights (no upsampling) — the
     // mixture-rebalancing step before pretraining. T = max total s.t.

@@ -118,4 +118,33 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("*(1)") && p.contains("HashAggregate"),
       s"no whole-stage-codegen span in:\n$p")
   }
+
+  test("tfidf: df join is a hash equi-join on the token key, N is broadcast") {
+    val p = planOf("q_text_tfidf")
+    // the vocab-sized df side must never drive a nested loop; the scalar
+    // N (one row) must arrive via broadcast, not a shuffle
+    assert(!p.contains("CartesianProduct"), s"cartesian in tfidf plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"N not broadcast in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"df join not an equi-join in:\n$p")
+  }
+
+  test("quantize: pure map-side — no shuffle except the output sort") {
+    val df = SparkEntry.queries("q_embed_quantize")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // exactly one Exchange: the rangepartitioning for the final ORDER BY;
+    // the quantization itself must add none
+    val exchanges = "(?i)Exchange (hash|range|single)partitioning".r
+      .findAllIn(p).size
+    assert(exchanges <= 1, s"quantize introduced extra shuffles:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in map-side op:\n$p")
+  }
+
+  test("mixture resampling: quota dim is broadcast onto the ranked corpus") {
+    val p = planOf("q_sample_mixture")
+    assert(p.contains("BroadcastHashJoin"), s"quota dim not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"corpus side shuffled for a 5-row dim join:\n$p")
+  }
 }
