@@ -226,6 +226,38 @@ class StreamingSuite extends SparkSpec {
       s"stream-stream join diverged from batch: missing=${want -- got} extra=${got -- want}")
   }
 
+  test("I10 stream-static join: broadcast dim enriches the stream, plan stays BHJ") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static category dim (the streaming analogue of q_topic_alias's
+    // config-dim enrichment — at scale the dim is re-broadcast per
+    // micro-batch, never shuffled against the unbounded side)
+    val dim = Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "conversion"), ("signup", "conversion"),
+      ("error", "ops")).toDF("event_type", "category")
+    val evs = Stateful.eventsDs(spark, sfDir).collect().toSeq
+    val mem = MemoryStream[Ev]
+    val joined = mem.toDS().toDF()
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .groupBy($"category").agg(count(lit(1)).as("n"), sum($"valueMicros").as("v"))
+    val q = joined.writeStream.format("memory").queryName("ss_join_sink")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData(evs); q.processAllAvailable()
+    // BHJ pin on the micro-batch plan: the static side must broadcast
+    val lastPlan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    q.stop()
+    assert(lastPlan.contains("BroadcastHashJoin"),
+      s"static dim not broadcast in micro-batch plan:\n$lastPlan")
+    val got = spark.table("ss_join_sink")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    val want = Stateful.eventsDs(spark, sfDir).toDF()
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .groupBy($"category").agg(count(lit(1)).as("n"), sum($"valueMicros").as("v"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("I7 manifest sink: batch replay is idempotent, uncommitted batches invisible") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_manifest").toString
