@@ -41,11 +41,16 @@ object Dedup {
   lazy val permB: Array[Long] =
     Array.tabulate(NumSeeds)(j => U.h64Local(s"b$j") % PermMod)
 
+  // CASE guard: sequence(3, n) steps DOWNWARD when n < 3, so element_at
+  // would hit index 0 and throw on a 2-token doc; empty array == the
+  // oracle's empty list_slice for the same doc
   private def withShingles(df: DataFrame) =
     df.withColumn("toks", split(col("text"), " "))
       .withColumn("shs", expr(
-        """array_distinct(transform(sequence(3, size(toks)),
-             i -> concat(element_at(toks, i-2), ' ', element_at(toks, i-1), ' ', element_at(toks, i))))"""))
+        """CASE WHEN size(toks) >= 3 THEN
+             array_distinct(transform(sequence(3, size(toks)),
+               i -> concat(element_at(toks, i-2), ' ', element_at(toks, i-1), ' ', element_at(toks, i))))
+           ELSE array() END"""))
       .select(col("doc_id"), col("shs"))
 
   /** (id, element) rows → (id, band) rows: 16 permuted minhashes reduced
@@ -251,8 +256,12 @@ object Dedup {
     "q_dedup_ngram" -> ((s, d) => {
       import s.implicits._
       val grams = Tables.documents(s, d)
+        // guard: length < 5 would make sequence(1, length-4) descend
+        // through 0 and emit spurious grams (oracle's range() is empty)
         .withColumn("gs", expr(
-          "array_distinct(transform(sequence(1, length(text)-4), i -> substring(text, i, 5)))"))
+          """CASE WHEN length(text) >= 5 THEN
+               array_distinct(transform(sequence(1, length(text)-4), i -> substring(text, i, 5)))
+             ELSE array() END"""))
         .select($"doc_id", $"gs")
         // reused by band build + verify join; DISK_ONLY for the same
         // corpus-sized-materialization reasoning as q_dedup_minhash above

@@ -23,10 +23,14 @@ object TextOps {
   private def withToks(df: org.apache.spark.sql.DataFrame) =
     df.withColumn("toks", split(col("text"), " "))
 
-  /** Word-3-gram shingles of the token array (1-based element_at). */
+  /** Word-3-gram shingles of the token array (1-based element_at).
+    * Guarded: sequence(3, n) steps DOWNWARD when n < 3 (element_at would
+    * hit index 0 and throw on a 2-token doc); a short doc has no 3-gram,
+    * and the empty array matches the oracle's empty list_slice. */
   private val shinglesExpr =
-    expr("""transform(sequence(3, size(toks)),
-             i -> concat(element_at(toks, i-2), ' ', element_at(toks, i-1), ' ', element_at(toks, i)))""")
+    expr("""CASE WHEN size(toks) >= 3 THEN transform(sequence(3, size(toks)),
+             i -> concat(element_at(toks, i-2), ' ', element_at(toks, i-1), ' ', element_at(toks, i)))
+            ELSE array() END""")
 
   /** K1 scalar UDF — lexicon sentiment over the token array, ≙ the
     * intended BatchDetectSentiment call (main.tf:101). A genuine Scala
@@ -51,8 +55,11 @@ object TextOps {
     // J3: top-5 bigrams per language (keyphrase extraction ≙ main.tf:102).
     "q_text_bigrams" -> ((s, d) => {
       import s.implicits._
+      // guarded like shinglesExpr: a 1-token doc has no bigram
       val bigrams = expr(
-        "transform(sequence(2, size(toks)), i -> concat(element_at(toks, i-1), ' ', element_at(toks, i)))")
+        """CASE WHEN size(toks) >= 2 THEN
+             transform(sequence(2, size(toks)), i -> concat(element_at(toks, i-1), ' ', element_at(toks, i)))
+           ELSE array() END""")
       val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
       withToks(Tables.documents(s, d))
         .select($"lang", explode(bigrams).as("bigram"))

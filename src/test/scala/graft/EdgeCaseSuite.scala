@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input robustness (the r3-ADVICE bug class): Spark's
+  * sequence(a, b) steps DOWNWARD when b < a, so unguarded n-gram
+  * expressions either throw (element_at/slice index 0) or emit spurious
+  * grams on docs shorter than the gram width — while the DuckDB oracle's
+  * range()/list_slice() are empty for the same doc. Every documents-table
+  * query must survive a corpus of 0–6-token docs and treat short docs as
+  * gram-less, exactly like the oracle. */
+class EdgeCaseSuite extends SparkSpec {
+
+  /** Tiny corpus: empty text, 1/2/4/6-token docs, plus two long near-dup
+    * docs so pair-producing ops still exercise their join path. */
+  private lazy val shortDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_short_docs_").toString
+    val long1 = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val long2 = (1 to 30).map(i => if (i == 30) "tokX" else s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, "", "en", "web"),
+      (2L, "one", "en", "web"),
+      (3L, "two words", "fr", "web"),
+      (4L, "four tiny words here", "de", "news"),
+      (5L, "six little words sit right here", "es", "news"),
+      (6L, long1, "en", "web"),
+      (7L, long2, "zh", "web"),
+      (17L, long1, "en", "web")) // doc_id%10=7 → lands in the decontaminate eval slice
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val documentQueries = Seq(
+    "q_sim_jaccard", "q_text_bigrams", "q_text_tokens", "q_text_quality",
+    "q_text_langid", "q_text_scrub", "q_text_fingerprint", "q_text_repetition",
+    "q_text_tfidf", "q_text_bpe", "q_decontaminate", "q_dedup_exact",
+    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram", "q_dedup_cluster",
+    "q_sample_hash", "q_sample_mixture", "q_pipeline_curate", "q_text_sentiment")
+
+  test("every documents-table query survives a corpus of 0–6-token docs") {
+    documentQueries.foreach { key =>
+      val rows =
+        try SparkEntry.queries(key)(spark, shortDir).collect()
+        catch { case e: Throwable =>
+          fail(s"$key threw on short docs: ${e.getMessage.take(300)}")
+        }
+      assert(rows != null, key)
+    }
+  }
+
+  test("short docs are gram-less: no near-dup pair or fingerprint involves them") {
+    // 3-gram pair ops can only ever pair the two long docs (+ the exact
+    // duplicate), never a doc with < 3 tokens
+    val jac = SparkEntry.queries("q_sim_jaccard")(spark, shortDir).collect()
+    jac.foreach { r =>
+      assert(Set(6L, 7L, 17L).contains(r.getLong(0)) && Set(6L, 7L, 17L).contains(r.getLong(1)),
+        s"short doc leaked into a shingle pair: $r")
+    }
+    // the 30-token near-dups MUST still be found (guards didn't over-drop)
+    assert(jac.nonEmpty, "long near-dup pair lost by the short-doc guards")
+    // fingerprint: docs under 8 tokens yield NULL, long docs a real value
+    val fp = SparkEntry.queries("q_text_fingerprint")(spark, shortDir).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fp(2L).isEmpty && fp(3L).isEmpty && fp(4L).isEmpty)
+    assert(fp(6L).nonEmpty && fp(7L).nonEmpty)
+  }
+}
