@@ -123,4 +123,36 @@ class IngestSuite extends SparkSpec {
     Ingest.runBatch(spark, src, out)
     assert(spark.read.parquet(out).count() == 20)
   }
+
+  test("compaction: per-partition small files merge to size-targeted counts, rows intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    import graft.streaming.Compact
+    val dir = Files.createTempDirectory("graft_compact_").toString + "/t"
+    // 6 small files per lang partition (a micro-batch sink's accretion shape)
+    Tables.documents(spark, sfDir)
+      .repartition(6)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val wantRows = spark.read.parquet(dir).count()
+    val wantSum = spark.read.parquet(dir).agg(sum($"doc_id")).as[Long].head()
+    val nLangs = spark.read.parquet(dir).select($"lang").distinct().count()
+
+    // huge target ⇒ k=1 per partition: exactly one file per lang
+    val s1 = Compact.run(spark, dir, Seq("lang"), targetBytes = 1L << 40)
+    assert(s1.filesBefore > s1.filesAfter, s"no compaction happened: $s1")
+    assert(s1.filesAfter == nLangs, s"expected one file per lang: $s1")
+    assert(s1.rows == wantRows)
+    assert(spark.read.parquet(dir).count() == wantRows)
+    assert(spark.read.parquet(dir).agg(sum($"doc_id")).as[Long].head() == wantSum)
+
+    // tiny target ⇒ k>1: per-partition splitting kicks in, rows still intact
+    val s2 = Compact.run(spark, dir, Seq("lang"), targetBytes = 1024)
+    assert(s2.filesAfter > s2.filesBefore, s"size-targeted split produced no extra files: $s2")
+    assert(spark.read.parquet(dir).count() == wantRows)
+
+    // idempotent: recompacting a compacted table is a no-op in file count
+    val s3 = Compact.run(spark, dir, Seq("lang"), targetBytes = 1L << 40)
+    val s4 = Compact.run(spark, dir, Seq("lang"), targetBytes = 1L << 40)
+    assert(s3.filesAfter == s4.filesAfter && s4.rows == wantRows)
+  }
 }
