@@ -15,6 +15,12 @@ case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int, height: Int,
                          mean_r: Double, mean_g: Double, mean_b: Double,
                          byte_hist: Array[Long], frames: Array[Array[Byte]])
 
+/** Extracted audio features: duration + loudness + zero-crossing rate
+  * (rms micro-scaled to int64 for cross-run exactness). */
+case class AudioFeatures(doc_id: Long, sample_rate: Int, channels: Int,
+                         duration_micros: Long, rms_micros: Long,
+                         peak: Int, zero_crossings: Long)
+
 /** Multimodal processing pipeline: binary payloads are REAL images
   * (binary PPM, see [[Ppm]]) decoded by a real header-then-raster
   * parser — no codec stub. The plumbing is the part that matters at
@@ -55,6 +61,41 @@ object Media {
       val off = (raster.length.toLong * k / n).toInt
       raster.slice(off, math.min(off + width, raster.length))
     }
+
+  /** Audio table derived from events: payload = a real RIFF/PCM-16 WAV
+    * whose samples are a deterministic sawtooth keyed by event_id —
+    * every row exercises the chunked-container parser. */
+  def loadAudio(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.events(spark, dir)
+      .select($"event_id")
+      .limit(512)
+      .map { r =>
+        val id = r.getLong(0)
+        val n = (id % 400).toInt + 40 // 40–439 frames
+        val period = (id % 97).toInt + 8
+        val samples = Array.tabulate(n)(i =>
+          ((i % period) * 2000 - period * 1000).toShort)
+        MediaRecord(id, Wav.encode(Wav.Clip(8000, 1, samples)),
+          MediaMeta("audio/wav", n, 1))
+      }
+  }
+
+  /** Extracted audio features: duration, loudness, zero-crossing rate. */
+  def extractAudioFeatures(ds: Dataset[MediaRecord],
+                           batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val clip = Wav.decode(r.payload)
+          AudioFeatures(r.doc_id, clip.sampleRate, clip.channels,
+            clip.durationMicros, math.floor(clip.rms * 1000000).toLong,
+            clip.peak, clip.zeroCrossings)
+        }
+      }
+    }
+  }
 
   /** Batched feature extraction over each partition — bounded-memory,
     * partition-preserving (no shuffle). Each record's payload is decoded

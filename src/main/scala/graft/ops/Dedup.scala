@@ -176,8 +176,13 @@ object Dedup {
     val sym = edges.select($"u", $"v")
       .union(edges.select($"v".as("u"), $"u".as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select($"u".as("vid")).distinct()
-      .select($"vid", $"vid".as("lbl"))
+    // seed with one propagation round folded into initialization: the
+    // grouped min over {self} ∪ neighbors IS round 1, for the price of a
+    // single partial-aggregable group-by (no join), so the loop below
+    // starts from diameter-1 state
+    var labels = sym.select($"u".as("vid"), $"v".as("lbl"))
+      .union(sym.select($"u".as("vid"), $"u".as("lbl")))
+      .groupBy($"vid").agg(min($"lbl").as("lbl"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {

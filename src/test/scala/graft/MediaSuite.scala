@@ -55,4 +55,49 @@ class MediaSuite extends SparkSpec {
       Seq(f.mean_r, f.mean_g, f.mean_b).foreach(v => assert(v >= 0 && v <= 255))
     }
   }
+
+  test("WAV encode/decode round-trips PCM-16; unknown chunks are skipped per spec") {
+    import graft.multimodal.Wav
+    val clip = Wav.Clip(44100, 2, Array.tabulate(400)(i => ((i * 37) % 4001 - 2000).toShort))
+    val rt = Wav.decode(Wav.encode(clip))
+    assert(rt.sampleRate == clip.sampleRate && rt.channels == clip.channels)
+    assert(rt.samples.toSeq == clip.samples.toSeq)
+    // splice an odd-sized LIST chunk between fmt and data: a spec-correct
+    // reader must skip it (incl. the pad byte) and still find data
+    val enc = Wav.encode(clip)
+    val (head, tail) = enc.splitAt(36) // RIFF(12) + fmt chunk(8+16)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++ Array[Byte](0)
+    val spliced = head ++ listChunk ++ tail
+    val got = Wav.decode(spliced)
+    assert(got.sampleRate == 44100 && got.channels == 2)
+    assert(got.samples.toSeq == clip.samples.toSeq)
+  }
+
+  test("WAV decode rejects malformed input with a real exception") {
+    import graft.multimodal.Wav
+    val good = Wav.encode(Wav.Clip(8000, 1, Array[Short](1, 2, 3)))
+    def bad(b: Array[Byte]) =
+      intercept[IllegalArgumentException](Wav.decode(b))
+    bad(Array[Byte](1, 2, 3))                       // truncated container
+    bad("RIFX".getBytes ++ good.drop(4))            // bad magic
+    bad(good.take(20))                              // missing chunks
+    val nonPcm = good.clone; nonPcm(20) = 3         // audioFormat = IEEE float
+    bad(nonPcm)
+  }
+
+  test("audio pipeline: features are deterministic and physically consistent") {
+    val feats = graft.multimodal.Media.extractAudioFeatures(
+      graft.multimodal.Media.loadAudio(spark, sfDir)).collect()
+    assert(feats.nonEmpty)
+    val again = graft.multimodal.Media.extractAudioFeatures(
+      graft.multimodal.Media.loadAudio(spark, sfDir)).collect()
+    assert(feats.map(_.rms_micros).sorted.toSeq == again.map(_.rms_micros).sorted.toSeq)
+    feats.foreach { f =>
+      assert(f.sample_rate == 8000 && f.channels == 1)
+      assert(f.duration_micros > 0 && f.peak >= 0 && f.peak <= 32767)
+      assert(f.rms_micros <= f.peak.toLong * 1000000,
+        s"rms above peak for ${f.doc_id}")
+    }
+  }
 }
