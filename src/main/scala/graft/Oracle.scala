@@ -569,6 +569,11 @@ object Oracle {
          FROM x ORDER BY doc_id""",
 
     // ----- streaming batch-equivalents (§2.I) -----
+    // merge-of-partials == full recompute: the oracle IS the rescan
+    "q_agg_incremental" ->
+      """SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT) AS value_micros
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "q_stream_tumbling" ->
       """SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
                 event_type, COUNT(*) AS n,

@@ -37,6 +37,27 @@ object Aggregates {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
+    // D10: incremental aggregation (partial-state merge) — the 100 TB
+    // daily pattern: history is never rescanned. The pre-2024-01-20
+    // "history" is reduced to per-group partial state once, the fresh
+    // slice is aggregated alone, and the two are MERGED by re-aggregating
+    // the union of states — lossless because count/sum are algebraic
+    // (merge = sum of partials). Oracle is the FULL recompute, proving
+    // merge == rescan; at scale the history branch is a tiny stored
+    // summary table instead of a scan.
+    "q_agg_incremental" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).withColumn("vm", U.micros($"value"))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"vm").as("value_micros"))
+      val hist = partial(ev.filter($"ts" < lit("2024-01-20").cast("timestamp")))
+      val fresh = partial(ev.filter($"ts" >= lit("2024-01-20").cast("timestamp")))
+      hist.union(fresh)
+        .groupBy($"event_type")
+        .agg(sum($"n").as("n"), sum($"value_micros").as("value_micros"))
+        .orderBy("event_type")
+    }),
     // D3: distinct aggregation (expand + two-phase plan).
     "q_agg_distinct" -> ((s, d) => {
       import s.implicits._
