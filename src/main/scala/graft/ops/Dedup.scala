@@ -78,7 +78,7 @@ object Dedup {
     * (a single codegen'd projection — 16 fold-chained projections were a
     * Janino compile hotspot). */
   private def bitsCol: Column = {
-    val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
+    val planesCol = array(planes.toIndexedSeq.map(p => array(p.toIndexedSeq.map(lit): _*)): _*)
     transform(planesCol, p =>
       when(graft.functions.DotL.dot(col("v"), p) > 0, 1L).otherwise(0L))
   }

@@ -60,7 +60,7 @@ object Compact {
       .withColumn("_part", partKeyCol)
       .join(broadcast(kDf), Seq("_part"), "left")
       .na.fill(1, Seq("_k"))
-      .withColumn("_salt", pmod(hash(struct(df.columns.map(col): _*)), $"_k"))
+      .withColumn("_salt", pmod(hash(struct(df.columns.toIndexedSeq.map(col): _*)), $"_k"))
     // one shuffle: when every partition compacts to a single file the
     // expression form suffices (each task writes one file per partition
     // dir it holds, whatever AQE coalesces to); when size-splitting is

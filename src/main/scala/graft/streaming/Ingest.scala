@@ -78,6 +78,29 @@ object Ingest {
   def readMerged(spark: SparkSession, outDir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(outDir)
 
+  /** Quarantine read of landed NDJSON: PERMISSIVE parse splits the input
+    * into (good rows, corrupt raw lines) instead of failing the day's run
+    * on one bad record — at 100 TB a malformed API page is a certainty,
+    * and the quarantine DF is what lands in the dead-letter path for
+    * replay. The cache is required: Spark refuses a query that filters
+    * solely on the internal corrupt-record column of a lazy scan.
+    * FAILFAST stays available by reading with `mode=FAILFAST` where a
+    * pipeline prefers to halt. */
+  def readQuarantined(spark: SparkSession, srcDir: String): (DataFrame, DataFrame) = {
+    val schemaWithCorrupt = org.apache.spark.sql.types.StructType(
+      TweetSchema.schema.fields :+
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType, nullable = true))
+    val raw = spark.read.schema(schemaWithCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(srcDir)
+      .cache()
+    val bad = raw.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record"))
+    val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    (good, bad)
+  }
+
   /** Batch form over already-landed NDJSON (≙ re-processing a day). */
   def runBatch(spark: SparkSession, srcDir: String, outDir: String,
                platform: String = "Twitter", league: String = "NBA"): Unit =

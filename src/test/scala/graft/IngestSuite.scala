@@ -124,6 +124,31 @@ class IngestSuite extends SparkSpec {
     assert(spark.read.parquet(out).count() == 20)
   }
 
+  test("A3c corrupt records: PERMISSIVE quarantine splits good/bad; FAILFAST halts") {
+    val base = Files.createTempDirectory("graft_corrupt").toString
+    new java.io.File(s"$base/src").mkdirs()
+    fixture(s"$base/src")
+    // append a page with torn/garbage lines amid a good one (a malformed
+    // API page is a certainty at scale)
+    Files.write(Paths.get(s"$base/src/page-01.json"),
+      Seq(
+        """{"id":"42","text":"good row","created_at":"2021-01-06T01:00:00.000Z"}""",
+        """{"id":"43","text":"torn line...""",
+        """not json at all""").mkString("\n").getBytes("UTF-8"))
+    val (good, bad) = Ingest.readQuarantined(spark, s"$base/src")
+    assert(good.count() == 22, "21 fixture rows + 1 good row from the dirty page")
+    val badLines = bad.collect().map(_.getString(0))
+    assert(badLines.length == 2, s"expected 2 quarantined lines, got ${badLines.toSeq}")
+    assert(badLines.exists(_.contains("torn line")) && badLines.exists(_.contains("not json")))
+    // the good side feeds the normal transform unchanged
+    assert(Ingest.transform(good, "Twitter", "NBA").count() > 0)
+    // FAILFAST: same input halts the run
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(graft.model.TweetSchema.schema)
+        .option("mode", "FAILFAST").json(s"$base/src").count()
+    }
+  }
+
   test("compaction: per-partition small files merge to size-targeted counts, rows intact") {
     import spark.implicits._
     import org.apache.spark.sql.functions.sum
