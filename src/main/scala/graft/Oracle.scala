@@ -78,6 +78,23 @@ object Oracle {
         SELECT doc_id, c.cluster_id, n_members
         FROM comp c JOIN sz USING (cluster_id) ORDER BY doc_id"""
 
+  /** Curated corpus post-dedup: everything except non-canonical cluster
+    * members (same recursive-CC core as dedupClusterSql). */
+  private val dedupSurvivorsSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+        pairs AS (SELECT d1, d2 FROM j WHERE jac >= 0.2),
+        edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+                  UNION ALL SELECT d2, d1 FROM pairs),
+        reach(vid, lbl) AS (
+          SELECT DISTINCT u, u FROM edges
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.vid),
+        comp AS (SELECT vid, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+        losers AS (SELECT vid FROM comp WHERE vid <> cluster_id)
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id NOT IN (SELECT vid FROM losers)
+        ORDER BY doc_id"""
+
   private val simhashSql: String = {
     val bitSums = (0 until 32)
       .map(k => s"SUM(CASE WHEN (h >> $k) & 1 = 1 THEN f ELSE -f END) AS b$k")
@@ -703,6 +720,7 @@ object Oracle {
     // ----- dedup extensions (MinHash-LSH / SimHash / n-gram / embedding) -----
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_cluster" -> dedupClusterSql,
+    "q_dedup_survivors" -> dedupSurvivorsSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_embed" -> embedLshSql,
     "q_dedup_ngram" ->

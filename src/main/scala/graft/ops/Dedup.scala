@@ -224,6 +224,23 @@ object Dedup {
         .select($"doc_id", $"cluster_id", $"n_members")
         .orderBy("doc_id")
     }),
+    // The dedup END PRODUCT: the curated corpus after near-dup removal —
+    // every singleton doc plus exactly one canonical survivor (the
+    // component-min doc_id) per duplicate cluster. Left-anti join of the
+    // corpus against the non-canonical cluster members; at 100 TB the
+    // member list is a small fraction of the corpus (only docs that had a
+    // near-dup), so the anti join broadcasts it.
+    "q_dedup_survivors" -> ((s, d) => {
+      import s.implicits._
+      val edges = minhashPairs(s, d).select($"d1".as("u"), $"d2".as("v"))
+      val losers = connectedComponents(edges)
+        .filter($"vid" =!= $"lbl") // non-canonical members drop out
+        .select($"vid".as("loser_id"))
+      Tables.documents(s, d)
+        .join(broadcast(losers), $"doc_id" === $"loser_id", "left_anti")
+        .select($"doc_id", $"lang", $"source")
+        .orderBy("doc_id")
+    }),
     // SimHash: 32-bit signature from token-frequency-weighted hash bits;
     // 4-byte blocking gives EXACT recall for hamming distance ≤ 3
     // (pigeonhole: ≤3 differing bits leave ≥1 of 4 bytes identical).

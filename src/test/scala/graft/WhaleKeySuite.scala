@@ -73,4 +73,23 @@ class WhaleKeySuite extends AnyFunSuite {
     assert(oneBatch == perEvent && oneBatch == split)
     assert(oneBatch == Seq(10000000L, 20000000L))
   }
+
+  test("connectedComponents handles a whale hub: 50k-spoke star converges in one round") {
+    // a hub vertex with 50k neighbors is the dedup-graph skew shape
+    // (one boilerplate doc near-dup to everything); the grouped min is
+    // partial-aggregable so the hub's in-edges combine map-side
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val spokes = 50000
+    val edges = spark.range(1, spokes + 1)
+      .select(lit(0L).as("u"), $"id".as("v"))
+    val t0 = System.nanoTime()
+    val labels = graft.ops.Dedup.connectedComponents(edges)
+    val byLbl = labels.groupBy($"lbl").count().collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(byLbl.length == 1 && byLbl.head.getLong(0) == 0L &&
+      byLbl.head.getLong(1) == spokes + 1L)
+    assert(secs < 60, s"whale-hub CC took ${secs}s")
+  }
 }
