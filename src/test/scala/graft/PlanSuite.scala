@@ -141,6 +141,12 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("Join"), s"unexpected join in map-side op:\n$p")
   }
 
+  test("dedup survivorship: loser list is a broadcast anti join, corpus never shuffles") {
+    val p = planOf("q_dedup_survivors")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"losers not broadcast-anti-joined in:\n$p")
+  }
+
   test("mixture resampling: quota dim is broadcast onto the ranked corpus") {
     val p = planOf("q_sample_mixture")
     assert(p.contains("BroadcastHashJoin"), s"quota dim not broadcast in:\n$p")
