@@ -96,4 +96,44 @@ class PropertySuite extends SparkSpec {
       }
     }
   }
+
+  test("connectedComponents == reference union-find on random graphs") {
+    import spark.implicits._
+    // a scala-side union-find is the independent oracle
+    def ufComponents(edges: List[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v)); if (ru != rv) parent(ru max rv) = ru min rv
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // min member per root = the canonical label contract
+      val byRoot = verts.groupBy(find)
+      byRoot.flatMap { case (_, vs) => vs.map(_ -> vs.min) }.toMap
+    }
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)).suchThat(e => e._1 != e._2))
+    forAll(edgeGen, n = 12) { edges: List[(Long, Long)] =>
+      val got = ops.Dedup.connectedComponents(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ufComponents(edges), s"edges: $edges")
+    }
+  }
+
+  test("int8 quantization round-trip error bound holds on random int64 vectors") {
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-10000000L, 10000000L))
+    forAll(vecGen, n = 50) { v: List[Long] =>
+      val mn = v.min; val mx = v.max; val rng = math.max(mx - mn, 1L)
+      v.foreach { x =>
+        val q = (x - mn) * 255 / rng
+        val dq = mn + q * rng / 255
+        assert(q >= 0 && q <= 255, s"code $q out of int8 range")
+        assert(math.abs(x - dq) <= rng / 255 + 1,
+          s"err ${math.abs(x - dq)} > step bound for x=$x in [$mn,$mx]")
+      }
+    }
+  }
 }
