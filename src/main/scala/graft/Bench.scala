@@ -11,6 +11,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // diagnostic subsetting: SPARK_GRAFT_ONLY=q_a,q_b times just those
+    // queries in this JVM — isolates a query's cost from suite-order
+    // interference (GC pressure, leaked persists) when a number regresses
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,12 +43,25 @@ object Bench {
     // JIT + shuffle-file warm-up, so single-shot numbers carry ±15%
     // jitter that swamps round-over-round comparison (VERDICT r3 #8).
     // min-of-2 is the steady-state number a long-running cluster job
-    // actually sees.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // actually sees. Both raw timings are kept (bench_out.json "raw", in
+    // run order) so a regressed min is diagnosable after the fact.
+    val raw = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t1 = timeOnce(name, fn)
-      val t =
-        if (t1 < 0) { failed += name; -1.0 }
-        else { val t2 = timeOnce(name, fn); if (t2 < 0) { failed += name; -1.0 } else math.min(t1, t2) }
+      val t2 = if (t1 < 0) -1.0 else timeOnce(name, fn)
+      raw += name -> (t1, t2)
+      // Release every block the query persisted and left behind (dedup
+      // shingle sets, CC round pins): across 106 queries × 2 runs the
+      // leaked blocks compounded into multi-second slowdowns of UNRELATED
+      // late-running queries in the r4 capture (q_win_first_last 0.9 s
+      // isolated vs 7.2 s in-suite). Sequential runner, so this is safe.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      val t = if (t1 < 0 || t2 < 0) { failed += name; -1.0 } else math.min(t1, t2)
       name -> t
     }
     // explicit locale: a comma-decimal default (de_DE etc.) would emit
@@ -51,9 +69,18 @@ object Bench {
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val rawJson = raw.map { case (k, (a, b)) => s"\"" + k + "\":[" + r3(a) + "," + r3(b) + "]" }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // bench-vs-baseline gate: tools/baseline_bench.json is the committed
+    // per-query snapshot of the round-4 driver capture (84.7 s total,
+    // sf0.1, local[32], min-of-2). The ratio compares ONLY queries present
+    // in both runs, so adding new queries in later rounds can't inflate it.
+    val ratioField = baselineRatio(results)
+      .map(r => s""","bench_vs_baseline":${r3(r)},"baseline_file":"tools/baseline_bench.json"""")
+      .getOrElse("")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"raw":$rawJson,"failed":$failedJson$ratioField,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
     println(line)
     // The driver captures a bounded TAIL of stdout (r2 evidence: the full
@@ -62,8 +89,26 @@ object Bench {
     // summary as the LAST line we print: it always fits whole inside any
     // tail buffer, so a line-wise JSON scan finds something parseable;
     // full per-query detail stays in the line above and bench_out.json.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"failed":$failedJson,"sf":"$sfDir","detail":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"failed":$failedJson$ratioField,"sf":"$sfDir","detail":"bench_out.json"}""")
     System.out.flush()
     spark.stop()
+  }
+
+  /** total(this run) / total(baseline) over the queries present in BOTH —
+    * the round-over-round perf gate. None when the baseline file is absent
+    * or no query names overlap (e.g. a SPARK_GRAFT_ONLY diagnostic run of
+    * a query added after the snapshot). */
+  private def baselineRatio(results: Iterable[(String, Double)]): Option[Double] = {
+    val f = java.nio.file.Paths.get("tools/baseline_bench.json")
+    if (!java.nio.file.Files.exists(f)) return None
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(f)).get("queries")
+      val base = scala.collection.mutable.Map[String, Double]()
+      node.fieldNames().forEachRemaining(k => base += k -> node.get(k).asDouble())
+      val shared = results.filter { case (n, t) => t >= 0 && base.contains(n) }
+      if (shared.isEmpty) None
+      else Some(shared.map(_._2).sum / shared.map { case (n, _) => base(n) }.sum)
+    } catch { case _: Throwable => None }
   }
 }

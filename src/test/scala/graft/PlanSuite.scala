@@ -141,10 +141,18 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("Join"), s"unexpected join in map-side op:\n$p")
   }
 
-  test("dedup survivorship: loser list is a broadcast anti join, corpus never shuffles") {
-    val p = planOf("q_dedup_survivors")
+  test("dedup survivorship: AQE broadcast-antis the small loser list (no forced hint)") {
+    // deliberately NO broadcast() hint in the query: at crawl-scale dup
+    // rates (30-50% losers) a forced broadcast OOMs, so the plan must be
+    // AQE-sized — here the loser list is small, so the FINALIZED adaptive
+    // plan (post-execution) should land on a broadcast anti join, while a
+    // huge loser list would legally fall back to a shuffle anti join.
+    val df = SparkEntry.queries("q_dedup_survivors")(spark, sfDir)
+    df.collect() // finalize THIS QueryExecution's adaptive plan (a write
+                 // would execute a fresh one and leave this unfinalized)
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"losers not broadcast-anti-joined in:\n$p")
+      s"AQE did not broadcast the small loser list in:\n$p")
   }
 
   test("mixture resampling: quota dim is broadcast onto the ranked corpus") {
