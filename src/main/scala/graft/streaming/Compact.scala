@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
 /** Small-file compaction for streaming-landed partitioned parquet — the
@@ -15,26 +17,64 @@ import org.apache.spark.sql.functions._
   * output files, assigned by a deterministic hash-salt repartition —
   * rows of one (partition, salt) land in one task → one file, so the
   * shuffle is the only data movement and output sizes track the target.
-  * The rewrite lands via dynamic partition overwrite: per-partition
-  * atomic-ish on local/HDFS committers; on S3 the ManifestSink
-  * commit-before-visibility pattern (ManifestSink.scala) is the
-  * production-grade wrapper.
+  *
+  * All filesystem work goes through the Hadoop `FileSystem` API resolved
+  * from the table's own URI, so the compactor runs unchanged against
+  * `file://`, `hdfs://` or `s3a://` — the operator's entire motivation
+  * is object-store-landed small files (reference src/main.py:70-81
+  * accretes one S3 file per run). The swap is write-beside + two renames:
+  * metadata-atomic on local/HDFS; on S3 rename is copy+delete, so the
+  * production wrapper is the ManifestSink commit-before-visibility
+  * pattern (ManifestSink.scala) — readers follow the manifest, the tree
+  * swap is just storage reclamation.
   */
 object Compact {
 
   final case class CompactStats(filesBefore: Int, filesAfter: Int, rows: Long)
 
-  private def parquetFiles(dir: java.io.File): Seq[java.io.File] = {
-    val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-    kids.filter(_.isFile).filter(_.getName.endsWith(".parquet")) ++
-      kids.filter(_.isDirectory).flatMap(parquetFiles)
+  private def parquetFiles(fs: FileSystem, dir: Path): Seq[(Path, Long)] = {
+    val buf = scala.collection.mutable.ArrayBuffer[(Path, Long)]()
+    val it = fs.listFiles(dir, true) // recursive; one round-trip per 1000
+                                     // entries on object stores
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        buf += st.getPath -> st.getLen
+    }
+    buf.toSeq
   }
 
-  /** Partition-dir key (e.g. "lang=en/year=2024") for a leaf file. */
-  private def partKey(root: java.io.File, f: java.io.File): String = {
-    val rel = root.toPath.relativize(f.toPath.getParent).toString
-    if (rel.isEmpty) "." else rel
+  /** Hive's null/empty partition-value sentinel (the directory name Spark
+    * writes for a null partition column). */
+  private val DefaultPart = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+
+  /** Partition-dir key (e.g. "lang=en/year=2024") for a leaf file, with
+    * each VALUE hive-unescaped so it byte-matches the in-row key built by
+    * `partKeyCol` (directory names percent-encode ' ', '/', '=', ':' …;
+    * the column values do not). */
+  private def partKey(rootUriPath: String, f: Path): String = {
+    val parent = f.getParent.toUri.getPath
+    val rel =
+      if (parent == rootUriPath) "."
+      else parent.stripPrefix(rootUriPath).stripPrefix("/")
+    if (rel == ".") rel
+    else rel.split('/').map { seg =>
+      seg.split("=", 2) match {
+        case Array(c, v) => c + "=" + ExternalCatalogUtils.unescapePathName(v)
+        case _ => seg
+      }
+    }.mkString("/")
   }
+
+  /** In-row partition key matching `partKey`: null and empty-string
+    * values take hive's default-partition sentinel (Spark writes both as
+    * that directory). */
+  private def partKeyCol(partitionCols: Seq[String]) = concat_ws("/",
+    partitionCols.map { c =>
+      val v = col(c).cast("string")
+      concat_ws("=", lit(c),
+        when(v.isNull || v === "", DefaultPart).otherwise(v))
+    }: _*)
 
   /** Compact `root` (a partitioned parquet dataset) so each partition has
     * ceil(partitionBytes / targetBytes) files. Returns before/after file
@@ -42,22 +82,23 @@ object Compact {
   def run(spark: SparkSession, root: String, partitionCols: Seq[String],
           targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
     import spark.implicits._
-    val rootF = new java.io.File(root)
-    val before = parquetFiles(rootF)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootQ = fs.makeQualified(rootPath)
+    val rootUriPath = rootQ.toUri.getPath
+    val before = parquetFiles(fs, rootQ)
     // per-partition byte totals → per-partition output file count k
     val kByPart: Map[String, Int] = before
-      .groupBy(f => partKey(rootF, f))
+      .groupBy { case (p, _) => partKey(rootUriPath, p) }
       .map { case (p, fs) =>
-        p -> math.max(1, math.ceil(fs.map(_.length).sum.toDouble / targetBytes).toInt)
+        p -> math.max(1, math.ceil(fs.map(_._2).sum.toDouble / targetBytes).toInt)
       }
     val df = spark.read.parquet(root)
     val rows = df.count()
     val kDf = kByPart.toSeq.toDF("_part", "_k")
-    val partKeyCol = concat_ws("/",
-      partitionCols.map(c => concat_ws("=", lit(c), col(c).cast("string"))): _*)
     // deterministic salt: same input ⇒ same file assignment (rerun-stable)
     val salted = df
-      .withColumn("_part", partKeyCol)
+      .withColumn("_part", partKeyCol(partitionCols))
       .join(broadcast(kDf), Seq("_part"), "left")
       .na.fill(1, Seq("_k"))
       .withColumn("_salt", pmod(hash(struct(df.columns.toIndexedSeq.map(col): _*)), $"_k"))
@@ -75,19 +116,17 @@ object Compact {
     else salted.repartition(parts: _*))
       .drop("_part", "_k", "_salt")
     // land beside, then swap — readers of `root` never see a half-written
-    // tree (local-FS analogue of the commit-before-visibility rule)
-    val tmp = root.stripSuffix("/") + "_compact_tmp"
-    shaped.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp)
-    val trash = new java.io.File(root.stripSuffix("/") + "_compact_old")
-    delete(trash)
-    require(rootF.renameTo(trash), s"swap-out failed for $root")
-    require(new java.io.File(tmp).renameTo(rootF), s"swap-in failed for $tmp")
-    delete(trash)
-    CompactStats(before.size, parquetFiles(rootF).size, rows)
-  }
-
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
-    f.delete(): Unit
+    // tree (metadata-atomic on local/HDFS; see the S3 note in the scaladoc)
+    // siblings of the qualified root, so scheme+authority survive (an
+    // s3a:// table swaps within its own bucket)
+    val tmp = new Path(rootQ.getParent, rootQ.getName + "_compact_tmp")
+    shaped.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(tmp.toString)
+    val trash = new Path(rootQ.getParent, rootQ.getName + "_compact_old")
+    fs.delete(trash, true)
+    require(fs.rename(rootQ, trash), s"swap-out failed for $root")
+    require(fs.rename(tmp, rootQ), s"swap-in failed for $tmp")
+    fs.delete(trash, true)
+    CompactStats(before.size, parquetFiles(fs, rootQ).size, rows)
   }
 }

@@ -180,4 +180,29 @@ class IngestSuite extends SparkSpec {
     val s4 = Compact.run(spark, dir, Seq("lang"), targetBytes = 1L << 40)
     assert(s3.filesAfter == s4.filesAfter && s4.rows == wantRows)
   }
+
+  test("compaction: hive-escaped and null partition values still size-split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    import graft.streaming.Compact
+    val dir = Files.createTempDirectory("graft_compact_esc_").toString + "/t"
+    // partition values a directory name must percent-encode (space, ':',
+    // '=') plus a null — the dir-derived key and the in-row key must
+    // still byte-match, else _k falls back to 1 and splitting silently
+    // degrades for exactly these partitions
+    val tags: Seq[Option[String]] = Seq(Some("a b"), Some("x:y=z"), None)
+    val df = (0 until 3000).map(i => (i.toLong, tags(i % 3), s"payload $i " * 20))
+      .toDF("id", "tag", "body")
+    df.repartition(8).write.mode("overwrite").partitionBy("tag").parquet(dir)
+    val wantRows = spark.read.parquet(dir).count()
+    val wantSum = spark.read.parquet(dir).agg(sum($"id")).as[Long].head()
+    // tiny target forces k>1 PER PARTITION — a key mismatch would fall
+    // back to k=1 and emit exactly 3 files; a match emits strictly more
+    val s = Compact.run(spark, dir, Seq("tag"), targetBytes = 8 * 1024)
+    assert(s.filesAfter > 3, s"escaped/null partitions fell back to k=1: $s")
+    assert(spark.read.parquet(dir).count() == wantRows)
+    assert(spark.read.parquet(dir).agg(sum($"id")).as[Long].head() == wantSum)
+    // null partition round-trips as null (hive default-partition dir)
+    assert(spark.read.parquet(dir).filter($"tag".isNull).count() == wantRows / 3)
+  }
 }
