@@ -107,9 +107,14 @@ object PagedApi {
     val rows =
       try {
         import scala.jdk.CollectionConverters._
+        // cursor arithmetic stays in Long: a .toInt truncation would
+        // silently serve the wrong slice once a caller-configured
+        // maxRecords pushes the cursor past Int.MaxValue
+        var skipped = 0L
         s.iterator().asScala
           .filter(ln => query.isEmpty || matchesLine(ln, query))
-          .slice(start.toInt, start.toInt + n)
+          .dropWhile(_ => { val drop = skipped < start; if (drop) skipped += 1; drop })
+          .take(n)
           .map { ln =>
             val parts = ln.split("\t", 3)
             fields.map {

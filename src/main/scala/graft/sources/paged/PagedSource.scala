@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringContains}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -118,20 +118,44 @@ class PagedTable(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecord
   * filter evaluated in-plan. */
 class PagedScanBuilder(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecords: Long,
                        baseQuery: PagedApi.Query = PagedApi.Query.All)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit {
 
   private var query: PagedApi.Query = baseQuery
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PagedSource.Schema
+  private var limit: Option[Int] = None
+
+  /** LIMIT k becomes a page-plan bound (≙ the reference's max_results
+    * riding the API request, src/main.py:95-96,136): a bare
+    * `.load().limit(k)` plans ⌈k/pageSize⌉ pages instead of every page
+    * of the (filtered) stream. Fully pushed: the service serves a
+    * deterministic prefix of the filtered stream, which is a legal
+    * LIMIT answer. */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(limit.fold(l)(math.min(_, l)))
+    true
+  }
+
+  /** A query no record matches (min > max) — the pushed form of an
+    * always-false predicate like id > Long.MaxValue. */
+  private val MatchNothing = PagedApi.Query(minId = Some(1L), maxId = Some(0L))
 
   /** A filter the service can evaluate: id-range bounds (≙
-    * start_time/end_time) or text-contains (≙ query keywords). */
+    * start_time/end_time) or text-contains (≙ query keywords). The
+    * strict bounds saturate at the Long extremes instead of wrapping —
+    * id > Long.MaxValue pushed as minId = MinValue would silently match
+    * EVERYTHING, and a pushed filter is never re-checked in-plan. */
   private def asQuery(f: Filter): Option[PagedApi.Query] = f match {
     case EqualTo("id", v: Number) =>
       Some(PagedApi.Query(minId = Some(v.longValue), maxId = Some(v.longValue)))
-    case GreaterThan("id", v: Number) => Some(PagedApi.Query(minId = Some(v.longValue + 1)))
+    case GreaterThan("id", v: Number) =>
+      Some(if (v.longValue == Long.MaxValue) MatchNothing
+           else PagedApi.Query(minId = Some(v.longValue + 1)))
     case GreaterThanOrEqual("id", v: Number) => Some(PagedApi.Query(minId = Some(v.longValue)))
-    case LessThan("id", v: Number) => Some(PagedApi.Query(maxId = Some(v.longValue - 1)))
+    case LessThan("id", v: Number) =>
+      Some(if (v.longValue == Long.MinValue) MatchNothing
+           else PagedApi.Query(maxId = Some(v.longValue - 1)))
     case LessThanOrEqual("id", v: Number) => Some(PagedApi.Query(maxId = Some(v.longValue)))
     case StringContains("text", t) => Some(PagedApi.Query(contains = Seq(t)))
     case _ => None
@@ -149,16 +173,18 @@ class PagedScanBuilder(root: String, pageSize: Int, maxPagesPerTrigger: Int, max
     required = requiredSchema
 
   override def build(): Scan =
-    new PagedScan(root, pageSize, maxPagesPerTrigger, maxRecords, query, required)
+    new PagedScan(root, pageSize, maxPagesPerTrigger, maxRecords, query, required, limit)
 }
 
 class PagedScan(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecords: Long,
-                query: PagedApi.Query, required: StructType) extends Scan {
+                query: PagedApi.Query, required: StructType,
+                limit: Option[Int] = None) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"graft-pages root=$root query=${query.repr} fields=${required.fieldNames.mkString(";")}"
+    s"graft-pages root=$root query=${query.repr} fields=${required.fieldNames.mkString(";")}" +
+      limit.fold("")(l => s" limit=$l")
   override def toBatch: Batch =
-    new PagedBatch(root, pageSize, maxRecords, query, required)
+    new PagedBatch(root, pageSize, maxRecords, query, required, limit)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PagedMicroBatchStream(root, pageSize, maxPagesPerTrigger, maxRecords, query, required)
 }
@@ -167,10 +193,12 @@ class PagedScan(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecords
   * the pages are planned from a single matching-count metadata probe and
   * fetched in parallel across executors. */
 class PagedBatch(root: String, requestedPageSize: Int, maxRecords: Long,
-                 query: PagedApi.Query, required: StructType) extends Batch {
+                 query: PagedApi.Query, required: StructType,
+                 limit: Option[Int] = None) extends Batch {
   private val pageSize = math.min(math.max(requestedPageSize, 1), PagedApi.MaxServerPageSize)
   override def planInputPartitions(): Array[InputPartition] = {
-    val total = math.min(PagedApi.countMatching(root, query), maxRecords)
+    val cap = limit.fold(maxRecords)(l => math.min(maxRecords, l.toLong))
+    val total = math.min(PagedApi.countMatching(root, query), cap)
     Iterator.iterate(0L)(_ + pageSize).takeWhile(_ < total)
       .map(from => PagedInputPartition(root, from, math.min(from + pageSize, total),
         query, required.fieldNames.toSeq): InputPartition)

@@ -165,6 +165,28 @@ class PagedSourceSuite extends SparkSpec {
       s"projection must ride the API request: ${accessLines(root)}")
   }
 
+  test("A1 limit pushdown: .limit(k) plans only ⌈k/pageSize⌉ pages (≙ max_results)") {
+    import spark.implicits._
+    val root = mkApi(1000)
+    val df = spark.read.format("graft-pages")
+      .option("path", root).option("pageSize", "50").option("maxRecords", "100000")
+      .load().limit(120)
+    assert(df.count() == 120)
+    // 120 records at 50/page = 3 pages fetched, not the stream's 20
+    val lines = accessLines(root)
+    assert(lines.size == 3, s"limit must bound the page plan, got ${lines.size}: $lines")
+    assert(pagedScanOf(df).description().contains("limit=120"),
+      "scan description must record the pushed limit")
+    // limit composes with a pushed filter: pages walk the FILTERED stream
+    val root2 = mkApi(1000)
+    val df2 = spark.read.format("graft-pages")
+      .option("path", root2).option("pageSize", "50").option("maxRecords", "100000")
+      .load().filter($"id" >= 900L).limit(60)
+    assert(df2.select($"id").as[Long].collect().sorted.toSeq == (900L until 960L))
+    assert(accessLines(root2).size == 2,
+      s"filtered+limited read must fetch 2 pages: ${accessLines(root2)}")
+  }
+
   test("A1 residual filters stay in-plan: unsupported predicate is not pushed") {
     import spark.implicits._
     val root = mkApi(100)
