@@ -1044,6 +1044,13 @@ object Oracle {
     "q_catalog_pruned" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
          FROM documents WHERE lang IN ('en', 'fr')
-         GROUP BY lang ORDER BY lang"""
+         GROUP BY lang ORDER BY lang""",
+    "q_catalog_external" ->
+      """SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events
+         GROUP BY event_type, day
+         ORDER BY event_type, day"""
   )
 }

@@ -24,6 +24,24 @@ object CatalogOps {
         GROUP BY n_name, r_name
         ORDER BY nation, region""")
     }),
+    // Durable-catalog surface: metastore-level EXTERNAL tables plus the
+    // persistent graft.events view (the ns→µs normalization stored as
+    // view SQL, like a crawler-declared column type). The query runs in
+    // a FRESH session that never saw the registration call — catalog
+    // objects, unlike temp views, are shared metastore state (Glue's
+    // survives-restart semantics at the sandbox's provable ceiling;
+    // CatalogSuite pins the cross-session behavior).
+    "q_catalog_external" -> ((s, d) => {
+      graft.sources.Catalog.registerExternalTables(s, d)
+      val s2 = s.newSession()
+      s2.sql("""
+        SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM graft.events
+        GROUP BY event_type, day
+        ORDER BY event_type, day""")
+    }),
     // Query on the MANAGED lang-partitioned catalog table: the partition
     // predicate prunes at planning time (PlanSuite asserts the pruned
     // file set), so at 100 TB a two-language query reads two partition

@@ -1,0 +1,55 @@
+package graft
+
+import graft.sources.Catalog
+
+/** Durable-catalog semantics (VERDICT r4 #6): external tables and the
+  * persistent events view are METASTORE objects — a second session that
+  * never ran any setup queries them by name, which is the Glue
+  * survives-restart behavior at the ceiling a single-JVM sandbox can
+  * prove (the in-memory metastore is process-scoped; pointing the same
+  * code at a Hive/Glue metastore makes the same objects survive
+  * restarts, no code change). */
+class CatalogSuite extends SparkSpec {
+
+  test("external tables: a fresh session queries graft.* by name, no setup re-run") {
+    Catalog.registerExternalTables(spark, sfDir)
+    val s2 = spark.newSession() // shares the metastore, owns NO temp state
+    val n = s2.sql("SELECT COUNT(*) AS n FROM graft.lineitem").collect()(0).getLong(0)
+    assert(n > 0, "fresh session must see the external table")
+    // the persistent view carries the ns→µs normalization in its SQL:
+    // a session that has never seen graft.Tables reads µs instants
+    val ts = s2.sql("SELECT MIN(ts) FROM graft.events").collect()(0)
+    assert(!ts.isNullAt(0) && ts.get(0).isInstanceOf[java.sql.Timestamp])
+    // temp views are session-scoped by design — the fresh session must
+    // NOT see them (that's the difference the external tables close)
+    Catalog.registerViews(spark, sfDir)
+    assert(spark.catalog.tableExists("graft_lineitem"))
+    assert(!s2.catalog.tableExists("graft_lineitem"),
+      "temp views must not leak across sessions")
+  }
+
+  test("external tables: registration is idempotent; re-pointing replaces") {
+    Catalog.registerExternalTables(spark, sfDir)
+    val before = spark.sql("SHOW TBLPROPERTIES graft.lineitem ('graft.source.dir')")
+      .collect()(0).getString(1)
+    Catalog.registerExternalTables(spark, sfDir) // no-op: same dir
+    val after = spark.sql("SHOW TBLPROPERTIES graft.lineitem ('graft.source.dir')")
+      .collect()(0).getString(1)
+    assert(before == after)
+    // re-point at another scale factor: definitions are replaced (a
+    // crawler re-run), and row counts track the new location
+    val n1 = spark.sql("SELECT COUNT(*) FROM graft.lineitem").collect()(0).getLong(0)
+    Catalog.registerExternalTables(spark, "/root/testdata/sf0.01")
+    val n2 = spark.sql("SELECT COUNT(*) FROM graft.lineitem").collect()(0).getLong(0)
+    assert(n2 > n1, s"sf0.01 must have more rows than sf0.001: $n1 vs $n2")
+    Catalog.registerExternalTables(spark, sfDir) // restore for other suites
+  }
+
+  test("registerViews: O(1) re-entry for an unchanged dir") {
+    Catalog.registerViews(spark, sfDir)
+    val t0 = System.nanoTime()
+    (0 until 1000).foreach(_ => Catalog.registerViews(spark, sfDir))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 200, s"1000 re-registrations took ${ms}ms — not the O(1) fast path")
+  }
+}
