@@ -215,6 +215,85 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star/small-star rounds
+    * (the Kiveris et al. "Connected Components in MapReduce and Beyond"
+    * scheme) — the pointer-doubling variant whose round count grows with
+    * log of component size, NOT graph diameter. `connectedComponents`
+    * above (hash-to-min) is the default: near-dup graphs are unions of
+    * small dense clusters where it converges in 1–3 rounds with one
+    * shuffle each. This is the hardening path for chain-shaped graphs
+    * (diameter ≈ n), where rounds-∝-diameter would be catastrophic.
+    *
+    * Each round: large-star hangs every strictly-larger neighbor of u
+    * onto min(Γ(u) ∪ {u}); small-star re-hangs the smaller neighbors.
+    * The edge set monotonically flattens into stars — (vertex,
+    * component-min) pairs. Both halves are a groupBy-min plus an
+    * equi-join (partial-aggregable, shuffle on vertex id); per-round
+    * results are pinned to explicitly-released persisted RDDs like the
+    * hash-to-min loop, and convergence is detected by a (count, hash)
+    * signature — one tiny driver row per round, labels never collect.
+    *
+    * Returns (labels (vid, lbl), rounds). Semantics identical to
+    * `connectedComponents` — PropertySuite cross-checks both against a
+    * reference union-find. */
+  def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+    val ss = edges.sparkSession
+    import ss.implicits._
+    def pin(df: DataFrame) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (ss.createDataFrame(rdd, df.schema), rdd)
+    }
+    val verts = edges.select($"u").union(edges.select($"v"))
+      .distinct().select($"u".as("vid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // canonical working set: undirected edges oriented (hi → lo), no
+    // self-loops — both star halves preserve this orientation, so the
+    // convergence signature is over a canonical set
+    var (cur, pinned) = pin(
+      edges.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+        .filter($"u" =!= $"v").distinct())
+    def signature(df: DataFrame): (Long, Long) = {
+      // XOR fold, not sum: order-independent, overflow-free under ANSI,
+      // and safe on a DISTINCT edge set (no pair cancels itself)
+      val row = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).collect()(0)
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+    var sig = signature(cur)
+    var rounds = 0
+    var done = sig._1 == 0L // an empty edge set is already converged
+    while (!done) {
+      rounds += 1
+      require(rounds <= maxRounds, s"star CC did not converge in $maxRounds rounds")
+      // large-star over symmetric neighborhoods
+      val nbr = cur.union(cur.select($"v".as("u"), $"u".as("v")))
+      val minsL = nbr.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u".as("cu"), least($"mv", $"u").as("m"))
+      val large = nbr.join(minsL, $"u" === $"cu")
+        .where($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v")) // m ≤ u < v keeps hi → lo
+        .filter($"u" =!= $"v").distinct()
+      // small-star on the (hi → lo) set: per hi endpoint, re-hang its
+      // smaller neighbors (and itself) onto their min
+      val minsS = large.groupBy($"u").agg(min($"v").as("m"))
+        .select($"u".as("cu"), $"m")
+      val small = large.join(minsS, $"u" === $"cu")
+        .select($"v".as("u"), $"m".as("v")) // m = min(Γ⁻) ≤ v keeps hi → lo
+        .union(minsS.select($"cu".as("u"), $"m".as("v")))
+        .filter($"u" =!= $"v").distinct()
+      val (next, nextPin) = pin(small)
+      val nextSig = signature(next) // materializes nextPin
+      pinned.unpersist(blocking = false)
+      cur = next
+      pinned = nextPin
+      done = nextSig == sig
+      sig = nextSig
+    }
+    // stars: every non-root vertex appears exactly once on the hi side
+    val labels = verts.join(cur, $"vid" === $"u", "left")
+      .select($"vid", coalesce($"v", $"vid").as("lbl"))
+    (labels, rounds)
+  }
+
   val qs: Map[String, Q] = Map(
     // MinHash + LSH banding over word-3-gram shingles; exact-Jaccard
     // verify of candidates. Output == the exact q_sim_jaccard pairs that

@@ -102,6 +102,15 @@ object Catalog {
         val wh = java.nio.file.Files.createTempDirectory("graft_warehouse_").toString
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $Db LOCATION '$wh'")
       }
+      // a dead JVM can leave the managed location on disk while the
+      // in-memory catalog forgot the table (the metastore is
+      // process-scoped; the warehouse is not) — those bytes are
+      // unreachable garbage, so clear them before landing
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(spark.catalog.getDatabase(Db).locationUri),
+        tbl.split('.').last)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       graft.Tables.documents(spark, dir)
         .write.mode("overwrite")
         .partitionBy("lang")

@@ -120,6 +120,10 @@ class PropertySuite extends SparkSpec {
       val got = ops.Dedup.connectedComponents(edges.toDF("u", "v"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == ufComponents(edges), s"edges: $edges")
+      // the star variant must agree label-for-label with both
+      val (starDf, _) = ops.Dedup.connectedComponentsStar(edges.toDF("u", "v"))
+      val star = starDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == got, s"star CC disagrees with hash-to-min on: $edges")
     }
   }
 

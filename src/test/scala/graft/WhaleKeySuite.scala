@@ -92,4 +92,21 @@ class WhaleKeySuite extends AnyFunSuite {
       byLbl.head.getLong(1) == spokes + 1L)
     assert(secs < 60, s"whale-hub CC took ${secs}s")
   }
+
+  test("star CC flattens a 1000-link chain in O(log n) rounds, not O(diameter)") {
+    // the pathological shape for hash-to-min: a path graph of diameter
+    // 999 would need ~500 label-propagation rounds; the alternating
+    // large-star/small-star scheme pointer-doubles instead
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val n = 1000L
+    val edges = spark.range(0, n - 1)
+      .select($"id".as("u"), ($"id" + 1L).as("v"))
+    val (labels, rounds) = graft.ops.Dedup.connectedComponentsStar(edges)
+    val byLbl = labels.groupBy($"lbl").count().collect()
+    assert(byLbl.length == 1 && byLbl.head.getLong(0) == 0L &&
+      byLbl.head.getLong(1) == n, s"chain did not collapse to one component: ${byLbl.toSeq}")
+    // 2·log2(1000) ≈ 20; generous headroom, but far below diameter/2
+    assert(rounds <= 30, s"star CC took $rounds rounds on a 1000-chain")
+  }
 }
