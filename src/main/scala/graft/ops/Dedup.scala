@@ -342,13 +342,17 @@ object Dedup {
     // (pigeonhole: ≤3 differing bits leave ≥1 of 4 bytes identical).
     "q_dedup_simhash" -> ((s, d) => {
       import s.implicits._
-      val tf = Tables.documents(s, d)
+      // frequency weighting without a tf table: Σ_occurrences ±1 ==
+      // Σ_distinct-terms ±f (the sign is a function of the term), so the
+      // bit sums aggregate the raw token stream directly — ONE
+      // partial-aggregable shuffle instead of a (doc, term) group-by
+      // followed by a doc group-by
+      val toks = Tables.documents(s, d)
         .select($"doc_id", explode(split($"text", " ")).as("t"))
-        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("f"))
         .withColumn("h", U.h64($"t"))
       val bitSums = (0 until 32).map(k =>
-        sum(when(shiftright($"h", k).bitwiseAND(1) === 1, $"f").otherwise(-$"f")).as(s"b$k"))
-      val sums = tf.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+        sum(when(shiftright($"h", k).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$k"))
+      val sums = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
       val code = (0 until 32).map(k =>
         when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
       val codes = sums.select($"doc_id", code.as("simhash"))
