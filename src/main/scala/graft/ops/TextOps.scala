@@ -42,6 +42,14 @@ object TextOps {
   private val sentimentUdf =
     udf((toks: Seq[String]) => toks.map(t => lexicon.getOrElse(t, 0).toLong).sum)
 
+  /** SQL-registrable form of K1 (raw text in — a pure-SQL user has no
+    * token array); registered as `graft_sentiment` by
+    * `sources.Catalog.registerFunctions`. */
+  val sentimentSqlUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) =>
+      if (text == null) 0L
+      else text.split(" ").iterator.map(t => lexicon.getOrElse(t, 0).toLong).sum)
+
   val qs: Map[String, Q] = Map(
     // J2: tokenization + term counts — the n-gram basis for keyphrases.
     "q_text_tokens" -> ((s, d) => {

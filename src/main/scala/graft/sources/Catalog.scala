@@ -84,6 +84,27 @@ object Catalog {
     Db
   }
 
+  /** Compute catalog statistics for the given `graft.<t>` tables
+    * (row counts + sizes; ≙ Glue column statistics): with stats in the
+    * metastore the PLANNER sizes joins — a dimension under the broadcast
+    * threshold hash-broadcasts at planning time even with AQE off, and
+    * CBO (`spark.sql.cbo.enabled`) can reorder multiway joins. At 100 TB
+    * the stats pass is one metadata-ish scan per table, amortized over
+    * every subsequent query. */
+  def analyzeTables(spark: SparkSession, tables: Seq[String]): Unit =
+    tables.foreach { t =>
+      spark.sql(s"ANALYZE TABLE $Db.$t COMPUTE STATISTICS")
+    }
+
+  /** Register the engine's SQL-callable functions (≙ the reference's
+    * Comprehend sentiment reached FROM SQL): after this,
+    * `SELECT graft_sentiment(text) FROM graft.documents` works for a
+    * pure-SQL user. Idempotent. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    spark.udf.register("graft_sentiment", graft.ops.TextOps.sentimentSqlUdf)
+    ()
+  }
+
   /** Land `documents` as a lang-partitioned MANAGED catalog table and
     * return its name. One-time per (JVM, source dir) — reruns hit the
     * tableExists fast path (≙ the crawler registering a partitioned

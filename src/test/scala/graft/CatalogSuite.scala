@@ -45,6 +45,40 @@ class CatalogSuite extends SparkSpec {
     Catalog.registerExternalTables(spark, sfDir) // restore for other suites
   }
 
+  test("table stats drive a planning-time broadcast, no AQE needed") {
+    Catalog.registerExternalTables(spark, sfDir)
+    Catalog.analyzeTables(spark, Seq("nation", "customer"))
+    // stats landed in the metastore
+    val stats = spark.sql("DESCRIBE EXTENDED graft.nation")
+      .collect().find(_.getString(0) == "Statistics").map(_.getString(1))
+    assert(stats.exists(_.contains("rows")), s"no row stats on graft.nation: $stats")
+    // with AQE off the PLANNER must still broadcast the small dim — it
+    // can only know the size from the catalog stats it just computed
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = spark.sql(
+        """SELECT c_name, n_name FROM graft.customer
+           JOIN graft.nation ON c_nationkey = n_nationkey""")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"stats did not produce a planning-time broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("SQL-registered sentiment function works for a pure-SQL user") {
+    Catalog.registerExternalTables(spark, sfDir)
+    Catalog.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT graft_sentiment('spark is fast not slow') AS s").collect()(0).getLong(0)
+    // spark(2) + fast(2) + slow(-2) = 2
+    assert(r == 2L, s"lexicon fold wrong: $r")
+    val n = spark.sql(
+      """SELECT COUNT(*) FROM graft.documents
+         WHERE graft_sentiment(text) > 0""").collect()(0).getLong(0)
+    assert(n > 0, "SQL UDF over the cataloged corpus returned nothing")
+  }
+
   test("registerViews: O(1) re-entry for an unchanged dir") {
     Catalog.registerViews(spark, sfDir)
     val t0 = System.nanoTime()
