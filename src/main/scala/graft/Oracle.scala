@@ -1051,6 +1051,70 @@ object Oracle {
                 CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events
          GROUP BY event_type, day
-         ORDER BY event_type, day"""
+         ORDER BY event_type, day""",
+    "q_split_train" ->
+      s"""WITH b AS (SELECT doc_id, lang, n_chars,
+                  ${h64Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS b
+                  FROM documents)
+         SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'valid'
+                     ELSE 'test' END AS split,
+                lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_id,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM b GROUP BY 1, 2 ORDER BY split, lang""",
+    "q_text_pii" ->
+      """WITH r AS (SELECT doc_id,
+                text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail-' ||
+                source || '.com call 555-' ||
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+                CAST(doc_id % 250 + 1 AS VARCHAR) AS raw
+              FROM documents)
+         SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(raw,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
+                CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+                CAST(len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+         FROM r ORDER BY doc_id""",
+    "q_url_domains" ->
+      """WITH u AS (SELECT doc_id, lang,
+                regexp_extract('https://' || source || '.example.com/d/' ||
+                  CAST(doc_id AS VARCHAR), 'https?://([^/]+)/', 1) AS domain
+              FROM documents)
+         SELECT domain, COUNT(*) AS n_docs,
+                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(CASE WHEN domain IN ('src1.example.com', 'src3.example.com')
+                          THEN 1 ELSE 0 END AS BIGINT) AS blocked
+         FROM u GROUP BY domain ORDER BY domain""",
+    "q_text_perplexity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+         tf AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+         tot AS (SELECT SUM(c) AS total FROM tf),
+         x AS (SELECT t.doc_id,
+                      CAST(FLOOR(ln(CAST(total AS DOUBLE) / c) * 1000000) AS BIGINT) AS nm
+               FROM tok t JOIN tf USING (tok) CROSS JOIN tot),
+         d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+                      SUM(nm) // COUNT(*) AS avg_nll
+               FROM x GROUP BY doc_id)
+         SELECT doc_id, n_toks, CAST(avg_nll AS BIGINT) AS avg_nll_micros,
+                CASE WHEN avg_nll > 3450000 THEN 'drop' ELSE 'keep' END AS verdict
+         FROM d ORDER BY doc_id""",
+    "q_dedup_lines" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         c AS (SELECT doc_id,
+                      unnest([{'idx': CAST((i - 1) // 3 AS INT),
+                               'line': array_to_string(tk[i:i+2], ' ')}
+                              for i in range(1, len(tk) + 1, 3)]) AS u
+               FROM t),
+         l AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM c),
+         r AS (SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+               FROM l)
+         SELECT doc_id, COUNT(*) AS n_lines,
+                CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY idx), '') AS kept_text
+         FROM r GROUP BY doc_id ORDER BY doc_id"""
   )
 }

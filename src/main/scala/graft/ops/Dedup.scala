@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables, U}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale dedup suite — the training-data-pipeline extensions
@@ -335,6 +336,33 @@ object Dedup {
       Tables.documents(s, d)
         .join(losers, $"doc_id" === $"loser_id", "left_anti")
         .select($"doc_id", $"lang", $"source")
+        .orderBy("doc_id")
+    }),
+    // Line-level exact dedup (the C4 preprocessing rule): the corpus is
+    // chopped into fixed 3-token "lines"; each distinct line survives
+    // only at its globally-first occurrence (min doc_id, then position),
+    // and every doc is rebuilt from its surviving lines — boilerplate
+    // that recurs across pages vanishes everywhere but once. One shuffle
+    // on the line key (at 100 TB the window key is effectively
+    // h64(line); the row carries the text either way), then one per-doc
+    // aggregation; rebuild order is restored by sorting the collected
+    // (idx, line) structs, never by collect_list arrival order.
+    "q_dedup_lines" -> ((s, d) => {
+      import s.implicits._
+      val lines = Tables.documents(s, d)
+        .withColumn("toks", split($"text", " "))
+        .select($"doc_id", posexplode(expr(
+          "transform(sequence(1, size(toks), 3), i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .as(Seq("idx", "line")))
+      val w = Window.partitionBy($"line").orderBy($"doc_id", $"idx")
+      lines
+        .withColumn("rn", row_number().over(w))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+          array_join(expr(
+            "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN struct(idx, line) END)), x -> x.line)"),
+            " ").as("kept_text"))
         .orderBy("doc_id")
     }),
     // SimHash: 32-bit signature from token-frequency-weighted hash bits;

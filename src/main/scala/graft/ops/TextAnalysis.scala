@@ -202,6 +202,94 @@ object TextAnalysis {
           when($"top2_ppm" > 200000 || $"top3_ppm" > 180000, "drop").otherwise("keep"))
         .orderBy("doc_id")
     }),
+    // Deterministic train/valid/test split: hash-bucket the stable doc
+    // key into 80/10/10 — the reproducible holdout assignment every
+    // training pipeline needs (seed-free: same corpus ⇒ same split on
+    // any cluster size, unlike randomSplit whose assignment depends on
+    // partitioning). Pure map-side classify + one aggregation shuffle.
+    "q_split_train" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("b", U.h64(concat(lit("split:"), $"doc_id")) % 1000)
+        .withColumn("split",
+          when($"b" < 800, "train").when($"b" < 900, "valid").otherwise("test"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_id"),
+          sum($"n_chars").as("total_chars"))
+        .orderBy("split", "lang")
+    }),
+    // PII redaction: email / phone / IPv4 detection counts + masked text
+    // (the pre-training privacy scrub). The corpus is synthetic word
+    // soup, so deterministic PII is spliced in from the doc's own key
+    // columns first — identically in the oracle — then redacted by the
+    // same three regexes. Pure map-side (regex per row, no shuffle but
+    // the final ORDER BY), flat O(corpus) at 100 TB.
+    "q_text_pii" -> ((s, d) => {
+      import s.implicits._
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\b\\d{3}-\\d{4}\\b"
+      Tables.documents(s, d)
+        .withColumn("raw", concat($"text",
+          lit(" contact u"), $"doc_id".cast("string"),
+          lit("@mail-"), $"source", lit(".com call 555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), ($"doc_id" % 200).cast("string"),
+          lit(".0."), (($"doc_id" % 250) + 1).cast("string")))
+        .select($"doc_id",
+          regexp_replace(regexp_replace(regexp_replace($"raw",
+            email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("redacted"),
+          size(regexp_extract_all($"raw", lit(email), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all($"raw", lit(phone), lit(0))).cast("long").as("n_phones"),
+          size(regexp_extract_all($"raw", lit(ip), lit(0))).cast("long").as("n_ips"))
+        .orderBy("doc_id")
+    }),
+    // Per-domain corpus stats + blocklist verdict: extract the host from
+    // each doc's (synthesized) source URL, aggregate doc/lang counts per
+    // domain, and flag deny-listed domains — the domain-level filtering
+    // step of a web-crawl pipeline (the deny-list is a broadcast dim at
+    // real scale, inline here). One aggregation shuffle on domain.
+    "q_url_domains" -> ((s, d) => {
+      import s.implicits._
+      val deny = Seq("src1.example.com", "src3.example.com")
+        .toDF("domain").withColumn("blocked", lit(1L))
+      Tables.documents(s, d)
+        .withColumn("url", concat(lit("https://"), $"source",
+          lit(".example.com/d/"), $"doc_id".cast("string")))
+        .withColumn("domain", regexp_extract($"url", "https?://([^/]+)/", 1))
+        .join(broadcast(deny), Seq("domain"), "left")
+        .groupBy($"domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"lang").as("n_langs"),
+          max(coalesce($"blocked", lit(0L))).as("blocked"))
+        .orderBy("domain")
+    }),
+    // Unigram-LM perplexity filter (the CCNet quality-scoring shape): LM
+    // = corpus unigram frequencies; per-doc score = mean negative log
+    // likelihood, micro-scaled to int64 BEFORE aggregation so the sum is
+    // exact and order-free (ln() is evaluated only on the ~vocab-many
+    // distinct (c, total) integer pairs, so cross-engine libm agreement
+    // is per-value, never per-sum). High-NLL docs (rare-token soup) are
+    // dropped. Two-phase at 100 TB: tf is a vocab-sized aggregate
+    // (Heaps' law), joined back on the token key; total arrives as a
+    // broadcast scalar.
+    "q_text_perplexity" -> ((s, d) => {
+      import s.implicits._
+      val tok = Tables.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      val tf = tok.groupBy($"tok").agg(count(lit(1)).as("c"))
+      val tot = tf.agg(sum($"c").as("total"))
+      tok.join(tf, "tok")
+        .crossJoin(broadcast(tot))
+        .withColumn("nm", floor(log($"total".cast("double") / $"c") * 1000000))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum($"nm").as("sum_nll"))
+        .select($"doc_id", $"n_toks",
+          expr("sum_nll div n_toks").as("avg_nll_micros"),
+          when(expr("sum_nll div n_toks") > 3450000, "drop")
+            .otherwise("keep").as("verdict"))
+        .orderBy("doc_id")
+    }),
     // Domain-mixture resampling: the largest subsample whose language
     // mix EXACTLY matches target ppm weights (no upsampling) — the
     // mixture-rebalancing step before pretraining. T = max total s.t.

@@ -38,7 +38,9 @@ class EdgeCaseSuite extends SparkSpec {
     "q_text_langid", "q_text_scrub", "q_text_fingerprint", "q_text_repetition",
     "q_text_tfidf", "q_text_bpe", "q_decontaminate", "q_dedup_exact",
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram", "q_dedup_cluster",
-    "q_sample_hash", "q_sample_mixture", "q_pipeline_curate", "q_text_sentiment")
+    "q_sample_hash", "q_sample_mixture", "q_pipeline_curate", "q_text_sentiment",
+    "q_split_train", "q_text_pii", "q_url_domains", "q_text_perplexity",
+    "q_dedup_lines")
 
   test("every documents-table query survives a corpus of 0–6-token docs") {
     documentQueries.foreach { key =>

@@ -266,4 +266,47 @@ class OperatorSuite extends SparkSpec {
         s"$l: kept ${kept.getOrElse(l, 0L)} != quota $kTarget (obs ${nObs(l)})")
     }
   }
+
+  test("q_dedup_lines: every distinct line survives exactly once; counts conserve") {
+    import spark.implicits._
+    val lines = Tables.documents(spark, sfDir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks), 3), i -> concat_ws(' ', slice(toks, i, 3)))"))
+        .as("line"))
+    val totalLines = lines.count()
+    val distinctLines = lines.select($"line").distinct().count()
+    val res = ops.Dedup.qs("q_dedup_lines")(spark, sfDir)
+      .agg(sum($"n_lines"), sum($"n_kept")).collect()(0)
+    assert(res.getLong(0) == totalLines,
+      s"n_lines sum ${res.getLong(0)} != corpus chunk count $totalLines")
+    assert(res.getLong(1) == distinctLines,
+      s"n_kept sum ${res.getLong(1)} != distinct line count $distinctLines")
+  }
+
+  test("q_text_pii: every doc's spliced PII is found and fully masked") {
+    val rows = ops.TextAnalysis.qs("q_text_pii")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val red = r.getString(1)
+      assert(r.getLong(2) >= 1 && r.getLong(3) >= 1 && r.getLong(4) >= 1,
+        s"doc ${r.getLong(0)}: missed a spliced PII form")
+      assert(!red.contains("@mail-") && !red.contains("555-"),
+        s"doc ${r.getLong(0)}: PII leaked through redaction: $red")
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"))
+    }
+  }
+
+  test("q_split_train: split is exhaustive, disjoint, and rerun-stable") {
+    import spark.implicits._
+    val res = ops.TextAnalysis.qs("q_split_train")(spark, sfDir).collect()
+    val bySplit = res.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = Tables.documents(spark, sfDir).count()
+    assert(bySplit.values.sum == total, "splits must partition the corpus")
+    assert(bySplit.keySet == Set("train", "valid", "test"))
+    // 80/10/10 within a loose tolerance at sf0.001 (hash-multinomial)
+    assert(bySplit("train") > total * 6 / 10, s"train too small: $bySplit")
+    val again = ops.TextAnalysis.qs("q_split_train")(spark, sfDir).collect()
+    assert(res.map(_.toString).toSeq == again.map(_.toString).toSeq, "split must be deterministic")
+  }
 }
