@@ -1115,6 +1115,26 @@ object Oracle {
          SELECT doc_id, COUNT(*) AS n_lines,
                 CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY idx), '') AS kept_text
-         FROM r GROUP BY doc_id ORDER BY doc_id"""
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "q_layout_zorder" ->
+      """WITH k0 AS (SELECT CAST(l_partkey AS BIGINT) AS x,
+                  CAST(l_suppkey AS BIGINT) AS y FROM lineitem),
+         b AS (SELECT MIN(x) AS xmn, MAX(x) AS xmx, MIN(y) AS ymn, MAX(y) AS ymx FROM k0),
+         k AS (SELECT x AS xr, y AS yr,
+                      (x - xmn) * 65535 // greatest(xmx - xmn, 1) AS x,
+                      (y - ymn) * 65535 // greatest(ymx - ymn, 1) AS y
+               FROM k0 CROSS JOIN b),
+         a1 AS (SELECT xr, yr, ((x | (x << 8)) & 16711935) AS xa,
+                      ((y | (y << 8)) & 16711935) AS ya FROM k),
+         a2 AS (SELECT xr, yr, ((xa | (xa << 4)) & 252645135) AS xb,
+                      ((ya | (ya << 4)) & 252645135) AS yb FROM a1),
+         a3 AS (SELECT xr, yr, ((xb | (xb << 2)) & 858993459) AS xc,
+                      ((yb | (yb << 2)) & 858993459) AS yc FROM a2),
+         a4 AS (SELECT xr, yr, ((xc | (xc << 1)) & 1431655765) AS xd,
+                      ((yc | (yc << 1)) & 1431655765) AS yd FROM a3),
+         z AS (SELECT xr, yr, (xd | (yd << 1)) >> 24 AS bucket FROM a4)
+         SELECT bucket, COUNT(*) AS n, MIN(xr) AS x_min, MAX(xr) AS x_max,
+                MIN(yr) AS y_min, MAX(yr) AS y_max
+         FROM z GROUP BY bucket ORDER BY bucket"""
   )
 }

@@ -170,4 +170,36 @@ object Stateful {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(milestoneFold _)
   }
+
+  /** §2.I6e — the same per-user counters on Spark 4's `transformWithState`
+    * operator (the arbitrary-state API that replaces mapGroupsWithState:
+    * named state variables, per-variable TTL, timers, and RocksDB-only
+    * state). The fold is the shared O(1)-heap incremental one, so results
+    * are batch-identical for any event arrival order; StreamingSuite I6e
+    * asserts equality with the batch oracle. */
+  class CountersProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Ev, (Long, UserState)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[UserState] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("counters",
+        org.apache.spark.sql.Encoders.product[UserState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, UserState)] = {
+      val next = fold(
+        if (st.exists()) st.get()
+        else UserState(0L, 0L, null, Long.MinValue, Long.MinValue), rows)
+      st.update(next)
+      Iterator.single((user, next))
+    }
+  }
+
+  def userCountersTws(events: Dataset[Ev]): Dataset[(Long, UserState)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new CountersProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
 }

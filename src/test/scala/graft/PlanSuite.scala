@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions.sum
 
 /** Physical-plan audits (SURVEY.md §4): the properties that make these
   * plans survive a 100× scale-up — column pruning reaching the scan,
@@ -160,5 +161,36 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin"), s"quota dim not broadcast in:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"corpus side shuffled for a 5-row dim join:\n$p")
+  }
+
+  test("runtime bloom filter: selective dim predicate injects a row filter on the fact side") {
+    // The 100 TB shape this pins: a shuffle join whose dim side carries a
+    // selective predicate should pre-filter the FACT side with a bloom
+    // filter built from the dim keys (Spark's InjectRuntimeFilter), so
+    // most fact rows die before the shuffle instead of after it. Local
+    // thresholds are lowered because the test tables are tiny; the rule
+    // and plan shape are exactly what a real cluster would produce.
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select($"l_partkey", $"l_quantity")
+      val dim = spark.read.parquet(s"$sfDir/part.parquet")
+        .filter($"p_brand" === "Brand#13")
+        .select($"p_partkey", $"p_brand")
+      val joined = fact.join(dim, $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand").agg(sum($"l_quantity").as("q"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected on the fact scan in:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }

@@ -101,6 +101,48 @@ class StreamingSuite extends SparkSpec {
     }
   }
 
+  test("I6e transformWithState counters == batch (Spark 4 arbitrary-state API)") {
+    // same per-user fold on the replacement for mapGroupsWithState:
+    // named ValueState variables with per-variable TTL, timers, and
+    // RocksDB-backed state (the operator requires that provider) — the
+    // forward-looking form of §2.I6. Results must equal the batch oracle
+    // for ANY micro-batch split, like every other stateful variant.
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Stateful.eventsDs(spark, sfDir).collect().toSeq
+      val (b1, b2) = evs.splitAt(evs.length / 3)
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Ev]
+      val q = Stateful.userCountersTws(mem.toDS())
+        .map { case (u, st) => (u, st.n_events, st.value_c, st.last_type) }
+        .toDF("user_id", "n_events", "value_c", "last_type")
+        .writeStream.format("memory").queryName("tws_sink")
+        .outputMode(OutputMode.Update()).start()
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"batch_ord".desc)
+      val got = spark.table("tws_sink")
+        .withColumn("batch_ord", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select("user_id", "n_events", "value_c", "last_type")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val want = ops.Streaming.qs("q_stream_stateful")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(got == want)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("I5 streaming dedup drops re-delivered event_ids across batches") {
     import spark.implicits._
     val e1 = Ev(1L, microsOf(0), 10L, "click", 100L)
