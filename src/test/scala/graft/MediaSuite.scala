@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{Media, Ppm}
+import graft.multimodal.{Media, Ppm, Vid}
 
 /** The real multimodal codec (VERDICT r3 next-#7): a dependency-free
   * binary-PPM decoder exercised on hand-authored fixture bytes, plus
@@ -98,6 +98,56 @@ class MediaSuite extends SparkSpec {
       assert(f.duration_micros > 0 && f.peak >= 0 && f.peak <= 32767)
       assert(f.rms_micros <= f.peak.toLong * 1000000,
         s"rms above peak for ${f.doc_id}")
+    }
+  }
+
+  test("GVID encode/decode round-trips; strict rejection of malformed containers") {
+    def frame(seed: Int): Array[Byte] =
+      Ppm.encode(Ppm.Image(4, 3, Array.tabulate(36)(i => ((i * 31 + seed) % 251).toByte)))
+    val v = Vid.Video(12, Array(frame(1), frame(2), frame(3)))
+    val bytes = Vid.encode(v)
+    val back = Vid.decode(bytes)
+    assert(back.fps == 12 && back.frames.length == 3)
+    assert(back.frames.zip(v.frames).forall { case (a, b) => a.sameElements(b) })
+    assert(back.durationMicros == 3L * 1000000L / 12)
+    def bad(b: Array[Byte]): Unit =
+      assertThrows[IllegalArgumentException](Vid.decode(b))
+    bad("NOPE".getBytes ++ bytes.drop(4))      // bad magic
+    bad(bytes.take(10))                        // truncated header
+    bad(bytes.dropRight(5))                    // frame bytes shorter than index
+    bad(bytes ++ Array[Byte](0))               // trailing junk past the index
+  }
+
+  test("GVID sampling decodes ONLY the sampled frames (index-driven random access)") {
+    def frame(seed: Int): Array[Byte] =
+      Ppm.encode(Ppm.Image(4, 3, Array.tabulate(36)(i => ((i * 17 + seed) % 251).toByte)))
+    // frame 1 of 4 is CORRUPT (index intact, payload garbage): a full
+    // strict decode must reject the container, but sampling k=2 picks
+    // frames 0 and 2 and must sail past the bad bytes untouched
+    val corrupt = Array.fill(frame(9).length)(0x7f.toByte)
+    val bytes = Vid.encode(Vid.Video(6, Array(frame(0), corrupt, frame(2), frame(3))))
+    assertThrows[IllegalArgumentException](Vid.decode(bytes))
+    val sampled = Vid.sampleFrames(bytes, 2)
+    assert(sampled.map(_._1).toSeq == Seq(0, 2), s"picked ${sampled.map(_._1).toSeq}")
+    assert(sampled.forall(_._2.width == 4))
+    // k >= frame count degrades to every frame — and then the corrupt one throws
+    assertThrows[IllegalArgumentException](Vid.sampleFrames(bytes, 4))
+  }
+
+  test("video pipeline: index-driven features are deterministic, duration consistent") {
+    val feats = graft.multimodal.Media.extractVideoFeatures(
+      graft.multimodal.Media.loadVideo(spark, sfDir)).collect()
+    assert(feats.nonEmpty)
+    val again = graft.multimodal.Media.extractVideoFeatures(
+      graft.multimodal.Media.loadVideo(spark, sfDir)).collect()
+    assert(feats.map(f => (f.doc_id, f.scene_delta_micros)).sorted.toSeq ==
+      again.map(f => (f.doc_id, f.scene_delta_micros)).sorted.toSeq)
+    feats.foreach { f =>
+      assert(f.n_frames >= 3 && f.n_frames <= 8)
+      assert(f.n_sampled <= 3 && f.n_sampled >= 1)
+      assert(f.duration_micros == f.n_frames.toLong * 1000000L / f.fps)
+      assert(f.frame_means_micros.forall(m => m >= 0 && m <= 255000000L))
+      assert(f.scene_delta_micros >= 0 && f.scene_delta_micros <= 255000000L)
     }
   }
 }
