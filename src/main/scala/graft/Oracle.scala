@@ -1116,6 +1116,49 @@ object Oracle {
                 CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY idx), '') AS kept_text
          FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "q_pipeline_curate2" ->
+      s"""WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+         tok AS (SELECT doc_id, unnest(tk) AS tok FROM docs),
+         tf AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+         tot AS (SELECT SUM(c) AS total FROM tf),
+         nm AS (SELECT t.doc_id,
+                       CAST(FLOOR(ln(CAST(total AS DOUBLE) / c) * 1000000) AS BIGINT) AS v
+                FROM tok t JOIN tf USING (tok) CROSS JOIN tot),
+         pass1 AS (SELECT doc_id FROM nm GROUP BY doc_id
+                   HAVING SUM(v) // COUNT(*) <= 3450000),
+         y AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nt,
+                      ['2:' || tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))] AS g2,
+                      ['3:' || tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)] AS g3
+               FROM docs WHERE len(tk) >= 3),
+         e AS (SELECT doc_id, nt, unnest(list_concat(g2, g3)) AS g FROM y),
+         gc AS (SELECT doc_id, nt, g, COUNT(*) AS c FROM e GROUP BY 1, 2, 3),
+         m AS (SELECT doc_id, nt,
+                      MAX(CASE WHEN g LIKE '2:%' THEN c END) AS c2,
+                      MAX(CASE WHEN g LIKE '3:%' THEN c END) AS c3
+               FROM gc GROUP BY 1, 2),
+         pass2 AS (SELECT doc_id FROM m
+                   WHERE CAST(floor(CAST(c2 AS DOUBLE) * 1000000 / (nt - 1)) AS BIGINT) <= 200000
+                     AND CAST(floor(CAST(c3 AS DOUBLE) * 1000000 / (nt - 2)) AS BIGINT) <= 180000),
+         kept AS (SELECT * FROM docs
+                  WHERE doc_id IN (SELECT doc_id FROM pass1)
+                    AND doc_id IN (SELECT doc_id FROM pass2)),
+         ch AS (SELECT doc_id, lang,
+                       unnest([{'idx': CAST((i - 1) // 3 AS INT),
+                                'line': array_to_string(tk[i:i+2], ' ')}
+                               for i in range(1, len(tk) + 1, 3)]) AS u
+                FROM kept),
+         l AS (SELECT doc_id, lang, u.idx AS idx, u.line AS line FROM ch),
+         r AS (SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+               FROM l),
+         sp AS (SELECT *, CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'valid'
+                                ELSE 'test' END AS split
+                FROM (SELECT *, ${h64Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS h
+                      FROM r))
+         SELECT split, lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                COUNT(*) AS n_lines,
+                CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(SUM(CASE WHEN rn = 1 THEN length(line) ELSE 0 END) AS BIGINT) AS kept_chars
+         FROM sp GROUP BY split, lang ORDER BY split, lang""",
     "q_layout_zorder" ->
       """WITH k0 AS (SELECT CAST(l_partkey AS BIGINT) AS x,
                   CAST(l_suppkey AS BIGINT) AS y FROM lineitem),
