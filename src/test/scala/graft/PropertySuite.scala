@@ -140,4 +140,50 @@ class PropertySuite extends SparkSpec {
       }
     }
   }
+
+  test("PII redaction is idempotent and leaves clean text untouched") {
+    // the regex chain the query uses; masks must never re-match
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b\\d{3}-\\d{4}\\b"
+    def redact(s: String): String = s
+      .replaceAll(email, "<EMAIL>").replaceAll(ip, "<IP>").replaceAll(phone, "<PHONE>")
+    val piiGen = Gen.oneOf(
+      "call 555-0134 now", "bob.a@ex-1.com wrote", "from 10.1.2.3 at dawn",
+      "x@y.io or 10.0.0.1 or 555-9999", "plain words only here")
+    forAll(Gen.zip(docGen, piiGen), n = 50) { case (doc, pii) =>
+      val s = s"$doc $pii $doc"
+      val once = redact(s)
+      assert(redact(once) == once, s"redaction not idempotent on: $s")
+      assert(!once.contains("@") || once.contains("<EMAIL>"))
+      assert(redact(doc) == doc, s"clean word-soup doc was altered: $doc")
+    }
+  }
+
+  test("z16 Morton interleave preserves prefix locality (shared z-prefix bounds both keys)") {
+    import spark.implicits._
+    val pairs = Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L))
+    val rows = (0 until 200).flatMap(i =>
+      pairs.apply(Gen.Parameters.default, Seed(i.toLong))).toList
+    val got = rows.toDF("x", "y")
+      .select($"x", $"y", ops.Layout.z16($"x", $"y").as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) =>
+      // de-interleave must recover the inputs exactly (bijectivity)
+      var xi = 0L; var yi = 0L
+      (0 until 16).foreach { k =>
+        xi |= ((z >> (2 * k)) & 1L) << k
+        yi |= ((z >> (2 * k + 1)) & 1L) << k
+      }
+      assert(xi == x && yi == y, s"z16 not bijective at ($x,$y) -> $z")
+      // sharing the top-8 z-prefix pins the top-4 bits of EACH key:
+      // any two such points differ by < 4096 in both coordinates
+      val bucket = z >> 24
+      got.filter { case (_, _, z2) => (z2 >> 24) == bucket }.foreach {
+        case (x2, y2, _) =>
+          assert(math.abs(x2 - x) < 4096 && math.abs(y2 - y) < 4096,
+            s"bucket $bucket spans ($x,$y)..($x2,$y2)")
+      }
+    }
+  }
 }
