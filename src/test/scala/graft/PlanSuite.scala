@@ -163,6 +163,28 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       s"corpus side shuffled for a 5-row dim join:\n$p")
   }
 
+  test("pii redaction: pure map-side — no shuffle except the output sort") {
+    val p = planOf("q_text_pii")
+    val exchanges = "(?i)Exchange (hash|range|single)partitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"pii redaction introduced extra shuffles:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in map-side op:\n$p")
+  }
+
+  test("perplexity: token-frequency join is a hash equi-join; corpus total is broadcast") {
+    val p = planOf("q_text_perplexity")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus-total scalar not broadcast in:\n$p") // 1-row total rides a broadcast
+    assert(!p.contains("CartesianProduct"), s"cartesian in perplexity plan:\n$p")
+  }
+
+  test("zorder query: the min/max bounds ride a 1-row broadcast, no extra shuffles") {
+    val p = planOf("q_layout_zorder")
+    assert(!p.contains("CartesianProduct"), s"bounds joined via cartesian:\n$p")
+    val exchanges = "(?i)Exchange (hash|range|single)partitioning".r.findAllIn(p).size
+    // bounds agg + bucket agg + output sort
+    assert(exchanges <= 4, s"zorder plan shuffles too much:\n$p")
+  }
+
   test("runtime bloom filter: selective dim predicate injects a row filter on the fact side") {
     // The 100 TB shape this pins: a shuffle join whose dim side carries a
     // selective predicate should pre-filter the FACT side with a bloom
