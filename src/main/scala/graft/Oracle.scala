@@ -1116,6 +1116,14 @@ object Oracle {
                 CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY idx), '') AS kept_text
          FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "q_fuzzy_match" ->
+      """WITH n AS (SELECT DISTINCT lower(p_name) AS nm FROM part)
+         SELECT a.nm AS n1, b.nm AS n2,
+                CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+         FROM n a JOIN n b
+           ON a.nm < b.nm AND abs(length(a.nm) - length(b.nm)) <= 2
+         WHERE levenshtein(a.nm, b.nm) <= 2
+         ORDER BY n1, n2""",
     "q_pipeline_curate2" ->
       s"""WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
          tok AS (SELECT doc_id, unnest(tk) AS tok FROM docs),

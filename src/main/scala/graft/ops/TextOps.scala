@@ -87,6 +87,28 @@ object TextOps {
           when($"score" > 0, "pos").when($"score" < 0, "neg").otherwise("neu").as("mood"))
         .orderBy("doc_id")
     }),
+    // Fuzzy string matching (entity resolution): confusable pairs in the
+    // DISTINCT name dictionary at edit distance <= 2, found by a char-
+    // 2-gram bucket join + exact levenshtein verify — never the n^2
+    // nested loop the oracle uses (their equality proves the blocking
+    // lossless: q-gram count filter, shared bigrams >= (len-1) - 2*q*k
+    // >= 1 for len >= 7, and part names are >= 7 chars). Scale shape:
+    // the dictionary is vocab-sized (Heaps' law, 64 names here vs 2000
+    // rows), so the bucket join runs on the dictionary and results map
+    // back to the corpus via an equi-join.
+    "q_fuzzy_match" -> ((s, d) => {
+      import s.implicits._
+      val names = Tables.part(s, d).select(lower($"p_name").as("nm")).distinct()
+      val grams = names.select($"nm", explode(expr(
+        "array_distinct(transform(sequence(1, length(nm) - 1), i -> substring(nm, i, 2)))")).as("g"))
+      grams.as("a").join(grams.as("b"),
+          $"a.g" === $"b.g" && $"a.nm" < $"b.nm")
+        .select($"a.nm".as("n1"), $"b.nm".as("n2")).distinct()
+        .filter(abs(length($"n1") - length($"n2")) <= 2)
+        .withColumn("dist", levenshtein($"n1", $"n2").cast("long"))
+        .filter($"dist" <= 2)
+        .orderBy("n1", "n2")
+    }),
     // J5: exact dedup — canonical keeper (min doc_id) per identical text;
     // md5 group key so the shuffle carries 16 bytes, not the document.
     "q_dedup_exact" -> ((s, d) => {
