@@ -1116,6 +1116,24 @@ object Oracle {
                 CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY idx), '') AS kept_text
          FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "q_agg_outliers" ->
+      """WITH e AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS x
+                 FROM events),
+         st AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(x) AS HUGEINT) AS sum_c,
+                       CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ssq
+                FROM e GROUP BY event_type),
+         j AS (SELECT e.event_type, x, (CAST(x AS HUGEINT) * n - sum_c) AS dev,
+                      n, sum_c, ssq
+               FROM e JOIN st USING (event_type)),
+         o AS (SELECT event_type, x,
+                      CASE WHEN 4 * dev * dev > 9 * (n * ssq - sum_c * sum_c)
+                           THEN 1 ELSE 0 END AS is_out
+               FROM j)
+         SELECT event_type, COUNT(*) AS n_events,
+                CAST(SUM(is_out) AS BIGINT) AS n_outliers,
+                MAX(CASE WHEN is_out = 1 THEN x END) AS max_outlier_cents
+         FROM o GROUP BY event_type ORDER BY event_type""",
     "q_fuzzy_match" ->
       """WITH n AS (SELECT DISTINCT lower(p_name) AS nm FROM part)
          SELECT a.nm AS n1, b.nm AS n2,

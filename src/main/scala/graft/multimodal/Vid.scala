@@ -4,7 +4,10 @@ import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets.US_ASCII
 
 /** Dependency-free indexed video container — the third modality of the
-  * multimodal pipeline (image [[Ppm]], audio [[Wav]], video here). The
+  * multimodal pipeline (image [[Ppm]], audio [[Wav]], video here; the
+  * reference's media surface is the tweet `entities`/`context_annotations`
+  * attachment model, reference src/main.py:90, and the BinaryType-column
+  * posture is the BASELINE north star's multimodal extension). The
   * format mirrors the structure of real frame-indexed containers
   * (MJPEG-in-AVI, fMP4 with an index box): a fixed header, a frame
   * INDEX of (offset-implied) lengths, then the frame payloads — each

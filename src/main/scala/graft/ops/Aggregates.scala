@@ -58,6 +58,33 @@ object Aggregates {
         .agg(sum($"n").as("n"), sum($"value_micros").as("value_micros"))
         .orderBy("event_type")
     }),
+    // Per-group outlier detection with EXACT integer moment math — the
+    // classically floating-point op (|x − μ| > kσ) done deterministically:
+    // the test (x·n − Σx)² · 4 > 9 · (n·Σx² − (Σx)²) is |x−μ| > 1.5σ
+    // cleared of every division and sqrt (k = 1.5 because the uniform-ish
+    // value column HAS no 2σ tail), evaluated in decimal(38,0) so the
+    // ~1e19 intermediates never overflow or round. Two-phase at scale:
+    // the moment table is group-cardinality-sized and broadcast back;
+    // count/sum/sum-of-squares are all partial-aggregable.
+    "q_agg_outliers" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_type", U.cents($"value").cast("decimal(38,0)").as("x"))
+      val st = ev.groupBy($"event_type").agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum($"x").as("sum_c"),
+        sum($"x" * $"x").as("ssq"))
+      ev.join(broadcast(st), "event_type")
+        .withColumn("dev", $"x" * $"n" - $"sum_c")
+        .withColumn("is_out",
+          (lit(4) * $"dev" * $"dev" > lit(9) * ($"n" * $"ssq" - $"sum_c" * $"sum_c"))
+            .cast("int").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"is_out").as("n_outliers"),
+          max(when($"is_out" === 1, $"x".cast("long"))).as("max_outlier_cents"))
+        .orderBy("event_type")
+    }),
     // D3: distinct aggregation (expand + two-phase plan).
     "q_agg_distinct" -> ((s, d) => {
       import s.implicits._
