@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringContains}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -178,7 +178,8 @@ class PagedScanBuilder(root: String, pageSize: Int, maxPagesPerTrigger: Int, max
 
 class PagedScan(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecords: Long,
                 query: PagedApi.Query, required: StructType,
-                limit: Option[Int] = None) extends Scan {
+                limit: Option[Int] = None)
+  extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-pages root=$root query=${query.repr} fields=${required.fieldNames.mkString(";")}" +
@@ -187,6 +188,25 @@ class PagedScan(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecords
     new PagedBatch(root, pageSize, maxRecords, query, required, limit)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PagedMicroBatchStream(root, pageSize, maxPagesPerTrigger, maxRecords, query, required)
+
+  /** Planning-time size report (the DSv2 contract Catalyst's join
+    * sizing reads): rows = the same matching-count metadata probe the
+    * batch planner uses, clamped by the maxRecords cap and any pushed
+    * limit; bytes = rows × schema default widths. Without this a DSv2
+    * scan defaults to "unknown = huge", so a 100-row capped API read
+    * could never auto-broadcast — with it, Catalyst puts the capped
+    * scan on the broadcast side of a join exactly as it would a small
+    * dim table (PagedSourceSuite pins that plan). */
+  override def estimateStatistics(): Statistics = {
+    val cap = limit.fold(maxRecords)(l => math.min(maxRecords, l.toLong))
+    val rows = math.min(PagedApi.countMatching(root, query), cap)
+    val rowBytes = math.max(required.fields.map(_.dataType.defaultSize).sum, 1)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * rowBytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 }
 
 /** Batch form: one InputPartition per page of the (filtered) stream —

@@ -257,4 +257,33 @@ class PagedSourceSuite extends SparkSpec {
     // final page is a partial fetch up to the cap; nothing past it
     assert(fetchedCursors(root) == (Seq(0L, 20L, 40L), true))
   }
+
+  test("A1 statistics report: a capped scan auto-broadcasts in a join (SupportsReportStatistics)") {
+    // Without estimateStatistics a DSv2 scan is unknown-size = huge, so
+    // even a 100-row capped API read would shuffle-join. With the
+    // metadata-count report, Catalyst sizes the scan like a small dim:
+    // under a 64KB broadcast threshold the paged side (≈ 100 rows × a
+    // few dozen bytes) must broadcast while the 112KB lineitem side
+    // cannot — so seeing any BroadcastHashJoin proves the report landed.
+    import spark.implicits._
+    val root = mkApi(150)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "65536")
+    try {
+      val pages = spark.read.format("graft-pages")
+        .option("path", root).option("maxRecords", "100").load()
+      val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select($"l_orderkey", $"l_quantity")
+      val joined = fact.join(pages, $"l_orderkey" === $"id")
+        .groupBy($"id").agg(org.apache.spark.sql.functions.sum($"l_quantity").as("q"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"capped paged scan did not broadcast under stats report:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"shuffle join despite tiny reported size:\n$p")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
