@@ -85,6 +85,42 @@ object Aggregates {
           max(when($"is_out" === 1, $"x".cast("long"))).as("max_outlier_cents"))
         .orderBy("event_type")
     }),
+    // Data-quality constraint report (the Deequ/dbt-test shape): one
+    // pass over the fact table computing row count, PK-duplicate count,
+    // null rate, domain violations, plus an FK-orphan anti-join against
+    // the dim — emitted as a tall (check_name, violations) report. The
+    // test tables are clean by construction, so deterministic dirt is
+    // planted in-query (null/orphan user_ids, negated values, a
+    // duplicated slice) identically in the oracle; the report counts
+    // exactly the planted rows. Scale shape: every metric is one
+    // partial-aggregable pass; the orphan check shuffles only FK keys.
+    "q_quality_report" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id",
+          when($"event_id" % 97 === 0, lit(null).cast("long"))
+            .when($"event_id" % 103 === 0, $"user_id" + 1000000L)
+            .otherwise($"user_id").as("uid"),
+          when($"event_id" % 89 === 0, -$"value").otherwise($"value").as("v"))
+      val dirty = ev.union(ev.filter($"event_id" % 101 === 0))
+      val orphans = dirty.filter($"uid".isNotNull)
+        .join(Tables.customer(s, d).select($"c_custkey"),
+          $"uid" === $"c_custkey", "left_anti")
+        .agg(count(lit(1)).as("fk_orphans"))
+      dirty.agg(
+          count(lit(1)).as("row_count"),
+          (count(lit(1)) - countDistinct($"event_id")).as("pk_dupes"),
+          sum(when($"uid".isNull, 1L).otherwise(0L)).as("null_user_id"),
+          sum(when($"v" < 0, 1L).otherwise(0L)).as("negative_value"))
+        .crossJoin(broadcast(orphans))
+        .selectExpr("""stack(5,
+            'fk_orphans', fk_orphans,
+            'negative_value', negative_value,
+            'null_user_id', null_user_id,
+            'pk_dupes', pk_dupes,
+            'row_count', row_count) AS (check_name, violations)""")
+        .orderBy("check_name")
+    }),
     // D3: distinct aggregation (expand + two-phase plan).
     "q_agg_distinct" -> ((s, d) => {
       import s.implicits._
