@@ -1116,6 +1116,22 @@ object Oracle {
                 CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY idx), '') AS kept_text
          FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "q_variant_funcs" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+                json_extract_string(props, '$.k') AS k_str,
+                CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing
+         FROM events ORDER BY event_id""",
+    "q_recursive_cte" ->
+      """WITH RECURSIVE up AS (
+           SELECT c_custkey AS node, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+           FROM customer
+           UNION ALL
+           SELECT node, cur // 10, depth + 1 FROM up WHERE cur > 0
+         )
+         SELECT node, MAX(depth) AS root_depth,
+                CAST(COUNT(*) AS BIGINT) AS chain_len
+         FROM up GROUP BY node ORDER BY node""",
     "q_quality_report" ->
       """WITH ev AS (SELECT event_id,
                 CASE WHEN event_id % 97 = 0 THEN NULL

@@ -99,6 +99,40 @@ object Scalars {
           to_json(struct($"event_id".as("id"), $"event_type".as("t"))).as("packed"))
         .orderBy("event_id")
     }),
+    // H5b: the VARIANT type (Spark 4's semi-structured column — the
+    // schema-on-read answer to the reference's crawler-inferred JSON,
+    // main.tf:304-314): parse once into a binary variant, then typed
+    // `variant_get` path extraction with try_-safe missing-path and
+    // cross-type reads. Unlike per-call get_json_object, the variant is
+    // parsed ONCE and every extraction walks the binary encoding.
+    "q_variant_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("v", expr("parse_json(props)"))
+        .select($"event_id",
+          expr("variant_get(v, '$.k', 'bigint')").as("k_typed"),
+          expr("try_variant_get(v, '$.k', 'string')").as("k_str"),
+          expr("try_variant_get(v, '$.missing', 'bigint')").as("k_missing"))
+        .orderBy("event_id")
+    }),
+    // SQL recursion (Spark 4 WITH RECURSIVE, executed as UnionLoop):
+    // fixed-point iteration entirely inside one SQL statement — the
+    // hierarchy/bill-of-materials walk every migrating warehouse has.
+    // The chain is the deterministic parent edge cur -> cur div 10, so
+    // depth-to-root == digit count; DuckDB runs the identical recursion.
+    "q_recursive_cte" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_rcte_customer")
+      s.sql("""
+        WITH RECURSIVE up AS (
+          SELECT c_custkey AS node, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+          FROM graft_rcte_customer
+          UNION ALL
+          SELECT node, cur DIV 10, depth + 1 FROM up WHERE cur > 0
+        )
+        SELECT node, MAX(depth) AS root_depth,
+               CAST(COUNT(*) AS BIGINT) AS chain_len
+        FROM up GROUP BY node ORDER BY node""")
+    }),
     // H6: array family incl. higher-order fns ≙ aliases/annotations handling.
     "q_array_funcs" -> ((s, d) => {
       import s.implicits._
