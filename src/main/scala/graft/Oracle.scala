@@ -1116,6 +1116,14 @@ object Oracle {
                 CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY idx), '') AS kept_text
          FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "q_join_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.cents
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY cents DESC, o_orderkey LIMIT 1) t
+         ORDER BY c_custkey""",
     "q_variant_funcs" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,

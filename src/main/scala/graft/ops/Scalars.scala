@@ -133,6 +133,22 @@ object Scalars {
                CAST(COUNT(*) AS BIGINT) AS chain_len
         FROM up GROUP BY node ORDER BY node""")
     }),
+    // C12: LATERAL correlated subquery in FROM (the top-1-per-row shape
+    // migrating SQL arrives in) — Catalyst decorrelates the per-customer
+    // ORDER BY … LIMIT 1 into a window/join plan instead of running the
+    // subquery per row; DuckDB executes the identical statement.
+    "q_join_lateral" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_lat_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_lat_orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.cents
+        FROM graft_lat_customer c,
+        LATERAL (SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM graft_lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY cents DESC, o_orderkey LIMIT 1) t
+        ORDER BY c_custkey""")
+    }),
     // H6: array family incl. higher-order fns ≙ aliases/annotations handling.
     "q_array_funcs" -> ((s, d) => {
       import s.implicits._
