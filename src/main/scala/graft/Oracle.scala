@@ -1116,6 +1116,11 @@ object Oracle {
                 CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY idx), '') AS kept_text
          FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "q_sql_pipe" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+         FROM lineitem WHERE l_quantity > 30
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_join_lateral" ->
       """SELECT c.c_custkey, t.o_orderkey, t.cents
          FROM customer c,

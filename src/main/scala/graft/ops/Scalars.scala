@@ -149,6 +149,20 @@ object Scalars {
                  ORDER BY cents DESC, o_orderkey LIMIT 1) t
         ORDER BY c_custkey""")
     }),
+    // Spark 4 SQL pipe syntax (`|>`): the linear FROM → WHERE →
+    // AGGREGATE → ORDER BY dataflow form — same Catalyst plan as the
+    // nested-SELECT equivalent, which is exactly what the DuckDB oracle
+    // runs (plans must agree because the syntax is pure sugar).
+    "q_sql_pipe" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_pipe_lineitem")
+      s.sql("""
+        FROM graft_pipe_lineitem
+        |> WHERE l_quantity > 30
+        |> AGGREGATE COUNT(*) AS n,
+             SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS price_cents
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag""")
+    }),
     // H6: array family incl. higher-order fns ≙ aliases/annotations handling.
     "q_array_funcs" -> ((s, d) => {
       import s.implicits._
