@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringContains}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -119,12 +120,26 @@ class PagedTable(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecord
 class PagedScanBuilder(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecords: Long,
                        baseQuery: PagedApi.Query = PagedApi.Query.All)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var query: PagedApi.Query = baseQuery
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PagedSource.Schema
   private var limit: Option[Int] = None
+  private var countPushed = false
+
+  /** COUNT(*) rides the API's result-count metadata (≙ the reference
+    * reading `meta.result_count` instead of the tweets, src/main.py:156):
+    * a bare `SELECT COUNT(*)` over the (filtered, capped) source becomes
+    * ONE metadata probe — zero pages fetched (PagedSourceSuite asserts
+    * the access log stays empty). Complete pushdown, ungrouped
+    * COUNT(*) only; anything else stays in-plan. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (supportCompletePushDown(agg)) { countPushed = true; true } else false
+  }
 
   /** LIMIT k becomes a page-plan bound (≙ the reference's max_results
     * riding the API request, src/main.py:95-96,136): a bare
@@ -173,7 +188,41 @@ class PagedScanBuilder(root: String, pageSize: Int, maxPagesPerTrigger: Int, max
     required = requiredSchema
 
   override def build(): Scan =
-    new PagedScan(root, pageSize, maxPagesPerTrigger, maxRecords, query, required, limit)
+    if (countPushed) new PagedCountScan(root, maxRecords, query, limit)
+    else new PagedScan(root, pageSize, maxPagesPerTrigger, maxRecords, query, required, limit)
+}
+
+/** The fully-pushed COUNT(*): one input partition producing one row —
+  * min(matching count, maxRecords cap, pushed limit) — from the same
+  * metadata probe the batch planner uses. No page is ever fetched. */
+class PagedCountScan(root: String, maxRecords: Long, query: PagedApi.Query,
+                     limit: Option[Int]) extends Scan {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def description(): String =
+    s"graft-pages COUNT(*) pushdown root=$root query=${query.repr}"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(PagedCountPartition(root, limit.fold(maxRecords)(l => math.min(maxRecords, l.toLong)), query))
+    override def createReaderFactory(): PartitionReaderFactory = new PagedCountReaderFactory
+  }
+}
+
+case class PagedCountPartition(root: String, cap: Long, query: PagedApi.Query)
+  extends InputPartition
+
+class PagedCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[PagedCountPartition]
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = if (served) false else { served = true; true }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](
+          math.min(PagedApi.countMatching(cp.root, cp.query), cp.cap)))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class PagedScan(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecords: Long,

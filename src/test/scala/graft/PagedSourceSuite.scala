@@ -135,8 +135,10 @@ class PagedSourceSuite extends SparkSpec {
     def read() = spark.read.format("graft-pages")
       .option("path", root).option("pageSize", "50").option("maxRecords", "100000")
       .load()
-    // unfiltered: the full stream is 20 pages of 50
-    assert(read().count() == 1000)
+    // unfiltered: the full stream is 20 pages of 50 (collect rows, not
+    // count() — COUNT(*) now pushes into the metadata probe and would
+    // fetch zero pages)
+    assert(read().collect().length == 1000)
     val fullPages = accessLines(root).size
     assert(fullPages == 20)
     // filtered: the predicate leaves the Spark plan and becomes a
@@ -256,6 +258,33 @@ class PagedSourceSuite extends SparkSpec {
     assert(landedIds(s"$base/out") == (0L until 50L))
     // final page is a partial fetch up to the cap; nothing past it
     assert(fetchedCursors(root) == (Seq(0L, 20L, 40L), true))
+  }
+
+  test("A1 COUNT(*) pushdown: the count rides the metadata probe, zero pages fetched") {
+    // ≙ the reference reading meta.result_count instead of the tweets
+    // (src/main.py:156): SELECT COUNT(*) over the filtered, capped
+    // source must answer from ONE metadata probe — the access log
+    // (which records every page the service serves) must stay empty.
+    import spark.implicits._
+    val root = mkApi(150)
+    val pages = spark.read.format("graft-pages")
+      .option("path", root).option("maxRecords", "1000").load()
+    // bare count
+    assert(pages.count() == 150L)
+    // pushed-filter count: ids 100..149 via id >= 100
+    val filtered = pages.filter($"id" >= 100L).agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))).as[Long].collect()(0)
+    assert(filtered == 50L)
+    // cap clamps the count like it clamps admission
+    val capped = spark.read.format("graft-pages")
+      .option("path", root).option("maxRecords", "40").load().count()
+    assert(capped == 40L)
+    val (cursors, _) = fetchedCursors(root)
+    assert(cursors.isEmpty, s"COUNT(*) pushdown fetched pages at cursors $cursors")
+    // and the plan really delegated: no page partitions, pushdown scan marker
+    val planned = pages.groupBy().count()
+    assert(planned.queryExecution.executedPlan.toString.contains("COUNT(*) pushdown"),
+      s"aggregate not pushed into the scan:\n${planned.queryExecution.executedPlan}")
   }
 
   test("A1 statistics report: a capped scan auto-broadcasts in a join (SupportsReportStatistics)") {
