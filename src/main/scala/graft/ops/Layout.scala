@@ -37,27 +37,32 @@ object Layout {
   def z16(x: Column, y: Column): Column =
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
 
-  /** Write `df` z-ordered on two int key columns: normalize both keys to
-    * 16 bits (all-integer affine scale, `div` floor-div), range-partition
-    * by the Morton code (files tile the curve), sort within partitions,
-    * drop helpers. Each landed file then covers a square-ish region of
-    * (kx, ky) space — min/max stats are tight on BOTH keys (LayoutSuite
-    * asserts a band predicate on the SECOND key skips most files). */
-  def zorderWrite(df: DataFrame, kx: String, ky: String, out: String, files: Int): Unit = {
-    val b = df.agg(
-      min(col(kx).cast("long")).as("__xmn"), max(col(kx).cast("long")).as("__xmx"),
-      min(col(ky).cast("long")).as("__ymn"), max(col(ky).cast("long")).as("__ymx"))
-    df.crossJoin(broadcast(b))
+  /** Attach the Morton code of two int key columns as `__z`: bounds via
+    * one metadata-sized agg broadcast back, all-integer affine scale to
+    * 16 bits (`div` floor-div), then the interleave. The caller
+    * range-partitions/sorts on `__z` and drops it. */
+  def withZ(df: DataFrame, kx: String, ky: String): DataFrame =
+    df.crossJoin(broadcast(df.agg(
+        min(col(kx).cast("long")).as("__xmn"), max(col(kx).cast("long")).as("__xmx"),
+        min(col(ky).cast("long")).as("__ymn"), max(col(ky).cast("long")).as("__ymx"))))
       .withColumn("__x16", expr(
         s"(CAST(`$kx` AS BIGINT) - __xmn) * 65535 div greatest(__xmx - __xmn, 1)"))
       .withColumn("__y16", expr(
         s"(CAST(`$ky` AS BIGINT) - __ymn) * 65535 div greatest(__ymx - __ymn, 1)"))
       .withColumn("__z", z16(col("__x16"), col("__y16")))
+      .drop("__x16", "__y16", "__xmn", "__xmx", "__ymn", "__ymx")
+
+  /** Write `df` z-ordered on two int key columns: range-partition by the
+    * Morton code (files tile the curve), sort within partitions, drop
+    * helpers. Each landed file then covers a square-ish region of
+    * (kx, ky) space — min/max stats are tight on BOTH keys (LayoutSuite
+    * asserts a band predicate on the SECOND key skips most files). */
+  def zorderWrite(df: DataFrame, kx: String, ky: String, out: String, files: Int): Unit =
+    withZ(df, kx, ky)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z", "__x16", "__y16", "__xmn", "__xmx", "__ymn", "__ymx")
+      .drop("__z")
       .write.mode("overwrite").parquet(out)
-  }
 
   val qs: Map[String, Q] = Map(
     // The curve's locality, made visible as a query: bucket = 8-bit

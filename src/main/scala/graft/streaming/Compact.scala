@@ -78,9 +78,19 @@ object Compact {
 
   /** Compact `root` (a partitioned parquet dataset) so each partition has
     * ceil(partitionBytes / targetBytes) files. Returns before/after file
-    * counts and the (unchanged) row count. */
+    * counts and the (unchanged) row count.
+    *
+    * `zorderBy = Some((kx, ky))` is the OPTIMIZE … ZORDER BY form: the
+    * rewrite range-partitions on (partitionCols…, morton(kx, ky)) and
+    * sorts within tasks, so each landed file tiles a square-ish region
+    * of (kx, ky) space — per-file min/max stats stay tight on BOTH keys
+    * and range predicates on EITHER skip most files of each partition
+    * (LayoutSuite asserts the post-compaction skip rate). Replaces the
+    * hash salt; per-partition file counts become range-proportional
+    * (≈ k) rather than exact. */
   def run(spark: SparkSession, root: String, partitionCols: Seq[String],
-          targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
+          targetBytes: Long = 128L * 1024 * 1024,
+          zorderBy: Option[(String, String)] = None): CompactStats = {
     import spark.implicits._
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -111,10 +121,17 @@ object Compact {
     // at scale; the k=1 compaction case stays exact.
     val sumK = kByPart.values.sum
     val parts = (partitionCols.map(col) :+ col("_salt"))
-    val shaped = (if (kByPart.values.exists(_ > 1))
-      salted.repartition(sumK, parts: _*)
-    else salted.repartition(parts: _*))
-      .drop("_part", "_k", "_salt")
+    val shaped = (zorderBy match {
+      case Some((kx, ky)) =>
+        val zCols = partitionCols.map(col) :+ col("__z")
+        graft.ops.Layout.withZ(salted, kx, ky)
+          .repartitionByRange(math.max(sumK, 1), zCols: _*)
+          .sortWithinPartitions(zCols: _*)
+          .drop("__z")
+      case None =>
+        if (kByPart.values.exists(_ > 1)) salted.repartition(sumK, parts: _*)
+        else salted.repartition(parts: _*)
+    }).drop("_part", "_k", "_salt")
     // land beside, then swap — readers of `root` never see a half-written
     // tree (metadata-atomic on local/HDFS; see the S3 note in the scaladoc)
     // siblings of the qualified root, so scheme+authority survive (an

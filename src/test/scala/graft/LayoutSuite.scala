@@ -54,4 +54,47 @@ class LayoutSuite extends SparkSpec {
     // rows survive the relayout intact
     assert(spark.read.parquet(s"$tmp/zorder").count() == li.count())
   }
+
+  test("Compact with zorderBy: OPTIMIZE-style rewrite keeps rows and gains two-key locality") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zcompact_").toString
+    val root = s"$tmp/t"
+    // small-file mess: two lang partitions × 6 appended files each
+    val base = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_suppkey",
+        org.apache.spark.sql.functions.when($"l_orderkey" % 2 === 0, "en").otherwise("fr").as("lang"))
+    (0 until 6).foreach { i =>
+      base.filter($"l_partkey" % 6 === i)
+        .write.mode("append").partitionBy("lang").parquet(root)
+    }
+    val rowsBefore = spark.read.parquet(root).count()
+    val sumBefore = spark.read.parquet(root).agg(sum($"l_partkey"), sum($"l_suppkey")).collect()(0)
+
+    val st = graft.streaming.Compact.run(spark, root, Seq("lang"),
+      targetBytes = 16L * 1024, zorderBy = Some(("l_partkey", "l_suppkey")))
+    assert(st.rows == rowsBefore && st.filesAfter > 1)
+
+    val after = spark.read.parquet(root)
+    assert(after.count() == rowsBefore)
+    assert(after.agg(sum($"l_partkey"), sum($"l_suppkey")).collect()(0) == sumBefore)
+
+    // locality: within each lang partition, a 1/8 band on the SECOND key
+    // overlaps at most ~half the files (a salt/hash layout overlaps all)
+    val perFile = after
+      .groupBy($"lang", input_file_name().as("f"))
+      .agg(min($"l_suppkey").as("mn"), max($"l_suppkey").as("mx"))
+      .collect()
+    val (yLo, yHi) = {
+      val r = base.agg(min($"l_suppkey"), max($"l_suppkey")).collect()(0)
+      (r.getLong(0), r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 8)
+    }
+    Seq("en", "fr").foreach { lg =>
+      val files = perFile.filter(_.getString(0) == lg)
+      if (files.length >= 4) {
+        val hit = files.count(r => r.getLong(3) >= yLo && r.getLong(2) <= yHi)
+        assert(hit <= files.length / 2 + 1,
+          s"$lg: z-compacted files don't skip a suppkey band: $hit/${files.length}")
+      }
+    }
+  }
 }
