@@ -143,6 +143,48 @@ class StreamingSuite extends SparkSpec {
     }
   }
 
+  test("I6f state survives a checkpoint restart: second query resumes counters, == batch") {
+    // the recovery half of stateful processing: run 1 drains half the
+    // events (AvailableNow) and stops; run 2 is a NEW query on the same
+    // checkpoint that sees only the new files — its emitted counters
+    // must CONTINUE from the recovered state, so the final per-user
+    // fold equals the batch oracle over all events. foreachBatch is the
+    // sink because memory sinks don't support checkpoint recovery.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_restart").toString
+    val (src, ckpt) = (s"$base/src", s"$base/ckpt")
+    val evs = Stateful.eventsDs(spark, sfDir).collect().toSeq
+    val (b1, b2) = evs.zipWithIndex.partition(_._2 % 2 == 0) match {
+      case (a, b) => (a.map(_._1), b.map(_._1))
+    }
+    val sink = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]
+    def drain(batch: Seq[Ev]): Unit = {
+      batch.toDS().write.mode("append").parquet(src)
+      val q = Stateful.userCounters(
+          spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+            .parquet(src).as[Ev])
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[(Long, graft.streaming.UserState)], _: Long) =>
+          val rows = ds.collect().map { case (u, st) => (u, st.n_events, st.value_c, st.last_type) }
+          sink.synchronized { sink ++= rows }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain(b1) // run 1: half the stream
+    val afterRun1 = sink.size
+    drain(b2) // run 2: fresh query, same checkpoint, only the new files
+    assert(afterRun1 > 0 && sink.size > afterRun1, "both runs must emit")
+    val got = sink.groupBy(_._1).map { case (u, rows) => rows.last }.toSet
+    val want = ops.Streaming.qs("q_stream_stateful")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == want, "restarted query did not resume from checkpointed state")
+  }
+
   test("I5 streaming dedup drops re-delivered event_ids across batches") {
     import spark.implicits._
     val e1 = Ev(1L, microsOf(0), 10L, "click", 100L)
