@@ -1145,6 +1145,10 @@ object Oracle {
          SELECT node, MAX(depth) AS root_depth,
                 CAST(COUNT(*) AS BIGINT) AS chain_len
          FROM up GROUP BY node ORDER BY node""",
+    "q_agg_bitmap" ->
+      """SELECT l_returnflag,
+                CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_quality_report" ->
       """WITH ev AS (SELECT event_id,
                 CASE WHEN event_id % 97 = 0 THEN NULL

@@ -121,6 +121,27 @@ object Aggregates {
             'row_count', row_count) AS (check_name, violations)""")
         .orderBy("check_name")
     }),
+    // Exact distinct via bitmap aggregates (the re-aggregable distinct
+    // pattern): values bucket into 32k-bit bitmaps
+    // (bitmap_bucket_number/bit_position), per-bucket bitmaps OR
+    // together (bitmap_construct_agg), popcount (bitmap_count), sum.
+    // Unlike COUNT(DISTINCT), the per-bucket bitmaps are STORABLE and
+    // mergeable with bitmap_or_agg — the incremental-distinct shape
+    // (store per-day bitmaps, union for any date range, never rescan) —
+    // yet the answer is exact, which is why the oracle is plain
+    // COUNT(DISTINCT).
+    "q_agg_bitmap" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          expr("bitmap_bucket_number(l_partkey)").as("bkt"),
+          expr("bitmap_bit_position(l_partkey)").as("pos"))
+        .groupBy($"l_returnflag", $"bkt")
+        .agg(expr("bitmap_count(bitmap_construct_agg(pos))").as("c"))
+        .groupBy($"l_returnflag")
+        .agg(sum($"c").as("n_distinct_parts"))
+        .orderBy("l_returnflag")
+    }),
     // D3: distinct aggregation (expand + two-phase plan).
     "q_agg_distinct" -> ((s, d) => {
       import s.implicits._
