@@ -267,6 +267,26 @@ class OperatorSuite extends SparkSpec {
     }
   }
 
+  test("HLL sketch merge is lossless: per-day sketches unioned == direct whole-corpus sketch") {
+    // the never-rescan-history distinct: store a Datasketches HLL per
+    // day, hll_union_agg them for any range — register-wise max is a
+    // true lattice join, so the merged estimate must equal the one-pass
+    // estimate BIT-FOR-BIT, and stay within rsd of exact
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"user_id")
+    val perDay = ev.groupBy($"day").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = perDay.agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect()(0).getLong(0)
+    val direct = ev.agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .collect()(0).getLong(0)
+    assert(merged == direct,
+      s"union of per-day sketches ($merged) must equal the one-pass sketch ($direct)")
+    val exact = ev.select($"user_id").distinct().count()
+    assert(math.abs(merged - exact) <= math.max(2, (exact * 0.05).toLong),
+      s"estimate $merged too far from exact $exact")
+  }
+
   test("q_dedup_lines: every distinct line survives exactly once; counts conserve") {
     import spark.implicits._
     val lines = Tables.documents(spark, sfDir)
