@@ -294,6 +294,27 @@ object Oracle {
                     FROM p LEFT JOIN c ON user_id = c_user AND c_ts <= p_ts)
          SELECT p_id, user_id, c_id AS asof_click_id FROM j WHERE rn = 1 ORDER BY p_id""",
 
+    "q_join_asof_fwd" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+                    FROM events WHERE event_type = 'purchase'),
+              v AS (SELECT event_id AS v_id, user_id AS v_user, CAST(ts AS TIMESTAMP) AS v_ts
+                    FROM events WHERE event_type = 'view'),
+              j AS (SELECT p_id, user_id, v_id,
+                           ROW_NUMBER() OVER (PARTITION BY p_id
+                             ORDER BY v_ts ASC NULLS LAST, v_id ASC NULLS LAST) AS rn
+                    FROM p LEFT JOIN v ON user_id = v_user AND v_ts > p_ts)
+         SELECT p_id, user_id, v_id AS next_view_id FROM j WHERE rn = 1 ORDER BY p_id""",
+    "q_win_fill" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                CASE WHEN event_id % 7 = 0 THEN NULL
+                     ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS v_cents
+              FROM events)
+         SELECT event_id, user_id, v_cents,
+                last_value(v_cents IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM e ORDER BY event_id""",
+
     // ----- sorts / top-K -----
     "q_sort_multi" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders

@@ -257,6 +257,41 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // C10b: FORWARD as-of — for each purchase, the EARLIEST view strictly
+    // after it by the same user (the attribution-forward / next-touch
+    // direction; same window decomposition, ascending).
+    "q_join_asof_fwd" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val p = e.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+      val v = e.filter($"event_type" === "view")
+        .select($"event_id".as("v_id"), $"user_id".as("v_user"), $"ts".as("v_ts"))
+      val w = Window.partitionBy($"p_id").orderBy($"v_ts".asc_nulls_last, $"v_id".asc_nulls_last)
+      p.join(v, $"user_id" === $"v_user" && $"v_ts" > $"p_ts", "left_outer")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"p_id", $"user_id", $"v_id".as("next_view_id"))
+        .orderBy("p_id")
+    }),
+    // E8: forward fill (gap filling) — last non-null observation carried
+    // forward per user in event order (`last(ignoreNulls)` over the
+    // running frame); nulls planted deterministically so both engines
+    // fill the same gaps. The time-series imputation every metrics
+    // pipeline runs; one window, no self-join.
+    "q_win_fill" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("v_cents",
+          when($"event_id" % 7 === 0, lit(null).cast("long"))
+            .otherwise(U.cents($"value").cast("long")))
+        .withColumn("filled", last($"v_cents", ignoreNulls = true).over(w))
+        .select($"event_id", $"user_id", $"v_cents", $"filled")
+        .orderBy("event_id")
+    }),
+
     // ----- §2.F sorts / top-K -------------------------------------------
     // F1: global multi-column mixed-direction sort (range-partitioned SortExec).
     "q_sort_multi" -> ((s, d) => {
