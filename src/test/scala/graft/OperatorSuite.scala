@@ -267,6 +267,29 @@ class OperatorSuite extends SparkSpec {
     }
   }
 
+  test("observe(): single-pass pipeline metrics ride the curation query, no second scan") {
+    // the observability hook for production pipelines: data-quality
+    // counters (rows kept, chars shipped, null count) attach to the
+    // SAME job as the query via df.observe — no second aggregation pass
+    // over 100 TB. Values must equal the direct recompute.
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation("curation_metrics")
+    val df = Tables.documents(spark, sfDir)
+      .filter($"lang" === "en")
+      .observe(obs,
+        count(lit(1)).as("rows_kept"),
+        sum($"n_chars").as("chars_shipped"),
+        sum(when($"text".isNull, 1L).otherwise(0L)).as("null_texts"))
+      .select($"doc_id", $"n_chars")
+    val landed = df.collect().length
+    val m = obs.get
+    assert(m("rows_kept") == landed.toLong)
+    val direct = Tables.documents(spark, sfDir).filter($"lang" === "en")
+      .agg(sum($"n_chars")).collect()(0).getLong(0)
+    assert(m("chars_shipped") == direct)
+    assert(m("null_texts") == 0L)
+  }
+
   test("HLL sketch merge is lossless: per-day sketches unioned == direct whole-corpus sketch") {
     // the never-rescan-history distinct: store a Datasketches HLL per
     // day, hll_union_agg them for any range — register-wise max is a
