@@ -628,6 +628,26 @@ object Oracle {
          GROUP BY 1, 2 ORDER BY w_start, event_type""",
     // Gaps-and-islands: new session where ts - prev_ts >= 30 min (Spark
     // session_window treats adjacent = non-overlapping as a new session).
+    "q_stream_session_dyn" ->
+      """WITH e AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value, event_id,
+                  CAST(ts AS TIMESTAMP) +
+                    CASE WHEN event_type = 'purchase' THEN INTERVAL 10 MINUTE
+                         ELSE INTERVAL 30 MINUTE END AS t_end
+           FROM events),
+         b AS (
+           SELECT *, MAX(t_end) OVER (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           FROM e),
+         s AS (
+           SELECT *, SUM(CASE WHEN prev_end IS NULL OR t >= prev_end THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+           FROM b)
+         SELECT user_id, strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT) AS value_c
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "q_stream_session" ->
       """WITH x AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value, event_id,

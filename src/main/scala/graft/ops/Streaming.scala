@@ -47,6 +47,21 @@ object Streaming {
         .select($"user_id", U.tsStr($"w.start").as("session_start"), $"n", $"value_c")
         .orderBy("user_id", "session_start")
     }),
+    // I3b: DYNAMIC-gap session window — the gap is a per-event
+    // expression (purchases close a session in 10 min, everything else
+    // 30), so session shape adapts to behavior. Spark merges the
+    // per-event [ts, ts+gap) intervals; the oracle reproduces the merge
+    // as gaps-and-islands over a running MAX of interval ends.
+    "q_stream_session_dyn" -> ((s, d) => {
+      import s.implicits._
+      val gap = when($"event_type" === "purchase", lit("10 minutes"))
+        .otherwise(lit("30 minutes"))
+      Tables.events(s, d)
+        .groupBy(session_window($"ts", gap).as("w"), $"user_id")
+        .agg(count(lit(1)).as("n"), sum(U.micros($"value")).as("value_c"))
+        .select($"user_id", U.tsStr($"w.start").as("session_start"), $"n", $"value_c")
+        .orderBy("user_id", "session_start")
+    }),
     // I5: dedup — first occurrence per (user_id, event_type) in arrival
     // (event-time) order, the deterministic batch form of
     // withWatermark().dropDuplicates() on a re-delivered stream.
