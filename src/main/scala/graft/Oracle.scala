@@ -1170,6 +1170,10 @@ object Oracle {
                   WHERE o.o_custkey = c.c_custkey
                   ORDER BY cents DESC, o_orderkey LIMIT 1) t
          ORDER BY c_custkey""",
+    "q_xml_funcs" ->
+      """SELECT p_partkey, p_name AS name, CAST(p_size AS BIGINT) AS size,
+                p_name AS xp_name, CAST(p_size AS BIGINT) AS xp_size
+         FROM part ORDER BY p_partkey""",
     "q_variant_funcs" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,

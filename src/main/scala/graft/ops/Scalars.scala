@@ -163,6 +163,28 @@ object Scalars {
            GROUP BY l_returnflag
         |> ORDER BY l_returnflag""")
     }),
+    // H5c: XML surface (Spark 4 `from_xml` + the xpath family) — the
+    // other semi-structured wire format an ingest head meets. The XML is
+    // BUILT from the row's own columns (the corpus has none), parsed
+    // back with a pinned schema, and xpath-extracted; the oracle
+    // recomputes the same values straight from the source columns, so
+    // the hash match proves the round-trip lossless.
+    "q_xml_funcs" -> ((s, d) => {
+      import s.implicits._
+      val schema = StructType(Seq(
+        StructField("name", StringType), StructField("size", LongType)))
+      Tables.part(s, d)
+        .withColumn("xml", concat(
+          lit("<part><name>"), $"p_name", lit("</name><size>"),
+          $"p_size".cast("string"), lit("</size></part>")))
+        .withColumn("parsed", from_xml($"xml", schema))
+        .select($"p_partkey",
+          $"parsed.name".as("name"),
+          $"parsed.size".as("size"),
+          expr("xpath_string(xml, '/part/name')").as("xp_name"),
+          expr("xpath_long(xml, '/part/size')").as("xp_size"))
+        .orderBy("p_partkey")
+    }),
     // H6: array family incl. higher-order fns ≙ aliases/annotations handling.
     "q_array_funcs" -> ((s, d) => {
       import s.implicits._
