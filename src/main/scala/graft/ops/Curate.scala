@@ -85,21 +85,24 @@ object Curate {
       val kept = docs
         .join(passNll, Seq("doc_id"), "left_semi")
         .join(passRep, Seq("doc_id"), "left_semi")
-      // C4 line dedup across the surviving corpus, then split + account
+      // C4 line dedup across the surviving corpus (partial-aggregable
+      // min-struct keeper, whale-line-safe — see q_dedup_lines), then
+      // split + account
       val lines = kept.select($"doc_id", $"lang", posexplode(expr(
         "transform(sequence(1, size(toks), 3), i -> concat_ws(' ', slice(toks, i, 3)))"))
         .as(Seq("idx", "line")))
-      val w = Window.partitionBy($"line").orderBy($"doc_id", $"idx")
-      lines
-        .withColumn("rn", row_number().over(w))
+      val keeper = lines.groupBy($"line")
+        .agg(min(struct($"doc_id", $"idx")).as("k"))
+      lines.join(keeper, "line")
+        .withColumn("first", $"doc_id" === $"k.doc_id" && $"idx" === $"k.idx")
         .withColumn("b", U.h64(concat(lit("split:"), $"doc_id")) % 1000)
         .withColumn("split",
           when($"b" < 800, "train").when($"b" < 900, "valid").otherwise("test"))
         .groupBy($"split", $"lang")
         .agg(countDistinct($"doc_id").as("n_docs"),
           count(lit(1)).as("n_lines"),
-          sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
-          sum(when($"rn" === 1, length($"line")).otherwise(0)).cast("long").as("kept_chars"))
+          sum(when($"first", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"first", length($"line")).otherwise(0)).cast("long").as("kept_chars"))
         .orderBy("split", "lang")
     })
   )

@@ -342,10 +342,13 @@ object Dedup {
     // chopped into fixed 3-token "lines"; each distinct line survives
     // only at its globally-first occurrence (min doc_id, then position),
     // and every doc is rebuilt from its surviving lines — boilerplate
-    // that recurs across pages vanishes everywhere but once. One shuffle
-    // on the line key (at 100 TB the window key is effectively
-    // h64(line); the row carries the text either way), then one per-doc
-    // aggregation; rebuild order is restored by sorting the collected
+    // that recurs across pages vanishes everywhere but once. The
+    // first-occurrence keeper is a PARTIAL-AGGREGABLE min(struct) per
+    // line joined back — NOT a row_number window: a boilerplate line in
+    // 40% of a crawl would make the window's per-line partition one
+    // monster sort that no optimizer can split, while the min-aggregate
+    // combines map-side and the equi-join's hot key is AQE-skew-
+    // splittable. Rebuild order is restored by sorting the collected
     // (idx, line) structs, never by collect_list arrival order.
     "q_dedup_lines" -> ((s, d) => {
       import s.implicits._
@@ -354,14 +357,15 @@ object Dedup {
         .select($"doc_id", posexplode(expr(
           "transform(sequence(1, size(toks), 3), i -> concat_ws(' ', slice(toks, i, 3)))"))
           .as(Seq("idx", "line")))
-      val w = Window.partitionBy($"line").orderBy($"doc_id", $"idx")
-      lines
-        .withColumn("rn", row_number().over(w))
+      val keeper = lines.groupBy($"line")
+        .agg(min(struct($"doc_id", $"idx")).as("k"))
+      lines.join(keeper, "line")
+        .withColumn("first", $"doc_id" === $"k.doc_id" && $"idx" === $"k.idx")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_lines"),
-          sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"first", 1L).otherwise(0L)).as("n_kept"),
           array_join(expr(
-            "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN struct(idx, line) END)), x -> x.line)"),
+            "transform(array_sort(collect_list(CASE WHEN first THEN struct(idx, line) END)), x -> x.line)"),
             " ").as("kept_text"))
         .orderBy("doc_id")
     }),

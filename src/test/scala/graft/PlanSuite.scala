@@ -185,6 +185,17 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(exchanges <= 4, s"zorder plan shuffles too much:\n$p")
   }
 
+  test("line dedup: keeper is a partial-aggregable min, never a per-line window sort") {
+    // a boilerplate line in 40% of a crawl would make a row_number
+    // window's per-line partition one unsplittable monster sort; the
+    // min(struct) keeper combines map-side and its join is AQE-skew-
+    // splittable
+    val p = planOf("q_dedup_lines")
+    assert(!p.contains("Window"), s"line dedup regressed to a window sort:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"keeper min must aggregate map-side:\n$p")
+  }
+
   test("runtime bloom filter: selective dim predicate injects a row filter on the fact side") {
     // The 100 TB shape this pins: a shuffle join whose dim side carries a
     // selective predicate should pre-filter the FACT side with a bloom
