@@ -99,8 +99,12 @@ object TextOps {
     "q_fuzzy_match" -> ((s, d) => {
       import s.implicits._
       val names = Tables.part(s, d).select(lower($"p_name").as("nm")).distinct()
+      // greatest(…, 1): sequence(1, 0) would step DOWNWARD for a 1-char
+      // name (the decontaminate short-doc bug class); a single-char name
+      // degrades to its 1-char "bigram", within the documented len > q·k
+      // recall bound
       val grams = names.select($"nm", explode(expr(
-        "array_distinct(transform(sequence(1, length(nm) - 1), i -> substring(nm, i, 2)))")).as("g"))
+        "array_distinct(transform(sequence(1, greatest(length(nm) - 1, 1)), i -> substring(nm, i, 2)))")).as("g"))
       grams.as("a").join(grams.as("b"),
           $"a.g" === $"b.g" && $"a.nm" < $"b.nm")
         .select($"a.nm".as("n1"), $"b.nm".as("n2")).distinct()

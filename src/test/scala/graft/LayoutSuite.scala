@@ -55,6 +55,17 @@ class LayoutSuite extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/zorder").count() == li.count())
   }
 
+  test("zorderWrite survives a degenerate constant key (affine-scale div guard)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zconst_").toString
+    val df = (0L until 1000L).map(i => (i, 7L)).toDF("a", "b") // b is constant: max-min = 0
+    ops.Layout.zorderWrite(df, "a", "b", s"$tmp/out", 4)
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.count() == 1000L)
+    assert(back.agg(sum($"a"), min($"b"), max($"b")).collect()(0)
+      .toSeq == Seq(999L * 1000 / 2, 7L, 7L))
+  }
+
   test("Compact with zorderBy: OPTIMIZE-style rewrite keeps rows and gains two-key locality") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_zcompact_").toString
