@@ -185,6 +185,28 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(exchanges <= 4, s"zorder plan shuffles too much:\n$p")
   }
 
+  test("round-5 plan shapes: no cartesians, map-side ops stay map-side") {
+    // fuzzy match: bigram bucket join + exact verify — never a nested loop
+    val fuzzy = planOf("q_fuzzy_match")
+    assert(!fuzzy.contains("CartesianProduct") && !fuzzy.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy match pairs via nested loop:\n$fuzzy")
+    // lateral: Catalyst decorrelates — no per-row subquery, no cartesian
+    val lat = planOf("q_join_lateral")
+    assert(!lat.contains("CartesianProduct"), s"lateral not decorrelated:\n$lat")
+    // forward fill: one window + the output sort, nothing else
+    val fill = planOf("q_win_fill")
+    val fillEx = "(?i)Exchange (hash|range|single)partitioning".r.findAllIn(fill).size
+    assert(fillEx <= 2 && !fill.contains("Join"), s"forward fill over-shuffles:\n$fill")
+    // bitmap distinct: aggregation only, no join, partial map-side phase
+    val bm = planOf("q_agg_bitmap")
+    assert(!bm.contains("Join") && bm.contains("partial_"),
+      s"bitmap distinct should be pure two-phase aggregation:\n$bm")
+    // xml: pure map-side projection + sort
+    val xml = planOf("q_xml_funcs")
+    val xmlEx = "(?i)Exchange (hash|range|single)partitioning".r.findAllIn(xml).size
+    assert(xmlEx <= 1 && !xml.contains("Join"), s"xml funcs not map-side:\n$xml")
+  }
+
   test("line dedup: keeper is a partial-aggregable min, never a per-line window sort") {
     // a boilerplate line in 40% of a crawl would make a row_number
     // window's per-line partition one unsplittable monster sort; the
