@@ -67,6 +67,37 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Streaming upsert into a catalog SERVING table (the Athena-facing
+    * half of the daily run): each micro-batch dynamic-overwrites exactly
+    * the day partitions it carries, so the table a SQL user queries by
+    * name stays whole at all times — untouched days keep their rows,
+    * replayed days are replaced idempotently (≙ re-running a day lands
+    * on the same S3 prefix, reference src/main.py:70-73). */
+  def streamToServingTable(spark: SparkSession, events: DataFrame, table: String,
+                           checkpoint: String): Unit = {
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the conf must land on the BATCH's session: foreachBatch hands
+        // over a DataFrame bound to the streaming-cloned session, where a
+        // conf set on the outer session never arrives (and insertInto
+        // reads the session conf, not writer options) — static overwrite
+        // would silently wipe the untouched partitions
+        val sess = batch.sparkSession
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = sess.conf.getOption(key)
+        sess.conf.set(key, "dynamic")
+        try batch.write.mode("overwrite").insertInto(table)
+        finally prev match {
+          case Some(v) => sess.conf.set(key, v)
+          case None => sess.conf.unset(key)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Schema-drift-tolerant read of a landed parquet dataset: footers are
     * merged across files (`mergeSchema`) so a field that first appeared
     * in a later batch (≙ the Glue crawler re-inferring the schema daily,

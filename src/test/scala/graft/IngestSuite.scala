@@ -205,4 +205,41 @@ class IngestSuite extends SparkSpec {
     // null partition round-trips as null (hive default-partition dir)
     assert(spark.read.parquet(dir).filter($"tag".isNull).count() == wantRows / 3)
   }
+
+  test("streaming upsert keeps the serving table whole: only replayed days are replaced") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_serve")
+    spark.sql("DROP TABLE IF EXISTS graft_serve.daily")
+    // a previous JVM's in-memory catalog forgets the table but its
+    // warehouse LOCATION persists — clear it or CREATE refuses
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/graft_serve.db/daily")
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    spark.sql("""CREATE TABLE graft_serve.daily (user_id BIGINT, n BIGINT, day STRING)
+                 USING parquet PARTITIONED BY (day)""")
+    // seed: a settled day 1 and a STALE day 2
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try Seq((1L, 10L, "2024-01-01"), (2L, 99L, "2024-01-02"))
+      .toDF("user_id", "n", "day").write.mode("overwrite").insertInto("graft_serve.daily")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // stream carries a corrected day 2 and a new day 3
+    val base = Files.createTempDirectory("graft_serve").toString
+    val (src, ckpt) = (s"$base/src", s"$base/ckpt")
+    Seq((2L, 42L, "2024-01-02"), (3L, 7L, "2024-01-03"))
+      .toDF("user_id", "n", "day").write.parquet(src)
+    def stream() = spark.readStream
+      .schema("user_id BIGINT, n BIGINT, day STRING").parquet(src)
+    Ingest.streamToServingTable(spark, stream(), "graft_serve.daily", ckpt)
+    val got = spark.table("graft_serve.daily").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 10L, "2024-01-01"), (2L, 42L, "2024-01-02"), (3L, 7L, "2024-01-03")),
+      s"serving table wrong after streaming upsert: $got")
+    // replay from the same checkpoint: no new files, table unchanged
+    Ingest.streamToServingTable(spark, stream(), "graft_serve.daily", ckpt)
+    assert(spark.table("graft_serve.daily").count() == 3)
+  }
 }
