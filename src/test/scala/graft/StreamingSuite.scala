@@ -305,6 +305,54 @@ class StreamingSuite extends SparkSpec {
       s"expected evict + restart-from-zero, got ${rows42()}")
   }
 
+  test("I9b stream-stream LEFT OUTER interval join: null rows emit once the watermark passes") {
+    // the hard half of stream-stream joins: an unmatched left row can
+    // only emit (null-padded) when the watermark proves no future match
+    // can arrive — before that it sits in state; a final far-future
+    // event advances the watermark and flushes it
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchSrc = MemoryStream[Ev]
+    val clickSrc = MemoryStream[Ev]
+    def t(min: Int) = microsOf(min)
+    val purchases = purchSrc.toDS().toDF()
+      .withColumn("purchase_ts", expr("timestamp_micros(tsMicros)"))
+      .select($"user_id", $"event_id".as("purchase_id"), $"purchase_ts")
+      .withWatermark("purchase_ts", "10 minutes")
+    val clicks = clickSrc.toDS().toDF()
+      .withColumn("click_ts", expr("timestamp_micros(tsMicros)"))
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+      $"user_id" === $"c_user" &&
+        $"click_ts" <= $"purchase_ts" &&
+        $"click_ts" >= $"purchase_ts" - expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select($"purchase_id", $"click_id")
+    val sink = s"ssoj_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    // purchase 100 (user 1) has a click 10 min before; purchase 200
+    // (user 2) has NO click in window
+    purchSrc.addData(Ev(100L, t(40), 1L, "purchase", 5L), Ev(200L, t(40), 2L, "purchase", 5L))
+    clickSrc.addData(Ev(300L, t(30), 1L, "click", 1L))
+    q.processAllAvailable()
+    val early = spark.table(sink).collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(early == Set((100L, Some(300L))),
+      s"only the matched pair may emit before the watermark: $early")
+    // far-future traffic on BOTH streams pushes the watermark past
+    // purchase 200's match window → its null row must flush
+    purchSrc.addData(Ev(900L, t(600), 9L, "purchase", 1L))
+    clickSrc.addData(Ev(901L, t(600), 9L, "click", 1L))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table(sink).collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(all.contains((200L, None)),
+      s"unmatched purchase never flushed with nulls after watermark: $all")
+    assert(all.contains((100L, Some(300L))))
+  }
+
   test("I9 stream-stream interval join: two watermarked streams == batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
