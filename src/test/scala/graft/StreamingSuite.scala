@@ -305,6 +305,44 @@ class StreamingSuite extends SparkSpec {
       s"expected evict + restart-from-zero, got ${rows42()}")
   }
 
+  test("I11 chained stateful operators: dedup then windowed agg in ONE streaming query") {
+    // two stateful operators back-to-back (long unsupported in
+    // Structured Streaming, now first-class): re-delivered events are
+    // deduped by id, then tumbling-window counted — one query, one
+    // checkpoint, results equal the batch form on the deduped input
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val deduped = mem.toDS().toDF()
+      .withColumn("ts", expr("timestamp_micros(tsMicros)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val counted = deduped
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w"), $"event_type", $"n")
+    val sink = s"chain_${System.nanoTime()}"
+    val q = counted.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    def ev(id: Long, min: Int, typ: String) = Ev(id, microsOf(min), 1L, typ, 1L)
+    // batch 1 with an internal duplicate; batch 2 re-delivers id 1 again
+    mem.addData(ev(1, 0, "click"), ev(1, 0, "click"), ev(2, 5, "click"), ev(3, 12, "view"))
+    q.processAllAvailable()
+    mem.addData(ev(1, 0, "click"), ev(4, 14, "view"))
+    q.processAllAvailable()
+    // far-future event closes every earlier window through BOTH operators
+    mem.addData(ev(99, 600, "click"))
+    q.processAllAvailable(); q.processAllAvailable()
+    q.stop()
+    val got = spark.table(sink).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+    val w0 = microsOf(0) / 1000; val w10 = microsOf(10) / 1000
+    assert(got.contains((w0, "click", 2L)), s"dup not removed before the agg: $got")
+    assert(got.contains((w10, "view", 2L)), s"second window wrong: $got")
+    assert(!got.exists { case (w, t, n) => w == w0 && t == "click" && n != 2L },
+      s"re-delivered id leaked through the chained dedup: $got")
+  }
+
   test("I9b stream-stream LEFT OUTER interval join: null rows emit once the watermark passes") {
     // the hard half of stream-stream joins: an unmatched left row can
     // only emit (null-padded) when the watermark proves no future match
