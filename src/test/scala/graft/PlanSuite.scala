@@ -185,6 +185,30 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(exchanges <= 4, s"zorder plan shuffles too much:\n$p")
   }
 
+  test("SQL hints: BROADCAST and REPARTITION hints in migrated SQL are honored") {
+    // migrating Athena/warehouse SQL arrives with hints; they must
+    // reach the planner through spark.sql, not silently drop
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // hints must override
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").createOrReplaceTempView("hint_li")
+      spark.read.parquet(s"$sfDir/part.parquet").createOrReplaceTempView("hint_p")
+      val hinted = spark.sql("""
+        SELECT /*+ BROADCAST(hint_p) */ p_brand, COUNT(*) AS n
+        FROM hint_li JOIN hint_p ON l_partkey = p_partkey
+        GROUP BY p_brand""")
+      val p = hinted.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"BROADCAST hint dropped (threshold is -1, so only the hint can produce BHJ):\n$p")
+      val rep = spark.sql("SELECT /*+ REPARTITION(7) */ l_orderkey FROM hint_li")
+      assert(rep.rdd.getNumPartitions == 7, "REPARTITION(7) hint not applied")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("round-5 plan shapes: no cartesians, map-side ops stay map-side") {
     // fuzzy match: bigram bucket join + exact verify — never a nested loop
     val fuzzy = planOf("q_fuzzy_match")
