@@ -26,6 +26,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // session/scheduler warm-up
+    // Shuffle/spill telemetry per query: the number that says whether a
+    // plan survives a 100x scale-up is not seconds, it's bytes through
+    // the shuffle. Listener events drain async, so values are advisory
+    // detail (bench_out.json only), not a gate.
+    val shufRead = new java.util.concurrent.atomic.AtomicLong()
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong()
+    val spilled = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spilled.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+        }
+      }
+    })
+    val shuffles = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     def timeOnce(name: String, fn: Q): Double = {
       val t0 = System.nanoTime()
@@ -52,7 +70,13 @@ object Bench {
     }
     val results = selected.map { case (name, fn) =>
       val t1 = timeOnce(name, fn)
+      // steady-state shuffle footprint: measure run 2 only (run 1 also
+      // warms shuffle files); brief pause lets the listener bus drain
+      Thread.sleep(30)
+      val (r0, w0, s0) = (shufRead.get, shufWrite.get, spilled.get)
       val t2 = if (t1 < 0) -1.0 else timeOnce(name, fn)
+      Thread.sleep(30)
+      shuffles += name -> (shufRead.get - r0, shufWrite.get - w0, spilled.get - s0)
       raw += name -> (t1, t2)
       // Release every block the query persisted and left behind (dedup
       // shingle sets, CC round pins): across 106 queries × 2 runs the
@@ -80,7 +104,13 @@ object Bench {
     val ratioField = baselineRatio(results)
       .map(r => s""","bench_vs_baseline":${r3(r)},"baseline_file":"tools/baseline_bench.json"""")
       .getOrElse("")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"raw":$rawJson,"failed":$failedJson$ratioField,"sf":"$sfDir"}"""
+    // per-query [shuffle_read_mb, shuffle_write_mb, spill_mb] of the
+    // steady-state run — the scale-extrapolation evidence
+    def mb(v: Long): String = r3(v / 1048576.0)
+    val shufJson = shuffles.map { case (k, (r, w, s)) =>
+      s"\"" + k + "\":[" + mb(r) + "," + mb(w) + "," + mb(s) + "]"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"raw":$rawJson,"shuffle_mb":$shufJson,"failed":$failedJson$ratioField,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
     println(line)
     // The driver captures a bounded TAIL of stdout (r2 evidence: the full
