@@ -1172,7 +1172,7 @@ object Oracle {
          ORDER BY c_custkey""",
     "q_xml_funcs" ->
       """SELECT p_partkey, p_name AS name, CAST(p_size AS BIGINT) AS size,
-                p_name AS xp_name, CAST(p_size AS BIGINT) AS xp_size
+                p_name AS xp_name
          FROM part ORDER BY p_partkey""",
     "q_variant_funcs" ->
       """SELECT event_id,

@@ -170,12 +170,28 @@ object Dedup {
     * exponentially with rounds (a real cluster job would use a reliable
     * checkpoint dir instead of executor-local blocks). The convergence
     * aggregate is the only driver-side value — labels never leave
-    * executors. */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+    * executors.
+    *
+    * Diameter insurance (`maxRounds`): hash-to-min's round count is the
+    * graph diameter, so a pathological chain-shaped graph would run one
+    * shuffle per hop. After `maxRounds` un-converged rounds the remaining
+    * graph is CONTRACTED to its current labels (edge (u,v) → (lbl(u),
+    * lbl(v)), self-loops dropped — converged clusters vanish here) and
+    * handed to `connectedComponentsStar`, whose rounds grow with log of
+    * component size; final labels compose through the contraction. Dense
+    * near-dup graphs never hit the cap (1–3 rounds); the cap turns the
+    * worst case from O(diameter) into O(cap + log n) shuffles. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 8): DataFrame = {
     val ss = edges.sparkSession
     import ss.implicits._
-    val sym = edges.select($"u", $"v")
-      .union(edges.select($"v".as("u"), $"u".as("v")))
+    // canonical pre-shrink: orient hi → lo, drop self-loops and duplicate
+    // pairs BEFORE symmetrizing — callers with raw pair lists (both
+    // orientations, repeats) would otherwise carry the redundancy through
+    // every propagation round's join
+    val canon = edges.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      .filter($"u" =!= $"v").distinct()
+    val sym = canon.select($"u", $"v")
+      .union(canon.select($"v".as("u"), $"u".as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize-and-truncate per round: pin the round's labels as a
     // persisted row RDD and rebuild the DataFrame over it — the same
@@ -196,7 +212,9 @@ object Dedup {
         .union(sym.select($"u".as("vid"), $"u".as("lbl")))
         .groupBy($"vid").agg(min($"lbl").as("lbl")))
     var changed = 1L
-    while (changed > 0) {
+    var rounds = 1 // the folded seed round
+    while (changed > 0 && rounds < maxRounds) {
+      rounds += 1
       val prop = sym.join(labels, $"u" === $"vid")
         .groupBy($"v").agg(min($"lbl").as("nbr"))
         .select($"v".as("pid"), $"nbr")
@@ -208,6 +226,23 @@ object Dedup {
       pinned.unpersist(blocking = false)
       labels = next.select($"vid", $"lbl")
       pinned = nextPin
+    }
+    if (changed > 0) {
+      // diameter exceeded the cap: contract edges to current labels and
+      // finish on the star engine (log-round). Vertices whose component
+      // already converged produce only self-loops here and drop out.
+      val lu = labels.select($"vid".as("cu"), $"lbl".as("clu"))
+      val lv = labels.select($"vid".as("cv"), $"lbl".as("clv"))
+      val contracted = sym.join(lu, $"u" === $"cu").join(lv, $"v" === $"cv")
+        .select($"clu".as("u"), $"clv".as("v"))
+        .filter($"u" =!= $"v")
+      val (starLabels, _) = connectedComponentsStar(contracted)
+      val composed = labels
+        .join(starLabels.select($"vid".as("slbl"), $"lbl".as("root")),
+          $"lbl" === $"slbl", "left")
+        .select($"vid", coalesce($"root", $"lbl").as("lbl"))
+      sym.unpersist()
+      return composed
     }
     sym.unpersist()
     // the final round's pin stays live inside the returned plan; the

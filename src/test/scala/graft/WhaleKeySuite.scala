@@ -109,4 +109,19 @@ class WhaleKeySuite extends AnyFunSuite {
     // 2·log2(1000) ≈ 20; generous headroom, but far below diameter/2
     assert(rounds <= 30, s"star CC took $rounds rounds on a 1000-chain")
   }
+
+  test("hash-to-min round cap contracts and finishes on the star engine") {
+    // a 200-link chain (diameter 199) with maxRounds=3 forces the
+    // contraction fallback; labels must still equal the component min,
+    // and disconnected components must stay separate through contraction
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val chain = spark.range(0, 199).select($"id".as("u"), ($"id" + 1L).as("v"))
+    val second = spark.range(1000, 1050).select($"id".as("u"), ($"id" + 1L).as("v"))
+    val labels = graft.ops.Dedup.connectedComponents(chain.union(second), maxRounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 251)
+    assert((0L to 199L).forall(labels(_) == 0L), "chain component label != min")
+    assert((1000L to 1050L).forall(labels(_) == 1000L), "second component label != min")
+  }
 }
