@@ -68,26 +68,56 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
-      val t1 = timeOnce(name, fn)
-      // steady-state shuffle footprint: measure run 2 only (run 1 also
-      // warms shuffle files); brief pause lets the listener bus drain
-      Thread.sleep(30)
-      val (r0, w0, s0) = (shufRead.get, shufWrite.get, spilled.get)
-      val t2 = if (t1 < 0) -1.0 else timeOnce(name, fn)
-      Thread.sleep(30)
-      shuffles += name -> (shufRead.get - r0, shufWrite.get - w0, spilled.get - s0)
-      raw += name -> (t1, t2)
-      // Release every block the query persisted and left behind (dedup
-      // shingle sets, CC round pins): across 106 queries × 2 runs the
-      // leaked blocks compounded into multi-second slowdowns of UNRELATED
-      // late-running queries in the r4 capture (q_win_first_last 0.9 s
-      // isolated vs 7.2 s in-suite). Sequential runner, so this is safe.
+    // deterministic metric fence: the listener bus delivers events async,
+    // so snapshot counters only after it reports empty (a fixed sleep
+    // misattributed late task-end events from the previous query — ADVICE r5)
+    def drain(): Unit = org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark)
+    // Release every block the query persisted and left behind (dedup
+    // shingle sets, CC round pins): across 106 queries × 2 runs the
+    // leaked blocks compounded into multi-second slowdowns of UNRELATED
+    // late-running queries in the r4 capture (q_win_first_last 0.9 s
+    // isolated vs 7.2 s in-suite). Sequential runner, so this is safe.
+    def releaseBlocks(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      val t = if (t1 < 0 || t2 < 0) { failed += name; -1.0 } else math.min(t1, t2)
-      name -> t
     }
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    selected.foreach { case (name, fn) =>
+      val t1 = timeOnce(name, fn)
+      // steady-state shuffle footprint: measure run 2 only (run 1 also
+      // warms shuffle files)
+      drain()
+      val (r0, w0, s0) = (shufRead.get, shufWrite.get, spilled.get)
+      val t2 = if (t1 < 0) -1.0 else timeOnce(name, fn)
+      drain()
+      shuffles += name -> (shufRead.get - r0, shufWrite.get - w0, spilled.get - s0)
+      raw += name -> (t1, t2)
+      releaseBlocks()
+      val t = if (t1 < 0 || t2 < 0) { failed += name; -1.0 } else math.min(t1, t2)
+      results += name -> t
+    }
+    // Per-query gate vs the committed baseline: the r5 total-only gate let
+    // a 3.6x single-query regression hide behind 20 new fast queries. Any
+    // query whose min-of-2 exceeds 2x its baseline is RE-MEASURED with
+    // three clean runs after a block release — suite-order interference
+    // (leaked persists, GC pressure) is the dominant false-positive source
+    // at this scale — and fails the gate only if the best of all runs is
+    // still over. Queries absent from the baseline (added since the last
+    // rebaseline, see tools/rebaseline.py) are exempt until re-committed.
+    val base = loadBaseline()
+    val gateRatio = scala.collection.mutable.LinkedHashMap[String, Double]()
+    results.toSeq.foreach { case (name, t) =>
+      if (t >= 0 && base.contains(name) && t > 2.0 * base(name)) {
+        releaseBlocks()
+        val reruns = (1 to 3).map(_ => timeOnce(name, selected(name))).filter(_ >= 0)
+        releaseBlocks()
+        val best = (t +: reruns).min
+        results(name) = best
+        if (best > 2.0 * base(name)) gateRatio += name -> best / base(name)
+      }
+    }
+    val perQueryGate =
+      if (base.isEmpty) "no_baseline" else if (gateRatio.isEmpty) "pass" else "fail"
     // explicit locale: a comma-decimal default (de_DE etc.) would emit
     // 32,765 and break the JSON line
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -110,7 +140,10 @@ object Bench {
     val shufJson = shuffles.map { case (k, (r, w, s)) =>
       s"\"" + k + "\":[" + mb(r) + "," + mb(w) + "," + mb(s) + "]"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"raw":$rawJson,"shuffle_mb":$shufJson,"failed":$failedJson$ratioField,"sf":"$sfDir"}"""
+    val offendersJson = gateRatio.map { case (k, r) => s"\"" + k + "\":" + r3(r) }
+      .mkString("{", ",", "}")
+    val gateField = s""","per_query_gate":"$perQueryGate","gate_offenders":$offendersJson"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"raw":$rawJson,"shuffle_mb":$shufJson,"failed":$failedJson$ratioField$gateField,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
     println(line)
     // The driver captures a bounded TAIL of stdout (r2 evidence: the full
@@ -119,9 +152,24 @@ object Bench {
     // summary as the LAST line we print: it always fits whole inside any
     // tail buffer, so a line-wise JSON scan finds something parseable;
     // full per-query detail stays in the line above and bench_out.json.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"failed":$failedJson$ratioField,"sf":"$sfDir","detail":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"failed":$failedJson$ratioField$gateField,"sf":"$sfDir","detail":"bench_out.json"}""")
     System.out.flush()
     spark.stop()
+  }
+
+  /** Committed per-query baseline (tools/baseline_bench.json, written by
+    * tools/rebaseline.py from disciplined fresh-JVM runs); empty when the
+    * file is absent or unparseable. */
+  private def loadBaseline(): Map[String, Double] = {
+    val f = java.nio.file.Paths.get("tools/baseline_bench.json")
+    if (!java.nio.file.Files.exists(f)) return Map.empty
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(f)).get("queries")
+      val base = scala.collection.mutable.Map[String, Double]()
+      node.fieldNames().forEachRemaining(k => base += k -> node.get(k).asDouble())
+      base.toMap
+    } catch { case _: Throwable => Map.empty }
   }
 
   /** total(this run) / total(baseline) over the queries present in BOTH —
@@ -129,16 +177,9 @@ object Bench {
     * or no query names overlap (e.g. a SPARK_GRAFT_ONLY diagnostic run of
     * a query added after the snapshot). */
   private def baselineRatio(results: Iterable[(String, Double)]): Option[Double] = {
-    val f = java.nio.file.Paths.get("tools/baseline_bench.json")
-    if (!java.nio.file.Files.exists(f)) return None
-    try {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readString(f)).get("queries")
-      val base = scala.collection.mutable.Map[String, Double]()
-      node.fieldNames().forEachRemaining(k => base += k -> node.get(k).asDouble())
-      val shared = results.filter { case (n, t) => t >= 0 && base.contains(n) }
-      if (shared.isEmpty) None
-      else Some(shared.map(_._2).sum / shared.map { case (n, _) => base(n) }.sum)
-    } catch { case _: Throwable => None }
+    val base = loadBaseline()
+    val shared = results.filter { case (n, t) => t >= 0 && base.contains(n) }
+    if (shared.isEmpty) None
+    else Some(shared.map(_._2).sum / shared.map { case (n, _) => base(n) }.sum)
   }
 }

@@ -17,4 +17,13 @@ object GraftShim {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Block until the async listener bus has delivered every queued event —
+    * the deterministic fence Bench needs before snapshotting per-query
+    * task-metric counters (a fixed sleep misattributes late task-end
+    * events from the previous query under load). Bounded by the bus's own
+    * default timeout; a timeout degrades to the old best-effort behavior. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty()
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }

@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Re-commit tools/baseline_bench.json from disciplined runs.
+
+Runs graft.Bench N times (default 3), each in a FRESH JVM, and writes the
+per-query MEDIAN of the min-of-2 numbers as the committed baseline. A
+fresh JVM per full run removes the two variance sources that poisoned the
+r4/r5 baselines: suite-order interference inside one JVM (leaked persisted
+blocks, GC pressure) and single-run jitter (codegen/JIT warm-up already
+absorbed by Bench's own min-of-2). Median over fresh-JVM runs is the
+VERDICT r5 discipline for the per-query 2x gate.
+
+Usage: python3 tools/rebaseline.py [runs] [sf_dir]
+"""
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+per_query = {}
+for i in range(runs):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    env.pop("SPARK_GRAFT_ONLY", None)  # a subset run must never become the baseline
+    subprocess.run(["bash", "tools/run.sh", "graft.Bench"], cwd=repo, env=env,
+                   check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(os.path.join(repo, "bench_out.json")) as f:
+        out = json.load(f)
+    if out.get("failed"):
+        sys.exit(f"run {i}: failed queries {out['failed']} — refusing to rebaseline")
+    for q, t in out["queries"].items():
+        per_query.setdefault(q, []).append(t)
+    print(f"run {i + 1}/{runs}: total {out['value']}s", file=sys.stderr)
+
+baseline = {
+    "note": f"fresh-JVM median-of-{runs} of Bench min-of-2 at {sf_dir}, local[32]",
+    "queries": {q: round(statistics.median(ts), 3) for q, ts in sorted(per_query.items())},
+}
+with open(os.path.join(repo, "tools", "baseline_bench.json"), "w") as f:
+    json.dump(baseline, f, indent=1)
+print(f"wrote tools/baseline_bench.json ({len(per_query)} queries)", file=sys.stderr)
