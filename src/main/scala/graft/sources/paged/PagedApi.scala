@@ -26,6 +26,62 @@ object PagedApi {
   /** ≙ RESULTS_PER_PAGE (reference src/main.py:10-12 default 100). */
   val MaxServerPageSize = 100
 
+  /** Rate-limit response (≙ HTTP 429 from the reference's
+    * `requests.request` call, src/main.py:114-120 — Twitter's most common
+    * transient failure in real use). Carries the server's Retry-After. */
+  class RateLimitedException(val retryAfterMs: Long)
+    extends RuntimeException(s"429 rate limited, retry after ${retryAfterMs}ms")
+
+  /** Any other transient service failure (connection reset, HTTP 5xx). */
+  class TransientServiceException(msg: String) extends RuntimeException(msg)
+
+  /** Bounded-retry fetch policy for the partition readers: rate-limit
+    * responses wait the server's Retry-After; other transient failures
+    * back off exponentially from `baseBackoffMs`. Retrying a page fetch
+    * is safe by construction — the cursor is immutable input, so a retry
+    * re-reads the SAME page (no records duplicated or dropped); attempts
+    * past `maxAttempts` rethrow and fail the task, handing recovery to
+    * Spark's task retry / the streaming checkpoint. */
+  case class RetryPolicy(maxAttempts: Int = 4, baseBackoffMs: Long = 100L)
+
+  private def faultsPath(root: String) = Paths.get(root, "_faults.tsv")
+
+  /** Test-only fault injection: the next `count` fetches for `token`
+    * ("-" = the initial page) fail with `kind` ∈ {429, 503}. Models the
+    * reference's real-world failure mode at src/main.py:119. */
+  def injectFault(root: String, token: String, count: Int, kind: Int,
+                  retryAfterMs: Long = 50L): Unit = synchronized {
+    Files.write(faultsPath(root),
+      s"$token\t$count\t$kind\t$retryAfterMs\n".getBytes(UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Consume one fault budget for `token` if armed; throws the fault. */
+  private def maybeFail(root: String, token: Option[String]): Unit = synchronized {
+    val p = faultsPath(root)
+    if (!Files.exists(p)) return
+    val t = token.getOrElse("-")
+    val lines = Files.readAllLines(p, UTF_8)
+    var thrown: Option[RuntimeException] = None
+    val kept = new java.util.ArrayList[String]()
+    lines.forEach { ln =>
+      val parts = ln.split("\t")
+      if (thrown.isEmpty && parts(0) == t && parts(1).toInt > 0) {
+        thrown = Some(parts(2).toInt match {
+          case 429 => new RateLimitedException(parts(3).toLong)
+          case c => new TransientServiceException(s"HTTP $c (injected)")
+        })
+        if (parts(1).toInt > 1)
+          kept.add(s"$t\t${parts(1).toInt - 1}\t${parts(2)}\t${parts(3)}")
+      } else kept.add(ln)
+    }
+    thrown.foreach { e =>
+      Files.write(p, String.join("\n", kept).concat("\n").getBytes(UTF_8))
+      logAccess(root, s"token=$t FAIL ${e.getMessage}")
+      throw e
+    }
+  }
+
   /** The record fields the service can serve (≙ tweet.fields,
     * reference src/main.py:90). */
   val Fields: Seq[String] = Seq("id", "created_at", "text")
@@ -96,9 +152,31 @@ object PagedApi {
     * query's result stream, src/main.py:156-160). `fields` is the
     * server-side projection (≙ tweet.fields): rows come back with one
     * slot per requested field, in request order. */
+  /** `fetch` under the retry policy — what the partition readers call.
+    * The loop is the engine-side version of what the reference's page
+    * loop (src/main.py:136-160) NEEDS but lacks: its bare
+    * `requests.request` crashes the whole collection run on the first
+    * 429, losing the in-memory next_token. */
+  @annotation.tailrec
+  def fetchWithRetry(root: String, token: Option[String], maxResults: Int,
+                     query: Query = Query.All, fields: Seq[String] = Fields,
+                     retry: RetryPolicy = RetryPolicy(), attempt: Int = 1): PageRows = {
+    val failure =
+      try return fetch(root, token, maxResults, query, fields)
+      catch {
+        case e: RateLimitedException if attempt < retry.maxAttempts =>
+          e.retryAfterMs // honor the server's Retry-After verbatim
+        case e: TransientServiceException if attempt < retry.maxAttempts =>
+          retry.baseBackoffMs << (attempt - 1) // exponential backoff
+      }
+    Thread.sleep(failure)
+    fetchWithRetry(root, token, maxResults, query, fields, retry, attempt + 1)
+  }
+
   def fetch(root: String, token: Option[String], maxResults: Int,
             query: Query = Query.All,
             fields: Seq[String] = Fields): PageRows = {
+    maybeFail(root, token)
     val start = token.map(_.toLong).getOrElse(0L)
     val n = math.min(math.max(maxResults, 1), MaxServerPageSize)
     logAccess(root,

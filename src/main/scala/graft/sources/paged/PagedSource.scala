@@ -85,11 +85,16 @@ class PagedSource extends TableProvider with DataSourceRegister {
       minId = Option(opts.get("query.minId")).map(_.toLong),
       maxId = Option(opts.get("query.maxId")).map(_.toLong),
       contains = Option(opts.get("query.contains")).toSeq.flatMap(_.split(',')).filter(_.nonEmpty))
+    // transient-failure policy for the page readers (429 Retry-After +
+    // exponential backoff on 5xx); attempts past the bound fail the task
+    val retry = PagedApi.RetryPolicy(
+      maxAttempts = intOpt("retryMaxAttempts", 4),
+      baseBackoffMs = longOpt("retryBaseBackoffMs", 100L))
     new PagedTable(root,
       intOpt("pageSize", PagedApi.MaxServerPageSize),
       intOpt("maxPagesPerTrigger", 10),
       longOpt("maxRecords", 3000L), // reference default, src/main.py:18
-      baseQuery)
+      baseQuery, retry)
   }
 }
 
@@ -102,14 +107,15 @@ object PagedSource {
 }
 
 class PagedTable(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecords: Long,
-                 baseQuery: PagedApi.Query = PagedApi.Query.All)
+                 baseQuery: PagedApi.Query = PagedApi.Query.All,
+                 retry: PagedApi.RetryPolicy = PagedApi.RetryPolicy())
   extends Table with SupportsRead {
   override def name(): String = s"graft-pages:$root"
   override def schema(): StructType = PagedSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(root, pageSize, maxPagesPerTrigger, maxRecords, baseQuery)
+    new PagedScanBuilder(root, pageSize, maxPagesPerTrigger, maxRecords, baseQuery, retry)
 }
 
 /** Pushdown-capable scan builder — the Spark-native form of the
@@ -118,7 +124,8 @@ class PagedTable(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecord
   * become server-side query terms; everything else stays a residual
   * filter evaluated in-plan. */
 class PagedScanBuilder(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecords: Long,
-                       baseQuery: PagedApi.Query = PagedApi.Query.All)
+                       baseQuery: PagedApi.Query = PagedApi.Query.All,
+                       retry: PagedApi.RetryPolicy = PagedApi.RetryPolicy())
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit with SupportsPushDownAggregates {
 
@@ -189,7 +196,7 @@ class PagedScanBuilder(root: String, pageSize: Int, maxPagesPerTrigger: Int, max
 
   override def build(): Scan =
     if (countPushed) new PagedCountScan(root, maxRecords, query, limit)
-    else new PagedScan(root, pageSize, maxPagesPerTrigger, maxRecords, query, required, limit)
+    else new PagedScan(root, pageSize, maxPagesPerTrigger, maxRecords, query, required, limit, retry)
 }
 
 /** The fully-pushed COUNT(*): one input partition producing one row —
@@ -227,16 +234,17 @@ class PagedCountReaderFactory extends PartitionReaderFactory {
 
 class PagedScan(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecords: Long,
                 query: PagedApi.Query, required: StructType,
-                limit: Option[Int] = None)
+                limit: Option[Int] = None,
+                retry: PagedApi.RetryPolicy = PagedApi.RetryPolicy())
   extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-pages root=$root query=${query.repr} fields=${required.fieldNames.mkString(";")}" +
       limit.fold("")(l => s" limit=$l")
   override def toBatch: Batch =
-    new PagedBatch(root, pageSize, maxRecords, query, required, limit)
+    new PagedBatch(root, pageSize, maxRecords, query, required, limit, retry)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PagedMicroBatchStream(root, pageSize, maxPagesPerTrigger, maxRecords, query, required)
+    new PagedMicroBatchStream(root, pageSize, maxPagesPerTrigger, maxRecords, query, required, retry)
 
   /** Planning-time size report (the DSv2 contract Catalyst's join
     * sizing reads): rows = the same matching-count metadata probe the
@@ -263,14 +271,15 @@ class PagedScan(root: String, pageSize: Int, maxPagesPerTrigger: Int, maxRecords
   * fetched in parallel across executors. */
 class PagedBatch(root: String, requestedPageSize: Int, maxRecords: Long,
                  query: PagedApi.Query, required: StructType,
-                 limit: Option[Int] = None) extends Batch {
+                 limit: Option[Int] = None,
+                 retry: PagedApi.RetryPolicy = PagedApi.RetryPolicy()) extends Batch {
   private val pageSize = math.min(math.max(requestedPageSize, 1), PagedApi.MaxServerPageSize)
   override def planInputPartitions(): Array[InputPartition] = {
     val cap = limit.fold(maxRecords)(l => math.min(maxRecords, l.toLong))
     val total = math.min(PagedApi.countMatching(root, query), cap)
     Iterator.iterate(0L)(_ + pageSize).takeWhile(_ < total)
       .map(from => PagedInputPartition(root, from, math.min(from + pageSize, total),
-        query, required.fieldNames.toSeq): InputPartition)
+        query, required.fieldNames.toSeq, retry): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = new PagedReaderFactory
@@ -295,7 +304,8 @@ object PagedOffset {
 class PagedMicroBatchStream(root: String, requestedPageSize: Int,
                             maxPagesPerTrigger: Int, maxRecords: Long,
                             query: PagedApi.Query = PagedApi.Query.All,
-                            required: StructType = PagedSource.Schema)
+                            required: StructType = PagedSource.Schema,
+                            retry: PagedApi.RetryPolicy = PagedApi.RetryPolicy())
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // clamp ≙ src/main.py:95-96: the server never serves more than its max
@@ -342,7 +352,7 @@ class PagedMicroBatchStream(root: String, requestedPageSize: Int,
     val e = end.asInstanceOf[PagedOffset].record
     Iterator.iterate(s)(_ + pageSize).takeWhile(_ < e)
       .map(from => PagedInputPartition(root, from, math.min(from + pageSize, e),
-        query, required.fieldNames.toSeq): InputPartition)
+        query, required.fieldNames.toSeq, retry): InputPartition)
       .toArray
   }
 
@@ -356,7 +366,8 @@ class PagedMicroBatchStream(root: String, requestedPageSize: Int,
 
 case class PagedInputPartition(root: String, from: Long, until: Long,
                                query: PagedApi.Query = PagedApi.Query.All,
-                               fields: Seq[String] = PagedApi.Fields)
+                               fields: Seq[String] = PagedApi.Fields,
+                               retry: PagedApi.RetryPolicy = PagedApi.RetryPolicy())
   extends InputPartition
 
 class PagedReaderFactory extends PartitionReaderFactory {
@@ -364,12 +375,15 @@ class PagedReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[PagedInputPartition]
     new PartitionReader[InternalRow] {
       // executor-side page fetch: token = the page's start cursor;
-      // query + field projection ride the request (server-side eval)
-      private val page = PagedApi.fetch(
+      // query + field projection ride the request (server-side eval).
+      // Retried under the bounded policy — a 429/5xx re-reads the SAME
+      // immutable cursor slice, so recovery never duplicates or drops
+      // rows (PagedSourceSuite proves exactly-once under injected faults)
+      private val page = PagedApi.fetchWithRetry(
         p.root,
         if (p.from == 0L) None else Some(p.from.toString),
         (p.until - p.from).toInt,
-        p.query, p.fields)
+        p.query, p.fields, p.retry)
       private val it = page.rows.iterator
       private var row: InternalRow = _
       override def next(): Boolean =

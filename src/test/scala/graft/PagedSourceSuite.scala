@@ -287,6 +287,55 @@ class PagedSourceSuite extends SparkSpec {
       s"aggregate not pushed into the scan:\n${planned.queryExecution.executedPlan}")
   }
 
+  test("A1 retry: injected 429 + 5xx recover with exactly-once page delivery (batch)") {
+    // ≙ the failure mode of the reference's bare requests.request call
+    // (src/main.py:114-120): rate limits and transient 5xx. The reader's
+    // bounded retry must re-read the SAME cursor slice — every record
+    // exactly once, every successful page served exactly once.
+    import spark.implicits._
+    val root = mkApi(100)
+    PagedApi.injectFault(root, "-", count = 1, kind = 429, retryAfterMs = 10)
+    PagedApi.injectFault(root, "40", count = 2, kind = 503)
+    val df = spark.read.format("graft-pages")
+      .option("path", root).option("pageSize", "20").option("maxRecords", "100000")
+      .option("retryBaseBackoffMs", "5")
+      .load()
+    assert(df.select($"id").as[Long].collect().sorted.toSeq == (0L until 100L),
+      "faulted pages must recover without dropping or duplicating records")
+    val lines = accessLines(root)
+    assert(lines.count(_.contains("FAIL")) == 3,
+      s"expected the 3 injected failures in the log: $lines")
+    val served = lines.filterNot(_.contains("FAIL")).map(_.split(' ')(1))
+    assert(served.distinct.size == served.size,
+      s"a page was served twice despite per-cursor retry: $served")
+  }
+
+  test("A1 retry: AvailableNow drain recovers from injected faults, exactly-once") {
+    val root = mkApi(80)
+    PagedApi.injectFault(root, "-", count = 1, kind = 429, retryAfterMs = 10)
+    PagedApi.injectFault(root, "60", count = 1, kind = 503)
+    val base = Files.createTempDirectory("graft_paged").toString
+    drain(root, s"$base/out", s"$base/ckpt",
+      Map("pageSize" -> "20", "maxRecords" -> "100000", "retryBaseBackoffMs" -> "5"))
+    assert(landedIds(s"$base/out") == (0L until 80L),
+      "streamed drain must deliver every record exactly once under faults")
+    assert(accessLines(root).count(_.contains("FAIL")) == 2)
+  }
+
+  test("A1 retry exhaustion: failures past retryMaxAttempts fail the read") {
+    val root = mkApi(10)
+    PagedApi.injectFault(root, "-", count = 10, kind = 429, retryAfterMs = 5)
+    val df = spark.read.format("graft-pages")
+      .option("path", root).option("maxRecords", "100000")
+      .option("retryMaxAttempts", "2").option("retryBaseBackoffMs", "5")
+      .load()
+    val e = intercept[Exception] { df.collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[PagedApi.RateLimitedException]),
+      s"exhausted retries must surface the rate-limit error, got: $e")
+  }
+
   test("A1 statistics report: a capped scan auto-broadcasts in a join (SupportsReportStatistics)") {
     // Without estimateStatistics a DSv2 scan is unknown-size = huge, so
     // even a 100-row capped API read would shuffle-join. With the
