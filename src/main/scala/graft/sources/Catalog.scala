@@ -96,6 +96,35 @@ object Catalog {
       spark.sql(s"ANALYZE TABLE $Db.$t COMPUTE STATISTICS")
     }
 
+  /** Register an EXTERNAL partitioned table over hive-style directories
+    * at `location` (schema inferred from the files present, partition
+    * columns last). Partition directories present at registration are
+    * discovered; ones landed LATER by other writers need
+    * `recoverPartitions` — exactly the Glue split between the crawler's
+    * first run and its daily re-crawl (reference main.tf:304-314). */
+  def registerPartitionedExternal(spark: SparkSession, table: String,
+                                  location: String, partCols: Seq[String]): Unit = synchronized {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $Db")
+    if (!spark.catalog.tableExists(table)) {
+      val schema = spark.read.parquet(location).schema
+      val ddl = (schema.fields.filterNot(f => partCols.contains(f.name)) ++
+        partCols.map(schema(_)))
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"""CREATE TABLE $table ($ddl) USING parquet
+                    PARTITIONED BY (${partCols.mkString(", ")})
+                    LOCATION '$location'""")
+      spark.sql(s"MSCK REPAIR TABLE $table")
+    }
+  }
+
+  /** Re-discover partitions landed at the table's location by writers
+    * the catalog never saw (≙ the crawler's daily re-crawl picking up
+    * prefixes other producers dropped in, main.tf:304-314). One listing
+    * pass over the location; new directories become queryable by name,
+    * and pruning over the refreshed partition index keeps working. */
+  def recoverPartitions(spark: SparkSession, table: String): Unit =
+    spark.sql(s"MSCK REPAIR TABLE $table")
+
   /** Register the engine's SQL-callable functions (≙ the reference's
     * Comprehend sentiment reached FROM SQL): after this,
     * `SELECT graft_sentiment(text) FROM graft.documents` works for a

@@ -88,6 +88,26 @@ object TopicConfig {
     Platforms(v, ds(1).getOrElse("platforms", Seq.empty[String]).asInstanceOf[Seq[String]])
   }
 
+  /** Resolve a config value the reference's way (load_environment_variables,
+    * src/main.py:42-47): the environment wins; absent there, fall back to
+    * a flat `key: value` config file (the reference's `config.yaml` TODO
+    * fallback, src/main.py:44-46); fail fast when neither has the key.
+    * `env` is injectable because a JVM cannot mutate its own environment
+    * — tests pass the three branches explicitly. */
+  def resolve(key: String, configFile: Option[java.nio.file.Path] = None,
+              env: Map[String, String] = sys.env): String =
+    env.get(key)
+      .orElse(configFile
+        .filter(java.nio.file.Files.exists(_))
+        .flatMap { p =>
+          val text = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          parseDoc(text).get(key).map(_.toString)
+        })
+      .getOrElse(throw new IllegalArgumentException(
+        s"config key '$key' absent from environment" +
+          configFile.fold(" (no fallback file given)")(p => s" and from $p")))
+
   /** Bundled example topic config — the same 2-document stream shape as
     * the reference's topic template (src/nba.yaml:1-7), with topic/alias
     * terms drawn from the synthetic documents vocabulary so the

@@ -45,6 +45,40 @@ class CatalogSuite extends SparkSpec {
     Catalog.registerExternalTables(spark, sfDir) // restore for other suites
   }
 
+  test("partition re-discovery: a directory landed outside Spark becomes queryable (MSCK)") {
+    // ≙ the Glue crawler's daily re-crawl (main.tf:304-314) picking up
+    // partitions other producers dropped at the prefix
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("graft_ext_part").toString
+    graft.Tables.documents(spark, sfDir)
+      .write.partitionBy("lang").mode("overwrite").parquet(loc)
+    val tbl = s"${Catalog.Db}.docs_recover_test"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Catalog.registerPartitionedExternal(spark, tbl, loc, Seq("lang"))
+    val langs0 = spark.table(tbl).select($"lang").distinct().as[String].collect().toSet
+    assert(langs0.nonEmpty && !langs0.contains("zz"))
+    // a foreign writer lands a new partition directory at the location —
+    // NOT through this table's writer, so the catalog has no idea
+    spark.createDataset(Seq((999999L, "landed outside spark", "crawl")))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$loc/lang=zz")
+    assert(spark.table(tbl).filter($"lang" === "zz").count() == 0,
+      "un-recovered partition must be invisible (that is the failure mode)")
+    Catalog.recoverPartitions(spark, tbl)
+    // visible by name from a FRESH session sharing the metastore
+    val fresh = spark.newSession()
+    assert(fresh.table(tbl)
+      .filter(org.apache.spark.sql.functions.col("lang") === "zz").count() == 1)
+    // and the recovered partition index still prunes: only the zz
+    // directory is read for a lang = 'zz' predicate
+    val scan = spark.table(tbl).filter($"lang" === "zz")
+    val pruned = scan.queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters") && pruned.contains("lang"),
+      s"partition pruning lost after recovery:\n$pruned")
+    assert(scan.select($"doc_id").as[Long].collect().toSeq == Seq(999999L))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("table stats drive a planning-time broadcast, no AQE needed") {
     Catalog.registerExternalTables(spark, sfDir)
     Catalog.analyzeTables(spark, Seq("nation", "customer"))

@@ -50,6 +50,29 @@ class TopicConfigSuite extends SparkSpec {
     assert(rows.contains(("basketball", "NBA", "League")))
   }
 
+  test("resolve: environment wins, file is the fallback, absent-both fails fast") {
+    // ≙ load_environment_variables + its config.yaml TODO fallback
+    // (reference src/main.py:42-47)
+    val f = java.nio.file.Files.createTempFile("graft_cfg", ".yaml")
+    java.nio.file.Files.write(f,
+      "bearer_token: \"from-file\"\nleague: NBA\n".getBytes("UTF-8"))
+    // 1. env present: wins even when the file also has the key
+    assert(TopicConfig.resolve("bearer_token", Some(f),
+      env = Map("bearer_token" -> "from-env")) == "from-env")
+    // 2. env absent: the file's key: value entry answers
+    assert(TopicConfig.resolve("bearer_token", Some(f), env = Map.empty) == "from-file")
+    assert(TopicConfig.resolve("league", Some(f), env = Map.empty) == "NBA")
+    // 3. absent both: fail fast, naming the key and the file searched
+    val e = intercept[IllegalArgumentException] {
+      TopicConfig.resolve("missing_key", Some(f), env = Map.empty)
+    }
+    assert(e.getMessage.contains("missing_key") && e.getMessage.contains(f.toString))
+    // no fallback file at all: same fail-fast
+    intercept[IllegalArgumentException] {
+      TopicConfig.resolve("missing_key", None, env = Map.empty)
+    }
+  }
+
   test("A7 CloudConf: s3a committer confs chain onto a session builder") {
     // the sandbox has no object store; what we can pin is that the knob
     // set is the magic-committer wiring and that it applies cleanly to a
