@@ -485,6 +485,21 @@ object Oracle {
          WINDOW w AS (PARTITION BY event_type ORDER BY sec
                       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    "q_win_range_salted" ->
+      """SELECT event_type, event_id,
+                CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) OVER w AS BIGINT) AS trailing_c,
+                COUNT(*) OVER w AS trailing_n
+         FROM (SELECT *, CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec FROM events)
+         WINDOW w AS (PARTITION BY event_type ORDER BY sec
+                      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q_win_rank_salted" ->
+      """SELECT event_type, event_id, value,
+                CAST(RANK() OVER tie AS BIGINT) AS rnk,
+                CAST(DENSE_RANK() OVER tie AS BIGINT) AS drnk
+         FROM events
+         WINDOW tie AS (PARTITION BY event_type ORDER BY value DESC)
+         ORDER BY event_type, rnk, event_id""",
     "q_win_first_last" ->
       """SELECT user_id, event_id,
                 FIRST_VALUE(event_type) OVER w AS first_type,

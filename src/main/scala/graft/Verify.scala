@@ -18,13 +18,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // diagnostic subsetting, same contract as Bench: SPARK_GRAFT_ONLY=q_a,q_b
+    // dumps (and lists oracle SQL for) just those queries — the fast
+    // iteration loop when adding one operator
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def selectedOf[T](m: Map[String, T]): Map[String, T] =
+      only.fold(m)(names => m.filter { case (n, _) => names(n) })
     // run queries on a small thread pool — Spark schedules concurrent jobs
     // fine in one session, and overlapping the per-query planning/codegen
     // latencies cuts verify wall time several-fold
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(2, cpus.toInt / 4))
     import scala.jdk.CollectionConverters._
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val tasks = selectedOf(SparkEntry.queries).toSeq.map { case (name, fn) =>
       new java.util.concurrent.Callable[Unit] {
         def call(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -48,7 +55,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = selectedOf(SparkEntry.oracleSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables, U}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,6 +16,52 @@ import org.apache.spark.sql.functions._
   * parquet (µs in Spark), so the oracle orders by CAST(ts AS TIMESTAMP).
   */
 object Windows {
+
+  /** Low-cardinality-key hardening for trailing-RANGE frames: a window
+    * partitioned on a 5-value key is 5 giant per-key sorts at 100 TB,
+    * and windows are NOT AQE-skew-splittable (the sort must see the
+    * whole partition). This variant re-partitions each key by time
+    * CHUNK of the window width and adds each row as a non-emitting
+    * "ghost" contributor to the NEXT chunk: a row's trailing frame
+    * [sec−W+1, sec] can only reach its own and the previous chunk, so
+    * every frame is complete inside the (key, chunk) partition and the
+    * sort fans out over key × time instead of key. Costs one duplication
+    * of the input through the shuffle; returns exactly the naive
+    * window's rows (SkewSuite proves equality on a planted whale key,
+    * and q_win_range_salted carries the same DuckDB oracle as
+    * q_win_range). */
+  def saltedTrailingRange(df: DataFrame, key: String, sec: String,
+                          valueMicros: Column, windowSecs: Long): DataFrame = {
+    val chunk = floor(col(sec) / windowSecs)
+    val own = df.withColumn("_chunk", chunk).withColumn("_ghost", lit(false))
+    val ghost = df.withColumn("_chunk", chunk + 1).withColumn("_ghost", lit(true))
+    val w = Window.partitionBy(col(key), col("_chunk")).orderBy(col(sec))
+      .rangeBetween(-(windowSecs - 1), 0)
+    own.unionByName(ghost)
+      .withColumn("trailing_c", sum(valueMicros).over(w))
+      .withColumn("trailing_n", count(lit(1)).over(w))
+      .filter(!col("_ghost"))
+      .drop("_chunk", "_ghost")
+  }
+
+  /** Low-cardinality-key hardening for the ranking family: two passes,
+    * neither of which sorts a whole key's rows. Pass 1 is a
+    * partial-aggregable (key, value) histogram — the whale key's
+    * duplicate values combine map-side, so the full-data shuffle carries
+    * distinct pairs, not rows. Pass 2 does the rank arithmetic on that
+    * value-domain-sized set (rank = 1 + count of strictly-greater rows;
+    * dense_rank = position among distinct values) and joins it back on
+    * (key, value) — an equi-join AQE CAN skew-split, unlike the window
+    * sort it replaces. Same tie semantics as rank()/dense_rank(). */
+  def saltedRank(df: DataFrame, key: String, value: String): DataFrame = {
+    val hist = df.groupBy(col(key), col(value)).agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(col(key)).orderBy(col(value).desc)
+    val ranked = hist.select(col(key), col(value),
+      (coalesce(sum(col("_cnt")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)) + 1L).as("rnk"),
+      row_number().over(w).cast("long").as("drnk"))
+    df.join(ranked, Seq(key, value))
+  }
 
   val qs: Map[String, Q] = Map(
     // E1: row_number — newest-first sequence per user.
@@ -80,6 +127,25 @@ object Windows {
           sum(U.micros($"value")).over(w).as("trailing_c"),
           count(lit(1)).over(w).as("trailing_n"))
         .orderBy("event_id")
+    }),
+    // E6b: the same trailing-hour RANGE computation through the salted
+    // two-pass path — identical output (same oracle SQL as q_win_range),
+    // but the sort parallelism is event_type × hour-chunk instead of the
+    // 5 event_type values.
+    "q_win_range_salted" -> ((s, d) => {
+      import s.implicits._
+      val withSec = Tables.events(s, d).withColumn("sec", $"ts".cast("long"))
+      saltedTrailingRange(withSec, "event_type", "sec", U.micros($"value"), 3600L)
+        .select($"event_type", $"event_id", $"trailing_c", $"trailing_n")
+        .orderBy("event_id")
+    }),
+    // E2b: rank/dense_rank through the salted histogram path — identical
+    // tie semantics, no whole-key sort.
+    "q_win_rank_salted" -> ((s, d) => {
+      import s.implicits._
+      saltedRank(Tables.events(s, d), "event_type", "value")
+        .select($"event_type", $"event_id", $"value", $"rnk", $"drnk")
+        .orderBy("event_type", "rnk", "event_id")
     }),
     // E8: value-positional family — first/last/nth over an explicit frame
     // (last_value needs the full-partition frame; the default frame stops

@@ -45,4 +45,55 @@ class SkewSuite extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  // planted whale: 120k rows, ~92% on ONE window key, secs spanning a day
+  // (24 hour-chunks), values with heavy ties so rank semantics are exercised
+  private def whaleEvents = {
+    import spark.implicits._
+    spark.range(120000).select(
+      $"id",
+      when($"id" % 12 === 0, concat(lit("t"), $"id" % 4)).otherwise(lit("whale"))
+        .as("event_type"),
+      ($"id" * 31 % 86400).cast("long").as("sec"),
+      ($"id" % 97).cast("long").as("value"))
+  }
+
+  test("salted two-pass RANGE window == naive window on a whale key, sort fans out") {
+    import spark.implicits._
+    val df = whaleEvents
+    val naiveW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"sec").rangeBetween(-3599, 0)
+    val naive = df.select($"id",
+      sum($"value").over(naiveW).as("trailing_c"),
+      count(lit(1)).over(naiveW).as("trailing_n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val saltedDf = ops.Windows.saltedTrailingRange(df, "event_type", "sec", $"value", 3600L)
+    val salted = saltedDf.select($"id", $"trailing_c", $"trailing_n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(salted.length == naive.length)
+    assert(salted.sameElements(naive), "salted RANGE window diverged from the naive window")
+    // the sort partitioning must carry the chunk: whale alone fans out
+    // 24-way (one per hour) instead of one giant partition
+    val plan = saltedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("_chunk"), s"salted plan does not partition by chunk:\n$plan")
+    val fanout = df.withColumn("_chunk", floor($"sec" / 3600))
+      .select($"event_type", $"_chunk").distinct().count()
+    assert(fanout > 5, s"expected >5-way window parallelism, got $fanout")
+  }
+
+  test("salted two-pass rank == naive rank/dense_rank on a whale key") {
+    import spark.implicits._
+    val df = whaleEvents
+    val tie = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"value".desc)
+    val naive = df.select($"id",
+      rank().over(tie).cast("long").as("rnk"),
+      dense_rank().over(tie).cast("long").as("drnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val salted = ops.Windows.saltedRank(df, "event_type", "value")
+      .select($"id", $"rnk", $"drnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(salted.length == naive.length)
+    assert(salted.sameElements(naive), "salted rank diverged from rank()/dense_rank()")
+  }
 }
