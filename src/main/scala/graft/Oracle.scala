@@ -976,6 +976,34 @@ object Oracle {
                 CASE WHEN top2_ppm > 200000 OR top3_ppm > 180000
                      THEN 'drop' ELSE 'keep' END AS verdict
          FROM f ORDER BY doc_id""",
+    "q_text_keyphrases" ->
+      """WITH t AS (SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+                      (x, i) -> {'pos': i, 'tok': x}), recursive := true)
+                    FROM documents),
+         s AS (SELECT doc_id, pos, tok,
+                      CASE WHEN tok IN ('a','the','is','of','and','to','in')
+                           THEN 1 ELSE 0 END AS is_stop
+               FROM t),
+         r AS (SELECT *, SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+               FROM s),
+         c AS (SELECT doc_id, run_id, pos, tok,
+                      (ROW_NUMBER() OVER (PARTITION BY doc_id, run_id ORDER BY pos) - 1) // 3 AS chunk
+               FROM r WHERE is_stop = 0),
+         p AS (SELECT doc_id, run_id, chunk,
+                      string_agg(tok, ' ' ORDER BY pos) AS phrase, COUNT(*) AS plen
+               FROM c GROUP BY 1, 2, 3),
+         tf AS (SELECT doc_id, phrase, COUNT(*) AS tf FROM p WHERE plen >= 2 GROUP BY 1, 2),
+         df AS (SELECT phrase, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         sc AS (SELECT doc_id, tf.phrase AS phrase,
+                       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+                FROM tf JOIN df USING (phrase) CROSS JOIN n),
+         rk AS (SELECT doc_id, phrase, score,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, phrase) AS BIGINT) AS rk
+                FROM sc)
+         SELECT doc_id, rk, phrase, score FROM rk WHERE rk <= 3
+         ORDER BY doc_id, rk""",
     "q_text_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),

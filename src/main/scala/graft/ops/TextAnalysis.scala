@@ -156,6 +156,52 @@ object TextAnalysis {
     // Ranking uses the ROUNDED score (4 dp) so the window order is
     // identical cross-engine despite ln() being libm-dependent in the
     // last ulp.
+    // Keyphrase extraction proper (≙ Comprehend BatchDetectKeyPhrases,
+    // main.tf:102 — the RAKE shape): candidate phrases are maximal
+    // stopword-delimited runs, chunked to <=3 consecutive tokens
+    // (non-overlapping) and kept only when >=2 tokens long; candidates
+    // rank by corpus TF-IDF and each doc reports its top 3. Distinct
+    // from J3 bigrams (sliding pairs, corpus-global top) — this yields
+    // multi-word phrases per document. Run assignment is a per-doc
+    // cumulative stopword count (doc-bounded window), chunking a per-run
+    // row_number — both partitions bounded by document length, so the
+    // op stays flat O(corpus) at 100 TB; the ranking passes are the same
+    // partial-aggregable tf/df shuffles as q_text_tfidf.
+    "q_text_keyphrases" -> ((s, d) => {
+      import s.implicits._
+      val stop = Seq("a", "the", "is", "of", "and", "to", "in")
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+        .withColumn("is_stop", $"tok".isInCollection(stop).cast("long"))
+      val wRun = Window.partitionBy($"doc_id").orderBy($"pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val runs = toks
+        .withColumn("run_id", sum($"is_stop").over(wRun))
+        .filter($"is_stop" === 0)
+      val wIn = Window.partitionBy($"doc_id", $"run_id").orderBy($"pos")
+      val phrases = runs
+        .withColumn("chunk", floor((row_number().over(wIn) - 1) / 3))
+        .groupBy($"doc_id", $"run_id", $"chunk")
+        .agg(
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+            " ").as("phrase"),
+          count(lit(1)).as("plen"))
+        .filter($"plen" >= 2)
+      val tf = phrases.groupBy($"doc_id", $"phrase").agg(count(lit(1)).as("tf"))
+      val pdf = tf.groupBy($"phrase").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val wTop = Window.partitionBy($"doc_id").orderBy($"score".desc, $"phrase")
+      tf.join(pdf, "phrase")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          round($"tf" * log($"n_docs".cast("double") / $"df"), 4))
+        .withColumn("rk", row_number().over(wTop).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"rk", $"phrase", $"score")
+        .orderBy("doc_id", "rk")
+    }),
     "q_text_tfidf" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
