@@ -1178,7 +1178,7 @@ object Oracle {
          tf AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
          tot AS (SELECT SUM(c) AS total FROM tf),
          x AS (SELECT t.doc_id,
-                      CAST(FLOOR(ln(CAST(total AS DOUBLE) / c) * 1000000) AS BIGINT) AS nm
+                      CAST(FLOOR(ln(CAST(total AS DOUBLE) / c) * 1000000 + 0.000001) AS BIGINT) AS nm
                FROM tok t JOIN tf USING (tok) CROSS JOIN tot),
          d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
                       SUM(nm) // COUNT(*) AS avg_nll
@@ -1293,7 +1293,7 @@ object Oracle {
          tf AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
          tot AS (SELECT SUM(c) AS total FROM tf),
          nm AS (SELECT t.doc_id,
-                       CAST(FLOOR(ln(CAST(total AS DOUBLE) / c) * 1000000) AS BIGINT) AS v
+                       CAST(FLOOR(ln(CAST(total AS DOUBLE) / c) * 1000000 + 0.000001) AS BIGINT) AS v
                 FROM tok t JOIN tf USING (tok) CROSS JOIN tot),
          pass1 AS (SELECT doc_id FROM nm GROUP BY doc_id
                    HAVING SUM(v) // COUNT(*) <= 3450000),

@@ -65,7 +65,7 @@ object Curate {
       val tf = tok.groupBy($"tok").agg(count(lit(1)).as("c"))
       val tot = tf.agg(sum($"c").as("total"))
       val passNll = tok.join(tf, "tok").crossJoin(broadcast(tot))
-        .withColumn("nm", floor(log($"total".cast("double") / $"c") * 1000000))
+        .withColumn("nm", floor(log($"total".cast("double") / $"c") * 1000000 + 0.000001))
         .groupBy($"doc_id").agg(count(lit(1)).as("n_toks"), sum($"nm").as("sum_nll"))
         .filter(expr("sum_nll div n_toks") <= 3450000)
         .select($"doc_id")

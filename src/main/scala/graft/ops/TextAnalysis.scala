@@ -315,7 +315,10 @@ object TextAnalysis {
     // likelihood, micro-scaled to int64 BEFORE aggregation so the sum is
     // exact and order-free (ln() is evaluated only on the ~vocab-many
     // distinct (c, total) integer pairs, so cross-engine libm agreement
-    // is per-value, never per-sum). High-NLL docs (rare-token soup) are
+    // is per-value, never per-sum; the +1e-6 before floor absorbs a
+    // last-ulp libm disagreement at an exact bucket boundary, which
+    // would otherwise flip a doc's keep/drop verdict between engines —
+    // mirrored in the oracle). High-NLL docs (rare-token soup) are
     // dropped. Two-phase at 100 TB: tf is a vocab-sized aggregate
     // (Heaps' law), joined back on the token key; total arrives as a
     // broadcast scalar.
@@ -327,7 +330,7 @@ object TextAnalysis {
       val tot = tf.agg(sum($"c").as("total"))
       tok.join(tf, "tok")
         .crossJoin(broadcast(tot))
-        .withColumn("nm", floor(log($"total".cast("double") / $"c") * 1000000))
+        .withColumn("nm", floor(log($"total".cast("double") / $"c") * 1000000 + 0.000001))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_toks"), sum($"nm").as("sum_nll"))
         .select($"doc_id", $"n_toks",

@@ -50,6 +50,35 @@ object TextOps {
       if (text == null) 0L
       else text.split(" ").iterator.map(t => lexicon.getOrElse(t, 0).toLong).sum)
 
+  /** Edit-distance-≤2 pairs (n1 < n2) in a DISTINCT name dictionary.
+    * The q-gram count filter is LOSSLESS only past a length bound:
+    * shared bigrams >= (len-1) - 2·q·k needs len >= 7 at q=2, k=2. Names
+    * under the bound could evade the gram filter entirely (2-char names
+    * at distance 2 can share zero bigrams), so they take an exact
+    * pairwise path instead — the short tail of a name dictionary is tiny
+    * (Zipf), so short × all is a bounded broadcast nested-loop, never n²
+    * on the dictionary body. The two arms are disjoint by construction
+    * (blocked arm = both sides long; exact arms = a short side each). */
+  def fuzzyPairs(names: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = names.sparkSession
+    import s.implicits._
+    val longN = names.filter(length($"nm") >= 7)
+    val shortN = names.filter(length($"nm") < 7)
+    val grams = longN.select($"nm", explode(expr(
+      "array_distinct(transform(sequence(1, length(nm) - 1), i -> substring(nm, i, 2)))")).as("g"))
+    val blocked = grams.as("a").join(grams.as("b"),
+        $"a.g" === $"b.g" && $"a.nm" < $"b.nm")
+      .select($"a.nm".as("n1"), $"b.nm".as("n2")).distinct()
+    val shortLeft = broadcast(shortN).as("a").join(names.as("b"), $"a.nm" < $"b.nm")
+      .select($"a.nm".as("n1"), $"b.nm".as("n2"))
+    val shortRight = longN.as("a").join(broadcast(shortN).as("b"), $"a.nm" < $"b.nm")
+      .select($"a.nm".as("n1"), $"b.nm".as("n2"))
+    blocked.union(shortLeft).union(shortRight)
+      .filter(abs(length($"n1") - length($"n2")) <= 2)
+      .withColumn("dist", levenshtein($"n1", $"n2").cast("long"))
+      .filter($"dist" <= 2)
+  }
+
   val qs: Map[String, Q] = Map(
     // J2: tokenization + term counts — the n-gram basis for keyphrases.
     "q_text_tokens" -> ((s, d) => {
@@ -91,26 +120,12 @@ object TextOps {
     // DISTINCT name dictionary at edit distance <= 2, found by a char-
     // 2-gram bucket join + exact levenshtein verify — never the n^2
     // nested loop the oracle uses (their equality proves the blocking
-    // lossless: q-gram count filter, shared bigrams >= (len-1) - 2*q*k
-    // >= 1 for len >= 7, and part names are >= 7 chars). Scale shape:
-    // the dictionary is vocab-sized (Heaps' law, 64 names here vs 2000
-    // rows), so the bucket join runs on the dictionary and results map
-    // back to the corpus via an equi-join.
+    // lossless). Scale shape: the dictionary is vocab-sized (Heaps'
+    // law, 64 names here vs 2000 rows), so the bucket join runs on the
+    // dictionary and results map back to the corpus via an equi-join.
     "q_fuzzy_match" -> ((s, d) => {
       import s.implicits._
-      val names = Tables.part(s, d).select(lower($"p_name").as("nm")).distinct()
-      // greatest(…, 1): sequence(1, 0) would step DOWNWARD for a 1-char
-      // name (the decontaminate short-doc bug class); a single-char name
-      // degrades to its 1-char "bigram", within the documented len > q·k
-      // recall bound
-      val grams = names.select($"nm", explode(expr(
-        "array_distinct(transform(sequence(1, greatest(length(nm) - 1, 1)), i -> substring(nm, i, 2)))")).as("g"))
-      grams.as("a").join(grams.as("b"),
-          $"a.g" === $"b.g" && $"a.nm" < $"b.nm")
-        .select($"a.nm".as("n1"), $"b.nm".as("n2")).distinct()
-        .filter(abs(length($"n1") - length($"n2")) <= 2)
-        .withColumn("dist", levenshtein($"n1", $"n2").cast("long"))
-        .filter($"dist" <= 2)
+      fuzzyPairs(Tables.part(s, d).select(lower($"p_name").as("nm")).distinct())
         .orderBy("n1", "n2")
     }),
     // J5: exact dedup — canonical keeper (min doc_id) per identical text;

@@ -239,6 +239,31 @@ class OperatorSuite extends SparkSpec {
     }
   }
 
+  test("fuzzyPairs: names below the q-gram recall bound route through the exact path") {
+    // 2-char names at distance 2 can share ZERO bigrams — the gram
+    // filter would silently drop them (ADVICE r5); the short side must
+    // take the exact pairwise arm and match a brute-force oracle
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val dict = Seq("ab", "yz", "axb", "spark", "sparks", "queryplan",
+      "queryplen", "windowing", "windowed")
+    val want = (for {
+      a <- dict; b <- dict if a < b
+      if math.abs(a.length - b.length) <= 2
+      dd = lev(a, b) if dd <= 2
+    } yield (a, b, dd.toLong)).toSet
+    assert(want.contains(("ab", "yz", 2L)), "planted zero-shared-bigram pair missing from oracle")
+    val got = ops.TextOps.fuzzyPairs(dict.toDF("nm"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, s"fuzzyPairs diverged from brute force:\ngot  $got\nwant $want")
+  }
+
   test("q_embed_quantize: int8 round-trip error bounded by quantization step + 1") {
     val rows = ops.Similarity.qs("q_embed_quantize")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -28,6 +28,22 @@ class StreamingSuite extends SparkSpec {
     spark.table(sink).collect().toSeq
   }
 
+  /** Final per-user state from an Update-mode memory sink. Memory-sink
+    * row order across batches is NOT a contract (and
+    * monotonically_increasing_id encodes partition index, not append
+    * order — ADVICE r5), so "latest" is selected by the state's own
+    * monotonicity: a user re-emitted in a later batch has strictly more
+    * n_events, so the max-n_events row IS the final state. */
+  private def latestStatePerUser(table: String): Set[(Long, Long, Long, String)] = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"n_events".desc)
+    spark.table(table)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select("user_id", "n_events", "value_c", "last_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+  }
+
   test("I6 stateful per-user counters: streaming final state == batch query") {
     import spark.implicits._
     val evs = Stateful.eventsDs(spark, sfDir).collect().toSeq
@@ -42,14 +58,7 @@ class StreamingSuite extends SparkSpec {
     mem.addData(b1); q.processAllAvailable()
     mem.addData(b2); q.processAllAvailable()
     q.stop()
-    // last emitted row per user = final state
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"user_id").orderBy($"batch_ord".desc)
-    val got = spark.table("stateful_sink")
-      .withColumn("batch_ord", monotonically_increasing_id())
-      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select("user_id", "n_events", "value_c", "last_type")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val got = latestStatePerUser("stateful_sink")
     val want = ops.Streaming.qs("q_stream_stateful")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
     assert(got == want)
@@ -83,13 +92,7 @@ class StreamingSuite extends SparkSpec {
       assert(metrics.asScala.exists(_.toLowerCase.contains("rocksdb")),
         s"state store metrics carry no rocksdb counters: $metrics")
       q.stop()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"user_id").orderBy($"batch_ord".desc)
-      val got = spark.table("rocksdb_sink")
-        .withColumn("batch_ord", monotonically_increasing_id())
-        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select("user_id", "n_events", "value_c", "last_type")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val got = latestStatePerUser("rocksdb_sink")
       val want = ops.Streaming.qs("q_stream_stateful")(spark, sfDir)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
       assert(got == want)
@@ -125,13 +128,7 @@ class StreamingSuite extends SparkSpec {
       mem.addData(b1); q.processAllAvailable()
       mem.addData(b2); q.processAllAvailable()
       q.stop()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"user_id").orderBy($"batch_ord".desc)
-      val got = spark.table("tws_sink")
-        .withColumn("batch_ord", monotonically_increasing_id())
-        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select("user_id", "n_events", "value_c", "last_type")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val got = latestStatePerUser("tws_sink")
       val want = ops.Streaming.qs("q_stream_stateful")(spark, sfDir)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
       assert(got == want)
