@@ -1145,6 +1145,19 @@ object Oracle {
                 lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_id,
                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
          FROM b GROUP BY 1, 2 ORDER BY split, lang""",
+    "q_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+                  ${h64Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+                  FROM documents),
+         o AS (SELECT doc_id, shard, CAST(n_toks AS BIGINT) AS n_toks,
+                      COALESCE(CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                        0) AS off_global
+               FROM t)
+         SELECT doc_id, shard, off_global // 64 AS pack_id,
+                off_global % 64 AS off_in_pack, n_toks,
+                CASE WHEN off_global % 64 + n_toks > 64 THEN 'yes' ELSE 'no' END AS split
+         FROM o ORDER BY doc_id""",
     "q_text_pii" ->
       """WITH r AS (SELECT doc_id,
                 text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail-' ||

@@ -264,6 +264,32 @@ object TextAnalysis {
           sum($"n_chars").as("total_chars"))
         .orderBy("split", "lang")
     }),
+    // Sequence packing (context-window packing for training batches):
+    // docs are laid end-to-end into fixed 64-token context windows, the
+    // step between tokenized corpus and training shards. Offset-based
+    // layout: docs shard by portable hash (the unit of parallelism —
+    // each shard packs independently, so 100 TB packs as S independent
+    // window problems), order within shard is deterministic (doc_id),
+    // pack_id = cumulative-token offset div window; a doc straddling a
+    // window boundary is marked split (a real loader would cut it
+    // there). One doc-bounded window per shard + map-side arithmetic —
+    // no cross-shard coordination anywhere.
+    "q_pack_sequences" -> ((s, d) => {
+      import s.implicits._
+      val ctx = 64L
+      val win = Window.partitionBy($"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n_toks"))
+        .withColumn("shard", U.h64(concat(lit("pack:"), $"doc_id")) % 8)
+        .withColumn("off_global", coalesce(sum($"n_toks").over(win), lit(0L)))
+        .select($"doc_id", $"shard",
+          expr(s"off_global div $ctx").as("pack_id"),
+          ($"off_global" % ctx).as("off_in_pack"),
+          $"n_toks",
+          when($"off_global" % ctx + $"n_toks" > ctx, "yes").otherwise("no").as("split"))
+        .orderBy("doc_id")
+    }),
     // PII redaction: email / phone / IPv4 detection counts + masked text
     // (the pre-training privacy scrub). The corpus is synthetic word
     // soup, so deterministic PII is spliced in from the doc's own key
