@@ -210,10 +210,17 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("round-5 plan shapes: no cartesians, map-side ops stay map-side") {
-    // fuzzy match: bigram bucket join + exact verify — never a nested loop
+    // fuzzy match: the dictionary BODY pairs via the bigram bucket join
+    // (hash equi-join on the gram key) — never a cartesian. The sub-
+    // recall-bound short tail (len < 7, ADVICE r5) is ALLOWED its exact
+    // arm as a BroadcastNestedLoopJoin: the short side is broadcast and
+    // tiny by construction, and it must never run as an unbroadcast
+    // CartesianProduct.
     val fuzzy = planOf("q_fuzzy_match")
-    assert(!fuzzy.contains("CartesianProduct") && !fuzzy.contains("BroadcastNestedLoopJoin"),
-      s"fuzzy match pairs via nested loop:\n$fuzzy")
+    assert(!fuzzy.contains("CartesianProduct"),
+      s"fuzzy match pairs via cartesian:\n$fuzzy")
+    assert(fuzzy.contains("BroadcastHashJoin"),
+      s"gram bucket join lost its hash-join shape:\n$fuzzy")
     // lateral: Catalyst decorrelates — no per-row subquery, no cartesian
     val lat = planOf("q_join_lateral")
     assert(!lat.contains("CartesianProduct"), s"lateral not decorrelated:\n$lat")
