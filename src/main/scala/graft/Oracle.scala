@@ -858,6 +858,22 @@ object Oracle {
          SELECT vec_id, mn, mx, list_max(errs) AS max_err,
                 CAST(list_sum(errs) AS BIGINT) AS sum_err
          FROM e ORDER BY vec_id""",
+    // signs baked from the shared portable hash (same matrix as
+    // ops.Similarity.projectionSigns) — each p_j is a ±-signed sum of
+    // the int64-scaled components, so the compare is bit-exact
+    "q_embed_project" -> {
+      val terms = graft.ops.Similarity.projectionSigns.zipWithIndex.map {
+        case (row, j) =>
+          val sum = row.zipWithIndex.map { case (sg, i) =>
+            s"${if (sg > 0) "+" else "-"} v[${i + 1}]"
+          }.mkString(" ")
+          s"CAST(($sum) AS BIGINT) AS p$j"
+      }.mkString(", ")
+      s"""WITH n AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+               FROM embeddings)
+         SELECT vec_id, $terms FROM n ORDER BY vec_id"""
+    },
 
     // ----- text analysis extensions -----
     "q_text_langid" ->

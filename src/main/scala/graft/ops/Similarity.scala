@@ -154,6 +154,33 @@ object Similarity {
           expr("array_max(errs)").as("max_err"),
           expr("aggregate(errs, 0L, (acc, x) -> acc + x)").as("sum_err"))
         .orderBy("vec_id")
+    }),
+    // Random-projection dimensionality reduction (Achlioptas sign
+    // matrix): 64-dim embeddings down to 8 components, out_j = Σᵢ ±vᵢ
+    // with the sign drawn from the portable hash — the JL-style shrink a
+    // 100 TB vector corpus applies before sketching/ANN when the full
+    // width doesn't pay its storage. All int64 adds on the 1e7-scaled
+    // components (bit-exact cross-engine), one map-side projection per
+    // row through the same native DotL expression the LSH path uses —
+    // WholeStageCodegen keeps it in the scan's span, flat O(corpus).
+    "q_embed_project" -> ((s, d) => {
+      import s.implicits._
+      val signs = projectionSigns
+      val cols = signs.indices.map { j =>
+        graft.functions.DotL.dot($"v",
+          array(signs(j).toIndexedSeq.map(lit): _*)).as(s"p$j")
+      }
+      Tables.embeddings(s, d)
+        .withColumn("v", expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))"))
+        .select(($"vec_id" +: cols): _*)
+        .orderBy("vec_id")
     })
   )
+
+  /** The 8×64 ±1 projection matrix, derived from the shared portable
+    * hash so the DuckDB oracle bakes the identical signs. */
+  lazy val projectionSigns: Array[Array[Long]] =
+    Array.tabulate(8, 64)((j, i) =>
+      if (graft.U.h64Local(s"rp:$j:$i") % 2 == 0) 1L else -1L)
 }
