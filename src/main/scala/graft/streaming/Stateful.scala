@@ -121,6 +121,24 @@ object Stateful {
       .as[Ev]
   }
 
+  /** §2.I5b — `dropDuplicatesWithinWatermark` (Spark 3.5+): unlike plain
+    * dropDuplicates (whose per-key state lives forever unless the event-
+    * time column is part of the key), state here is EVICTED once the key
+    * falls behind the watermark — the form that holds at 100 TB where a
+    * re-delivery can only arrive within the delay bound, so the dedup
+    * state is O(events-in-watermark-window), not O(all keys ever seen).
+    * Re-deliveries may carry a DIFFERENT event time within the bound
+    * (retry after seconds — the real shape) and still dedupe. */
+  def dedupWithinWatermark(events: Dataset[Ev]): Dataset[Ev] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros($"tsMicros"))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .drop("ts")
+      .as[Ev]
+  }
+
   /** Streaming tumbling 1-day window counts (§2.I1) with watermark —
     * OutputMode.Append-capable; batch-equivalent of q_stream_tumbling. */
   def tumblingCounts(events: Dataset[Ev]) = {

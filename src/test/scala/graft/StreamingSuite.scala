@@ -194,6 +194,24 @@ class StreamingSuite extends SparkSpec {
     assert(rows.map(_.getLong(0)).sorted == Seq(1L, 2L, 3L))
   }
 
+  test("I5b dropDuplicatesWithinWatermark: retries with drifted timestamps dedupe") {
+    // the real re-delivery shape: the retry arrives seconds later with a
+    // DIFFERENT event time — plain dropDuplicates on (event_id) also
+    // catches it, but only by keeping every key forever; the
+    // WithinWatermark form bounds state to the watermark window
+    import spark.implicits._
+    val e1 = Ev(1L, microsOf(0), 10L, "click", 100L)
+    val e2 = Ev(2L, microsOf(1), 10L, "view", 200L)
+    val e2Retry = e2.copy(tsMicros = microsOf(1) + 5000000L) // +5s drift
+    val e3 = Ev(3L, microsOf(2), 11L, "click", 300L)
+    val rows = runStream(
+      m => Stateful.dedupWithinWatermark(m.toDS()).toDF(),
+      Seq(Seq(e1, e2), Seq(e2Retry, e3, e3)),
+      OutputMode.Append())
+    assert(rows.map(_.getLong(0)).sorted == Seq(1L, 2L, 3L),
+      s"drifted retry not deduped or rows lost: ${rows.toSeq}")
+  }
+
   test("I1 streaming tumbling window == batch q_stream_tumbling (AvailableNow-style drain)") {
     import spark.implicits._
     val evs = Stateful.eventsDs(spark, sfDir).collect().toSeq
