@@ -406,6 +406,51 @@ class StreamingSuite extends SparkSpec {
     assert(all.contains((100L, Some(300L))))
   }
 
+  test("I9c stream-stream FULL OUTER interval join: both sides' unmatched rows flush") {
+    // the symmetric completion of I9b: unmatched rows on EITHER side
+    // emit null-padded once the watermark proves no future match — a
+    // purchase with no click AND a click with no purchase both flush
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchSrc = MemoryStream[Ev]
+    val clickSrc = MemoryStream[Ev]
+    def t(min: Int) = microsOf(min)
+    val purchases = purchSrc.toDS().toDF()
+      .withColumn("purchase_ts", expr("timestamp_micros(tsMicros)"))
+      .select($"user_id", $"event_id".as("purchase_id"), $"purchase_ts")
+      .withWatermark("purchase_ts", "10 minutes")
+    val clicks = clickSrc.toDS().toDF()
+      .withColumn("click_ts", expr("timestamp_micros(tsMicros)"))
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+      $"user_id" === $"c_user" &&
+        $"click_ts" <= $"purchase_ts" &&
+        $"click_ts" >= $"purchase_ts" - expr("INTERVAL 30 MINUTES"),
+      "full_outer")
+      .select($"purchase_id", $"click_id")
+    val sink = s"ssfoj_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    // user 1: matched pair; user 2: purchase with no click;
+    // user 3: click with no purchase
+    purchSrc.addData(Ev(100L, t(40), 1L, "purchase", 5L), Ev(200L, t(40), 2L, "purchase", 5L))
+    clickSrc.addData(Ev(300L, t(30), 1L, "click", 1L), Ev(400L, t(30), 3L, "click", 1L))
+    q.processAllAvailable()
+    // far-future traffic on both streams pushes the watermark past every
+    // pending match window → both unmatched rows must flush null-padded
+    purchSrc.addData(Ev(900L, t(600), 9L, "purchase", 1L))
+    clickSrc.addData(Ev(901L, t(600), 9L, "click", 1L))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table(sink).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(all.contains((Some(100L), Some(300L))), s"matched pair missing: $all")
+    assert(all.contains((Some(200L), None)), s"unmatched purchase never flushed: $all")
+    assert(all.contains((None, Some(400L))), s"unmatched click never flushed: $all")
+  }
+
   test("I9 stream-stream interval join: two watermarked streams == batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
