@@ -641,6 +641,23 @@ object Oracle {
                 event_type, COUNT(*) AS n
          FROM events CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) ks
          GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         u AS (SELECT DISTINCT user_id FROM e),
+         s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'click' GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+         SELECT u.user_id,
+                CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                          WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+                strftime(t1, '%Y-%m-%d %H:%M:%S') AS t1,
+                strftime(t2, '%Y-%m-%d %H:%M:%S') AS t2,
+                strftime(t3, '%Y-%m-%d %H:%M:%S') AS t3
+         FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                LEFT JOIN s3 USING (user_id)
+         ORDER BY user_id""",
     // Gaps-and-islands: new session where ts - prev_ts >= 30 min (Spark
     // session_window treats adjacent = non-overlapping as a new session).
     "q_stream_session_dyn" ->

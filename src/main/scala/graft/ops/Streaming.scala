@@ -96,6 +96,36 @@ object Streaming {
         .agg(count(lit(1)).as("n_clicks_1h"), min($"click_id").as("first_click_id"))
         .orderBy("user_id", "purchase_id")
     }),
+    // Funnel analysis (ordered event-pattern match): how far each user
+    // progresses through click → view → purchase IN ORDER — the product-
+    // analytics query every event warehouse runs. Each step is the min
+    // event time strictly after the previous step's time: three
+    // partial-aggregable per-user min-aggregates chained by equi-joins
+    // on user_id (each join's right side is one row per user — AQE
+    // broadcasts the later stages as the funnel narrows), never a
+    // per-user ordered scan, so the op is three shuffles flat at 100 TB.
+    "q_funnel" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val users = e.select($"user_id").distinct()
+      val s1 = e.filter($"event_type" === "click")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val s2 = e.filter($"event_type" === "view")
+        .join(s1, "user_id").filter($"ts" > $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val s3 = e.filter($"event_type" === "purchase")
+        .join(s2, "user_id").filter($"ts" > $"t2")
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      users
+        .join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select($"user_id",
+          when($"t3".isNotNull, 3L).when($"t2".isNotNull, 2L)
+            .when($"t1".isNotNull, 1L).otherwise(0L).as("stage"),
+          U.tsStr($"t1").as("t1"), U.tsStr($"t2").as("t2"), U.tsStr($"t3").as("t3"))
+        .orderBy("user_id")
+    }),
     // I6: stateful per-key processing — the final state a
     // mapGroupsWithState counter would hold per user: event count,
     // value sum, last event type. (The true streaming form is in
