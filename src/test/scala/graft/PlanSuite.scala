@@ -279,4 +279,33 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("round-6 plan shapes: new operators keep their scale-safe forms") {
+    // funnel: chained per-user min-aggregates, never a per-user Window
+    val fun = planOf("q_funnel")
+    assert(!fun.contains("Window"), s"funnel regressed to a window scan:\n$fun")
+    assert(fun.contains("partial_min") || fun.contains("partial_"),
+      s"funnel step mins must combine map-side:\n$fun")
+    // keyphrases: tf/df ranking joins stay hash equi-joins; the corpus
+    // total is a 1-row broadcast, never a shuffled join side
+    val kp = planOf("q_text_keyphrases")
+    assert(!kp.contains("CartesianProduct"), s"keyphrases plan cartesians:\n$kp")
+    assert(kp.contains("BroadcastNestedLoopJoin") || kp.contains("BroadcastExchange"),
+      s"n_docs total must broadcast:\n$kp")
+    // packing: shard-parallel — the window partitions on (shard), and
+    // there is no join anywhere
+    val pk = planOf("q_pack_sequences")
+    assert(pk.contains("Window") && !pk.contains("Join"),
+      s"packing must be one shard-partitioned window, no joins:\n$pk")
+    // projection: pure map-side — the 8 dot_l projections sit directly
+    // over the scan, no shuffle except the output sort
+    val pr = planOf("q_embed_project")
+    val prEx = "(?i)Exchange (hash|range|single)partitioning".r.findAllIn(pr).size
+    assert(prEx <= 1 && !pr.contains("Join"),
+      s"random projection must be map-side + output sort only:\n$pr")
+    assert(pr.contains("dot_l"), s"native DotL expression missing from the plan:\n$pr")
+    // salted RANGE window: the sort partitioning carries the time chunk
+    val sw = planOf("q_win_range_salted")
+    assert(sw.contains("_chunk"), s"salted window lost its chunk partitioning:\n$sw")
+  }
 }

@@ -160,6 +160,40 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("salted two-pass windows == naive windows on random low-cardinality graphs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // random rows over 2 keys with clustered secs and heavy value ties —
+    // the adversarial shapes for chunk boundaries (rows exactly AT a
+    // multiple of the window width) and rank ties
+    val rowGen = Gen.zip(
+      Gen.oneOf("a", "b"),
+      Gen.chooseNum(0L, 300L).map(_ * 20L), // secs land on chunk edges often
+      Gen.chooseNum(0L, 5L))
+    forAll(Gen.nonEmptyListOf(rowGen), n = 10) { rows: List[(String, Long, Long)] =>
+      val df = rows.zipWithIndex
+        .map { case ((k, sec, v), i) => (i.toLong, k, sec, v) }
+        .toDF("id", "event_type", "sec", "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"sec").rangeBetween(-999, 0)
+      val naiveR = df.select($"id", sum($"value").over(w).as("c"), count(lit(1)).over(w).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      val saltedR = ops.Windows.saltedTrailingRange(df, "event_type", "sec", $"value", 1000L)
+        .select($"id", $"trailing_c", $"trailing_n")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(saltedR == naiveR, s"salted RANGE diverged on: $rows")
+      val tie = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"value".desc)
+      val naiveK = df.select($"id", rank().over(tie).cast("long").as("r"),
+        dense_rank().over(tie).cast("long").as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      val saltedK = ops.Windows.saltedRank(df, "event_type", "value")
+        .select($"id", $"rnk", $"drnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(saltedK == naiveK, s"salted rank diverged on: $rows")
+    }
+  }
+
   test("z16 Morton interleave preserves prefix locality (shared z-prefix bounds both keys)") {
     import spark.implicits._
     val pairs = Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L))
