@@ -641,6 +641,16 @@ object Oracle {
                 event_type, COUNT(*) AS n
          FROM events CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) ks
          GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "q_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                    FROM events),
+         c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)
+         SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+                CAST(day - cohort_day AS BIGINT) AS day_offset,
+                COUNT(*) AS n_users
+         FROM a JOIN c USING (user_id)
+         GROUP BY c.cohort_day, day - cohort_day
+         ORDER BY cohort_day, day_offset""",
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
          u AS (SELECT DISTINCT user_id FROM e),

@@ -126,6 +126,26 @@ object Streaming {
           U.tsStr($"t1").as("t1"), U.tsStr($"t2").as("t2"), U.tsStr($"t3").as("t3"))
         .orderBy("user_id")
     }),
+    // Cohort retention (the activity matrix behind every retention
+    // chart): users cohorted by their first-activity day; each
+    // (cohort_day, day_offset) cell counts distinct cohort members
+    // active offset days later. Cohort assignment is one per-user min
+    // (partial-aggregable), activity is a distinct (user, day) aggregate
+    // — both map-side-combinable — chained by ONE user_id equi-join, so
+    // the matrix costs two shuffles + a join at any corpus size.
+    "q_retention" -> ((s, d) => {
+      import s.implicits._
+      val acts = Tables.events(s, d)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val cohorts = acts.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      acts.join(cohorts, "user_id")
+        .select($"cohort_day", datediff($"day", $"cohort_day").cast("long").as("day_offset"))
+        .groupBy($"cohort_day", $"day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .select(date_format($"cohort_day", "yyyy-MM-dd").as("cohort_day"),
+          $"day_offset", $"n_users")
+        .orderBy("cohort_day", "day_offset")
+    }),
     // I6: stateful per-key processing — the final state a
     // mapGroupsWithState counter would hold per user: event count,
     // value sum, last event type. (The true streaming form is in
