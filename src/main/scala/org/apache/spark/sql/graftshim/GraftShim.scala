@@ -18,6 +18,15 @@ object GraftShim {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Materialize the optimizer rules an extensions object would inject —
+    * lets tests verify the `spark.sql.extensions` contract without
+    * building a whole new SparkContext (buildOptimizerRules is
+    * private[sql]). */
+  def optimizerRulesOf(ext: org.apache.spark.sql.SparkSessionExtensions,
+                       spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[
+                         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
+
   /** Block until the async listener bus has delivered every queued event —
     * the deterministic fence Bench needs before snapshotting per-query
     * task-metric counters (a fixed sleep misattributes late task-end
