@@ -346,6 +346,20 @@ object Oracle {
          EXCEPT
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
          ORDER BY o_custkey""",
+    "q_intersect_all" ->
+      """WITH i AS (
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+           INTERSECT ALL
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+         SELECT o_custkey, COUNT(*) AS n_copies FROM i
+         GROUP BY 1 ORDER BY o_custkey""",
+    "q_except_all" ->
+      """WITH e AS (
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+           EXCEPT ALL
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+         SELECT o_custkey, COUNT(*) AS n_copies FROM e
+         GROUP BY 1 ORDER BY o_custkey""",
 
     "q_upsert_merge" ->
       """WITH base AS (SELECT event_id, user_id,

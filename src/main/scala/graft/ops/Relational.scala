@@ -442,6 +442,27 @@ object Relational {
       o.filter(year($"o_orderdate") === 1996).select($"o_custkey")
         .except(o.filter(year($"o_orderdate") === 1997).select($"o_custkey"))
         .orderBy("o_custkey")
+    }),
+    // G3b/G4b: the ALL (bag-semantics) forms — multiplicity is data at
+    // dedup scale (how many copies survive both runs), and the plan is a
+    // different physical shape from the DISTINCT forms: no aggregate,
+    // multiplicity arithmetic rides the join. Output is aggregated per
+    // key for a stable oracle compare.
+    "q_intersect_all" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      o.filter(year($"o_orderdate") === 1996).select($"o_custkey")
+        .intersectAll(o.filter(year($"o_orderdate") === 1997).select($"o_custkey"))
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_copies"))
+        .orderBy("o_custkey")
+    }),
+    "q_except_all" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      o.filter(year($"o_orderdate") === 1996).select($"o_custkey")
+        .exceptAll(o.filter(year($"o_orderdate") === 1997).select($"o_custkey"))
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_copies"))
+        .orderBy("o_custkey")
     })
   )
 }
