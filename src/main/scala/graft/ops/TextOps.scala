@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * (src/main.py:263).
   *
   * Scale notes (100 TB): everything here is explode → shuffle-group —
-  * no driver collects, no unbounded cross joins. The Jaccard self-join
-  * blocks on shared word-3-gram shingles (rare across unrelated docs),
-  * so candidate pairs stay near-linear in corpus size; MinHash-LSH
-  * banding (ops.Dedup) is the sub-linear path for when even that is
-  * too wide.
+  * no driver collects, no unbounded cross joins. The exact Jaccard
+  * join blocks with PREFIX FILTERING under a rarity order (Bayardo et
+  * al., WWW'07): corpus-hot boilerplate shingles fall outside every
+  * document's prefix, so candidate pairs track rare-shingle collisions
+  * — near-linear in corpus size even when 30% of docs share a
+  * boilerplate phrase; MinHash-LSH banding (ops.Dedup) is the
+  * sub-linear sketch path for when even exact verification is too wide.
   */
 object TextOps {
 
@@ -79,6 +81,102 @@ object TextOps {
       .filter($"dist" <= 2)
   }
 
+  /** Prefix-filtered candidate pairs for an exact Jaccard-≥-t join over
+    * per-doc DISTINCT shingle sets `sh(doc_id, sh)`.
+    *
+    * Exactness: J(x,y) ≥ t ⟹ |x∩y| ≥ t·|x∪y| ≥ ⌈t·max(|x|,|y|)⌉, and
+    * under ANY global total order two sets with overlap ≥ α must share
+    * an element within the first |x|−α+1 elements of BOTH (else the
+    * disjoint prefixes + what remains can't reach α). Ordering by
+    * (df asc, sh) puts corpus-hot shingles last, so they fall outside
+    * every prefix: candidate volume tracks RARE-key collisions only —
+    * work ∝ near-dup pairs, not ∝ (docs sharing boilerplate)².
+    * The ε in the ceil guards FP round-up at exact multiples (t·n = k
+    * must not become k+1, which would shorten the prefix and lose
+    * recall; rounding down only lengthens the prefix — safe). */
+  /** Per-doc rarity-sorted shingle profile: one shuffle on `sh` for
+    * document frequency, one groupBy on doc_id collecting the doc's
+    * shingles sorted by (df asc, sh asc). Everything downstream —
+    * prefix, full set, set size — is sliced from this single pass.
+    * The ε in the ceil guards FP round-up at exact multiples (t·n = k
+    * must not become k+1, which would shorten the prefix and lose
+    * recall; rounding down only lengthens the prefix — safe). */
+  private def jaccardProfiles(sh: org.apache.spark.sql.DataFrame, t: Double): org.apache.spark.sql.DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    val dfreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "sh")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"sh"))).as("arr"))
+      .select($"doc_id",
+        expr("transform(arr, x -> x.sh)").as("set"),
+        size($"arr").cast("long").as("n_sh"))
+      .withColumn("plen",
+        ($"n_sh" - ceil($"n_sh" * lit(t) - lit(1e-9)) + 1).cast("int"))
+  }
+
+  /** Rarity-ordered prefix of each doc: (doc_id, n_sh, i = 0-based
+    * position in the full rarity order, sh). */
+  private def jaccardPrefix(prof: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = prof.sparkSession
+    import s.implicits._
+    prof.select($"doc_id", $"n_sh",
+      posexplode(expr("slice(set, 1, plen)")).as(Seq("i", "sh")))
+  }
+
+  /** Candidate pairs under prefix + length + positional filtering.
+    * Length filter: J ≥ t forces t·|x| ≤ |y| ≤ |x|/t. Positional
+    * filter (PPJoin, Xiao et al. WWW'08): a collision at 0-based
+    * positions (i1, i2) can only witness overlap ≤ 1 + min(n1−i1−1,
+    * n2−i2−1); require that to reach the PAIR-tight overlap bound
+    * α = ⌈t/(1+t)·(n1+n2)⌉. Lossless: the rarity order is one global
+    * total order, so the two sorted arrays list shared shingles in the
+    * SAME relative order — the globally-rarest shared shingle sits at
+    * the minimal position in both docs, lies inside both prefixes
+    * whenever true overlap ≥ α, and passes the positional bound, so
+    * every qualifying pair keeps ≥1 surviving collision. */
+  private def jaccardCandidatesFrom(pfx: org.apache.spark.sql.DataFrame, t: Double): org.apache.spark.sql.DataFrame = {
+    val s = pfx.sparkSession
+    import s.implicits._
+    val alpha = ceil(($"a.n_sh" + $"b.n_sh") * lit(t / (1 + t)) - lit(1e-9))
+    pfx.as("a").join(pfx.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
+        $"a.n_sh" * lit(t) <= $"b.n_sh" && $"b.n_sh" * lit(t) <= $"a.n_sh" &&
+        (lit(1) + least($"a.n_sh" - $"a.i" - 1, $"b.n_sh" - $"b.i" - 1)) >= alpha)
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+  }
+
+  def jaccardCandidates(sh: org.apache.spark.sql.DataFrame, t: Double): org.apache.spark.sql.DataFrame =
+    jaccardCandidatesFrom(jaccardPrefix(jaccardProfiles(sh, t)), t)
+
+  /** Exact Jaccard-≥-t pairs: prefix-filtered candidates, then exact
+    * verify against the full shingle sets (array_intersect on the two
+    * rarity-sorted set arrays — docs are bounded-length, so a per-doc
+    * set array is executor-safe at any corpus size). Output schema
+    * (d1, d2, jac) identical to the brute shared-shingle definition.
+    *
+    * The profile table is persisted for the duration of the plan: it
+    * feeds the prefix explode AND both verify joins, and it is doc-
+    * count-sized (one row per doc), so MEMORY_AND_DISK is executor-safe
+    * at any corpus size — at true crawl scale you'd land it to a table
+    * once and share it across batches. The verify joins broadcast when
+    * the profile side is small; candidates stay (d1, d2) longs. */
+  def jaccardPairs(sh: org.apache.spark.sql.DataFrame, t: Double): org.apache.spark.sql.DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    val prof = jaccardProfiles(sh, t)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = jaccardCandidatesFrom(jaccardPrefix(prof), t)
+    cand
+      .join(prof.select($"doc_id".as("d1"), $"set".as("s1"), $"n_sh".as("n1")), "d1")
+      .join(prof.select($"doc_id".as("d2"), $"set".as("s2"), $"n_sh".as("n2")), "d2")
+      .withColumn("n_inter", size(array_intersect($"s1", $"s2")).cast("long"))
+      .withColumn("jac", round($"n_inter".cast("double") / ($"n1" + $"n2" - $"n_inter"), 6))
+      .filter($"jac" >= t)
+      .select($"d1", $"d2", $"jac")
+  }
+
   val qs: Map[String, Q] = Map(
     // J2: tokenization + term counts — the n-gram basis for keyphrases.
     "q_text_tokens" -> ((s, d) => {
@@ -137,28 +235,29 @@ object TextOps {
         .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
         .orderBy("keeper_id")
     }),
-    // J6: exact near-dup Jaccard on word-3-gram shingle sets, blocked by
-    // shared shingle (the exact twin of the MinHash-LSH path in ops.Dedup).
-    // Shingles travel as 8-byte h64 keys (hashed in the ORACLE too, so
-    // the comparison stays bit-identical even under a collision): the
-    // widest self-join in the suite shuffles longs, not 3-word strings.
+    // J6: exact near-dup Jaccard on word-3-gram shingle sets, hot-
+    // shingle-safe: candidate pairs come from PREFIX FILTERING (the
+    // all-pairs similarity-join bound of Bayardo et al., WWW'07, and
+    // Xiao et al.'s PPJoin) instead of a self-join on every shared
+    // shingle — a boilerplate shingle shared by d documents no longer
+    // mints d²/2 pairs on one shuffle key. Shingles are ranked by
+    // global rarity (document frequency asc); a pair at Jaccard ≥ t
+    // must share a shingle inside both docs' first |x|−⌈t·|x|⌉+1
+    // rarest shingles, so the hottest shingles (which sort LAST) drop
+    // out of every prefix and the blocking join only ever touches rare
+    // keys. Candidates are then verified exactly against the full
+    // shingle sets. Shingles travel as 8-byte h64 keys (hashed in the
+    // ORACLE too, so the comparison stays bit-identical even under a
+    // collision). Equality with the all-shared-shingle definition is
+    // pinned by SkewSuite (planted-boilerplate corpus) and the DuckDB
+    // oracle (which keeps the brute blocking — their hash match proves
+    // the prefix filter lossless).
     "q_sim_jaccard" -> ((s, d) => {
       import s.implicits._
       val sh = withToks(Tables.documents(s, d))
         .select($"doc_id", explode(array_distinct(shinglesExpr)).as("s"))
         .select($"doc_id", U.h64($"s").as("sh"))
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      val inter = sh.as("a").join(sh.as("b"),
-          $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.select($"doc_id".as("d1"), $"n_sh".as("n1")), "d1")
-        .join(sizes.select($"doc_id".as("d2"), $"n_sh".as("n2")), "d2")
-        .withColumn("jac", round($"n_inter".cast("double") / ($"n1" + $"n2" - $"n_inter"), 6))
-        .filter($"jac" >= 0.2)
-        .select($"d1", $"d2", $"jac")
-        .orderBy("d1", "d2")
+      jaccardPairs(sh, 0.2).orderBy("d1", "d2")
     }),
     // J7: cosine similarity — top-3 neighbors for each query vector
     // (vec_id % 50 == 0) over the corpus, EXACT result (oracle is the

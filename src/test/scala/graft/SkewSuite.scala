@@ -96,4 +96,52 @@ class SkewSuite extends SparkSpec {
     assert(salted.length == naive.length)
     assert(salted.sameElements(naive), "salted rank diverged from rank()/dense_rank()")
   }
+
+  // J6 hot-shingle hardening: a boilerplate shingle planted in 30%+ of
+  // the corpus must NOT mint d²/2 candidate pairs. Prefix filtering
+  // ranks shingles by rarity; the boilerplate sorts last and falls out
+  // of every doc's prefix, so candidates stay ∝ docs — while the final
+  // pair set remains EXACTLY the brute all-shared-shingle answer.
+  test("jaccard prefix filter: planted boilerplate yields ~linear candidates, exact pairs") {
+    import spark.implicits._
+    def corpus(n: Int) = {
+      // each doc: 17 unique shingles + the same 3 boilerplate shingles
+      // (every 1 in 3 docs), plus 30 near-dup clones of doc 0 so the
+      // exact-pair answer is non-trivial
+      val base = spark.range(n).select(
+        $"id".as("doc_id"),
+        expr("""concat(
+          transform(sequence(1, 17), i -> concat('u', id, '_', i)),
+          CASE WHEN id % 3 = 0 THEN array('bp1', 'bp2', 'bp3') ELSE array() END,
+          CASE WHEN id < 31 THEN transform(sequence(1, 15), i -> concat('dup_', i)) ELSE array() END
+        )""").as("ss"))
+      base.select($"doc_id", explode($"ss").as("s"))
+        .select($"doc_id", U.h64($"s").as("sh"))
+    }
+    val sh = corpus(900).cache()
+    try {
+      // candidate volume: brute blocking pairs every 2 of the 300
+      // boilerplate docs (300·299/2 ≈ 45k); the prefix filter must stay
+      // ∝ docs (the 31 planted dups pair among themselves: ~465 + slack)
+      val cands = ops.TextOps.jaccardCandidates(sh, 0.2).count()
+      assert(cands < 3 * 900,
+        s"prefix filter leaked hot-shingle candidates: $cands pairs for 900 docs")
+      // exactness: prefix-filtered pairs == brute shared-shingle pairs
+      val got = ops.TextOps.jaccardPairs(sh, 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val brute = sh.as("a").join(sh.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.select($"doc_id".as("d1"), $"n_sh".as("n1")), "d1")
+        .join(sizes.select($"doc_id".as("d2"), $"n_sh".as("n2")), "d2")
+        .withColumn("jac", round($"n_inter".cast("double") / ($"n1" + $"n2" - $"n_inter"), 6))
+        .filter($"jac" >= 0.2)
+        .select($"d1", $"d2", $"jac")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(brute.nonEmpty, "test corpus produced no near-dup pairs — check the fixture")
+      assert(got.sameElements(brute),
+        s"prefix-filtered pairs diverged from brute: got ${got.length}, brute ${brute.length}")
+    } finally sh.unpersist()
+  }
 }
