@@ -361,6 +361,24 @@ object Oracle {
          SELECT o_custkey, COUNT(*) AS n_copies FROM e
          GROUP BY 1 ORDER BY o_custkey""",
 
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+                    FROM events),
+         c AS (SELECT user_id, event_type, ts, event_id,
+                      LAG(event_type) OVER w AS prev,
+                      ROW_NUMBER() OVER w AS rn
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         ch AS (SELECT user_id, event_type, ts, event_id FROM c
+                WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+         h AS (SELECT user_id, event_type, ts AS valid_from,
+                      LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+               FROM ch)
+         SELECT user_id, event_type, valid_from,
+                COALESCE(valid_to, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+                (valid_to IS NULL) AS is_current
+         FROM h
+         ORDER BY user_id, valid_from, event_type, valid_to""",
+
     "q_upsert_merge" ->
       """WITH base AS (SELECT event_id, user_id,
                   CAST(FLOOR(value*1000000) AS BIGINT) AS value_c, CAST(0 AS BIGINT) AS ver

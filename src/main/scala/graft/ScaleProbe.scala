@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe harness: empirical evidence that the shuffle-heavy query
+  * plans grow ~linearly in corpus size (the 100 TB posture argued from
+  * plan shapes + sf0.1 telemetry, converted into measured data).
+  *
+  * `generate` derives a deterministic K× corpus from a driver SF dir
+  * (never touching /root/testdata — output goes to a tmp dir): K
+  * key-offset copies of every table, preserving referential integrity
+  * within each copy (all FK/PK columns shift together), so joins and
+  * group-bys scale exactly K× in row volume while dimension-value
+  * cardinality stays realistic (constant).
+  *
+  * Two copy transforms keep the SIMILARITY queries honest: identical
+  * text/vectors across copies would make every row a perfect near-dup
+  * of its K−1 clones, scaling the true pair count by K²/... — a
+  * super-linear OUTPUT, which would read as a super-linear plan. So
+  * copy i>0 rotates the document alphabet by i (bijective translate —
+  * every token AND every char-n-gram changes, cross-copy Jaccard ≈ 0
+  * under word-shingles and char-grams alike) and sign-flips a
+  * pseudo-random half of each embedding's dimensions (cross-copy
+  * cosine ≈ 0). Within-copy structure — the thing the operators
+  * actually mine — is untouched, so true positives scale exactly K×.
+  *
+  * `measure` times each probe query warm (min of 2 after a warm-up
+  * run) with Bench's task-metrics listener attached; `main` runs the
+  * probe at 1× and K× and writes scale_probe.json:
+  * per-query {t_1x, t_Kx, ratio, spill_mb_Kx, shuffle_mb_Kx}.
+  * ScaleProbeSuite runs the same harness in-suite at sf0.01×10 and
+  * asserts ratio ≲ K (linear, with fixed-overhead slack), zero spill,
+  * and bounded driver-heap growth.
+  */
+object ScaleProbe {
+
+  /** The shuffle-heaviest queries of the round-7 bench capture
+    * (bench_out.json shuffle_mb, read+write desc), plus the three
+    * structural scale risks regardless of local shuffle volume: the
+    * prefix-filtered Jaccard join (hot-key hazard) and the iterative
+    * CC fixpoint pair (multi-round state). */
+  val probeQueries: Seq[String] = Seq(
+    "q_math_funcs", "q_project_compute", "q_scan_parquet",
+    "q_pipeline_curate2", "q_text_repetition", "q_dedup_ngram",
+    "q_text_keyphrases", "q_join_inner", "q_win_range_salted",
+    "q_date_funcs", "q_sim_jaccard", "q_dedup_cluster", "q_dedup_survivors")
+
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Entity-id columns shifted per copy (FK and PK together, so each
+    * copy is a self-consistent universe). Everything else — measures,
+    * dates, category strings — is left as-is. */
+  private val keyCols = Set(
+    "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey", "c_nationkey",
+    "s_suppkey", "s_nationkey", "p_partkey", "o_orderkey", "o_custkey",
+    "l_orderkey", "l_partkey", "l_suppkey", "event_id", "user_id",
+    "doc_id", "vec_id")
+
+  /** Key offset between copies: far above any driver-generated id, far
+    * below INT overflow even ×9 for the INTEGER nation/region keys. */
+  private val Offset = 100000000L
+
+  private def copyOf(name: String, src: DataFrame, i: Int): DataFrame = {
+    val shifted = src.columns.foldLeft(src) { (df, c) =>
+      if (keyCols(c))
+        df.withColumn(c, (col(c).cast("long") + lit(i * Offset)).cast(src.schema(c).dataType))
+      else df
+    }
+    if (i == 0) shifted
+    else name match {
+      case "documents" =>
+        // per-copy alphabet rotation (bijective translate): EVERY token
+        // and every char-n-gram differs across copies (cross-copy
+        // Jaccard ≈ 0 for word-shingle AND char-gram dedup alike),
+        // while within-copy token structure — the thing the operators
+        // mine — is preserved exactly. A token prefix would not be
+        // enough: char-5-grams interior to a token would still collide
+        // across copies and re-create the K² near-dup explosion.
+        val az = "abcdefghijklmnopqrstuvwxyz"
+        val rot = az.drop(i % 26) + az.take(i % 26)
+        shifted.withColumn("text", translate(col("text"), az, rot))
+      case "embeddings" =>
+        // flip a pseudo-random half of the dimensions per copy:
+        // cross-copy cosine ≈ 0, norms and within-copy geometry intact
+        shifted.withColumn("embedding",
+          transform(col("embedding"),
+            (x, j) => (x * (lit(1) - lit(2) * pmod(xxhash64(j, lit(i)), lit(2)).cast("int")))
+              .cast("float")))
+      case _ => shifted
+    }
+  }
+
+  /** Write a deterministic K× corpus derived from srcDir into outDir. */
+  def generate(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
+    tables.foreach { t =>
+      val src = Tables.table(spark, srcDir, t)
+      val scaled = (0 until k).map(i => copyOf(t, src, i)).reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  /** Warm-up + min-of-2 timings with shuffle/spill telemetry, Bench's
+    * protocol (noop sink = full distributed materialization). Returns
+    * name -> (seconds, shuffleReadMb, spillMb). */
+  def measure(spark: SparkSession, dir: String, names: Seq[String]): Map[String, (Double, Double, Double)] = {
+    val shufRead = new java.util.concurrent.atomic.AtomicLong()
+    val spilled = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          spilled.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+        }
+      }
+    })
+    def drain(): Unit = org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark)
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    names.map { n =>
+      val fn = SparkEntry.queries(n)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm: codegen + JIT + shuffle files
+      drain()
+      val (r0, s0) = (shufRead.get, spilled.get)
+      val t = math.min(once(), once())
+      drain()
+      val res = n -> (t, (shufRead.get - r0) / 2.0 / 1048576.0, (spilled.get - s0) / 1048576.0)
+      release()
+      res
+    }.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
+    val k = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tGen0 = System.nanoTime()
+    generate(spark, srcDir, outDir, k)
+    val genSec = (System.nanoTime() - tGen0) / 1e9
+    val at1 = measure(spark, srcDir, probeQueries)
+    val atK = measure(spark, outDir, probeQueries)
+    def r3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val rows = probeQueries.map { n =>
+      val (t1, _, _) = at1(n)
+      val (tk, shufK, spillK) = atK(n)
+      s""""$n":{"t_1x":${r3(t1)},"t_${k}x":${r3(tk)},"ratio":${r3(tk / math.max(t1, 0.001))},"shuffle_mb_${k}x":${r3(shufK)},"spill_mb_${k}x":${r3(spillK)}}"""
+    }
+    val line = s"""{"src":"$srcDir","k":$k,"gen_sec":${r3(genSec)},"queries":{${rows.mkString(",")}}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("scale_probe.json"), line)
+    println(line)
+    spark.stop()
+  }
+}

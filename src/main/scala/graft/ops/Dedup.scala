@@ -206,10 +206,14 @@ object Dedup {
     // seed with one propagation round folded into initialization: the
     // grouped min over {self} ∪ neighbors IS round 1, for the price of a
     // single partial-aggregable group-by (no join), so the loop below
-    // starts from diameter-1 state
+    // starts from diameter-1 state. Self-labels come from the RAW edge
+    // list, not the canonicalized one: a vertex whose only edge is a
+    // self-loop (u,u) has no surviving canon edge but is still a vertex
+    // of the graph and must appear in the output labeled with itself.
     var (labels, pinned) = pin(
       sym.select($"u".as("vid"), $"v".as("lbl"))
-        .union(sym.select($"u".as("vid"), $"u".as("lbl")))
+        .union(edges.select($"u".as("vid"), $"u".as("lbl")))
+        .union(edges.select($"v".as("vid"), $"v".as("lbl")))
         .groupBy($"vid").agg(min($"lbl").as("lbl")))
     var changed = 1L
     var rounds = 1 // the folded seed round

@@ -52,15 +52,21 @@ object Windows {
     * value-domain-sized set (rank = 1 + count of strictly-greater rows;
     * dense_rank = position among distinct values) and joins it back on
     * (key, value) — an equi-join AQE CAN skew-split, unlike the window
-    * sort it replaces. Same tie semantics as rank()/dense_rank(). */
+    * sort it replaces. Same tie semantics as rank()/dense_rank(). The
+    * join-back is null-SAFE (<=>): a window function keeps NULL keys and
+    * values (they're just another group / another order position), so
+    * the helper must too, or it silently drops rows the naive window
+    * ranks. NULL values sort last under desc in both the histogram
+    * window and the naive one, so the rank arithmetic already agrees. */
   def saltedRank(df: DataFrame, key: String, value: String): DataFrame = {
     val hist = df.groupBy(col(key), col(value)).agg(count(lit(1)).as("_cnt"))
     val w = Window.partitionBy(col(key)).orderBy(col(value).desc)
-    val ranked = hist.select(col(key), col(value),
+    val ranked = hist.select(col(key).as("_sk"), col(value).as("_sv"),
       (coalesce(sum(col("_cnt")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)) + 1L).as("rnk"),
       row_number().over(w).cast("long").as("drnk"))
-    df.join(ranked, Seq(key, value))
+    df.join(ranked, col(key) <=> col("_sk") && col(value) <=> col("_sv"))
+      .drop("_sk", "_sv")
   }
 
   val qs: Map[String, Q] = Map(

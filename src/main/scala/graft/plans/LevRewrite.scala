@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Catalyst optimizer rule: bound edit-distance predicates.
   *
@@ -34,22 +34,38 @@ import org.apache.spark.sql.types.IntegerType
   */
 object LevRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
-  private def nonNegIntLit(e: Expression): Boolean = e match {
-    case Literal(v: Int, IntegerType) => v >= 0
-    case _ => false
+  /** An unbounded levenshtein call, seen through the LongType cast the
+    * analyzer inserts when the threshold literal is a BIGINT. */
+  private object UnboundedLev {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case Levenshtein(a, b, None) => Some((a, b))
+      case Cast(Levenshtein(a, b, None), LongType, _, _) => Some((a, b))
+      case _ => None
+    }
   }
 
-  /** lev(a,b) <= k → |len(a)-len(b)| <= k AND lev(a,b,k) >= 0. */
+  /** A non-negative integral literal threshold (INT, or BIGINT within
+    * Int range — the thresholded kernel takes an Int). */
+  private object IntThreshold {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, IntegerType) if v >= 0 => Some(v)
+      case Literal(v: Long, LongType) if v >= 0L && v <= Int.MaxValue => Some(v.toInt)
+      case _ => None
+    }
+  }
+
+  private def bounded(a: Expression, b: Expression, k: Int): Expression =
+    And(
+      LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), Literal(k)),
+      GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(k))), Literal(0)))
+
+  /** lev(a,b) <= k → |len(a)-len(b)| <= k AND lev(a,b,k) >= 0, in all
+    * four comparison orientations (and the strict forms via k-1). */
   private def rewrite(e: Expression): Expression = e transformUp {
-    case LessThanOrEqual(Levenshtein(a, b, None), k) if nonNegIntLit(k) =>
-      And(
-        LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), k),
-        GreaterThanOrEqual(Levenshtein(a, b, Some(k)), Literal(0)))
-    case LessThan(Levenshtein(a, b, None), k @ Literal(v: Int, IntegerType)) if v >= 1 =>
-      val km1 = Literal(v - 1)
-      And(
-        LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), km1),
-        GreaterThanOrEqual(Levenshtein(a, b, Some(km1)), Literal(0)))
+    case LessThanOrEqual(UnboundedLev(a, b), IntThreshold(k)) => bounded(a, b, k)
+    case GreaterThanOrEqual(IntThreshold(k), UnboundedLev(a, b)) => bounded(a, b, k)
+    case LessThan(UnboundedLev(a, b), IntThreshold(k)) if k >= 1 => bounded(a, b, k - 1)
+    case GreaterThan(IntThreshold(k), UnboundedLev(a, b)) if k >= 1 => bounded(a, b, k - 1)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {

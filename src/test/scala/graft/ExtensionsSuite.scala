@@ -21,28 +21,38 @@ class ExtensionsSuite extends SparkSpec {
       .filter($"n1" < $"n2")
   }
 
+  /** Collect the Levenshtein thresholds in the optimized plan's
+    * expression trees: one entry per node, Some(k) = thresholded kernel,
+    * None = unbounded DP. Tree-shape assertions, not toString fragments
+    * (those broke on pretty-printer changes across Spark versions). */
+  private def levThresholds(df: org.apache.spark.sql.DataFrame): Seq[Option[Int]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Levenshtein, Literal}
+    df.queryExecution.optimizedPlan
+      .collect { case n => n.expressions }.flatten
+      .flatMap(_.collect {
+        case Levenshtein(_, _, t) => t.map { case Literal(v: Int, _) => v }
+      })
+  }
+
   test("LevRewrite: lev(a,b) <= k becomes length guard + thresholded kernel, same rows") {
     import spark.implicits._
     val q = pairs.filter(expr("levenshtein(n1, n2) <= 2"))
     val want = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(want.nonEmpty)
     // un-rewritten plan carries the unbounded form (threshold = None)
-    val before = q.queryExecution.optimizedPlan.toString
-    assert(before.contains("levenshtein") && before.contains("None)"),
-      s"test precondition: plan already thresholded?\n$before")
+    assert(levThresholds(q) == Seq(None),
+      s"test precondition: plan already thresholded? ${levThresholds(q)}")
     LevRewrite.enable(spark)
     try {
       val q2 = pairs.filter(expr("levenshtein(n1, n2) <= 2"))
-      val after = q2.queryExecution.optimizedPlan.toString
-      assert(after.contains("Some(2)") && after.contains(">= 0"),
-        s"no thresholded kernel in the rewritten plan:\n$after")
-      assert(after.contains("abs("),
-        s"no length-difference short-circuit in:\n$after")
+      assert(levThresholds(q2) == Seq(Some(2)),
+        s"no thresholded kernel in the rewritten plan: ${levThresholds(q2)}")
       val got = q2.collect().map(r => (r.getString(0), r.getString(1))).toSet
       assert(got == want, s"rewrite changed results: missing=${want -- got} extra=${got -- want}")
       // strict form: lev < 2 ≡ lev <= 1 — rewritten with k-1 and equal rows
-      val strictWant = pairs.filter(expr("levenshtein(n1, n2) < 2"))
-      val sGot = strictWant.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val strict = pairs.filter(expr("levenshtein(n1, n2) < 2"))
+      assert(levThresholds(strict) == Seq(Some(1)))
+      val sGot = strict.collect().map(r => (r.getString(0), r.getString(1))).toSet
       LevRewrite.disable(spark)
       val sBase = pairs.filter(expr("levenshtein(n1, n2) < 2"))
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
@@ -52,6 +62,31 @@ class ExtensionsSuite extends SparkSpec {
       // thresholded form no longer matches the rewrite pattern)
       val once = q2.queryExecution.optimizedPlan
       assert(LevRewrite(once) fastEquals once, "rule re-fired on its own output")
+    } finally LevRewrite.disable(spark)
+  }
+
+  test("LevRewrite: BIGINT literal and mirrored comparisons also rewrite") {
+    import spark.implicits._
+    LevRewrite.enable(spark)
+    try {
+      // BIGINT threshold (analyzer wraps lev in a LongType cast)
+      val qLong = pairs.filter(expr("levenshtein(n1, n2) <= 2L"))
+      assert(levThresholds(qLong) == Seq(Some(2)),
+        s"BIGINT threshold kept the unbounded kernel: ${levThresholds(qLong)}")
+      // mirrored: k >= lev(a,b) and strict k > lev(a,b)
+      val qGte = pairs.filter(expr("2 >= levenshtein(n1, n2)"))
+      assert(levThresholds(qGte) == Seq(Some(2)),
+        s"flipped >= kept the unbounded kernel: ${levThresholds(qGte)}")
+      val qGt = pairs.filter(expr("2 > levenshtein(n1, n2)"))
+      assert(levThresholds(qGt) == Seq(Some(1)),
+        s"flipped > kept the unbounded kernel: ${levThresholds(qGt)}")
+      // all four produce the same rows as the unrewritten baseline
+      val got = qLong.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val gotGte = qGte.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      LevRewrite.disable(spark)
+      val base = pairs.filter(expr("levenshtein(n1, n2) <= 2"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == base && gotGte == base, "rewritten variants diverged from baseline rows")
     } finally LevRewrite.disable(spark)
   }
 

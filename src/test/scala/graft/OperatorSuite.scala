@@ -224,6 +224,19 @@ class OperatorSuite extends SparkSpec {
     assert(got == want)
   }
 
+  test("connectedComponents: self-loop-only and duplicate/reversed edges keep every vertex") {
+    import spark.implicits._
+    // vertex 30's only edge is the self-loop (30,30): canonicalization
+    // drops the edge, but 30 is still a graph vertex and must come back
+    // labeled with itself. (40,41) arrives in both orientations plus a
+    // repeat — one component, no duplicate labels.
+    val edges = Seq((30L, 30L), (40L, 41L), (41L, 40L), (40L, 41L)).toDF("u", "v")
+    val rows = ops.Dedup.connectedComponents(edges).collect()
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == got.size, "duplicate vertex labels in CC output")
+    assert(got == Map(30L -> 30L, 40L -> 40L, 41L -> 40L))
+  }
+
   test("q_dedup_cluster: canonical id is the component min; clusters have >=2 members") {
     val rows = ops.Dedup.qs("q_dedup_cluster")(spark, sfDir).collect()
     assert(rows.nonEmpty)
@@ -376,5 +389,55 @@ class OperatorSuite extends SparkSpec {
     assert(bySplit("train") > total * 6 / 10, s"train too small: $bySplit")
     val again = ops.TextAnalysis.qs("q_split_train")(spark, sfDir).collect()
     assert(res.map(_.toString).toSeq == again.map(_.toString).toSeq, "split must be deterministic")
+  }
+
+  test("scd2Apply: three merge rounds close/insert versions; re-applying a batch is a no-op") {
+    import spark.implicits._
+    def snap(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+      rows.toSeq.toDF("k", "v")
+    val empty = Seq.empty[(Long, String, Long, Option[Long])]
+      .toDF("k", "v", "valid_from", "valid_to")
+    // day 1: two keys appear
+    val h1 = ops.Scd.scd2Apply(empty, snap(1L -> "a", 2L -> "x"), "k", "v", lit(1L))
+    // day 2: key 1 changes, key 2 unchanged, key 3 appears
+    val h2 = ops.Scd.scd2Apply(h1, snap(1L -> "b", 2L -> "x", 3L -> "m"), "k", "v", lit(2L))
+    // day 3: key 2 changes; keys 1/3 absent from the batch (stay open)
+    val h3 = ops.Scd.scd2Apply(h2, snap(2L -> "y"), "k", "v", lit(3L))
+    val got = h3.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sorted
+    val want = Seq(
+      (1L, "a", 1L, 2L), (1L, "b", 2L, -1L),
+      (2L, "x", 1L, 3L), (2L, "y", 3L, -1L),
+      (3L, "m", 2L, -1L)).sorted
+    assert(got.toSeq == want, s"history mismatch:\n got=${got.toSeq}\nwant=$want")
+    // idempotence: re-applying day 3's snapshot at a later ts changes nothing
+    val h4 = ops.Scd.scd2Apply(h3, snap(2L -> "y"), "k", "v", lit(4L))
+    val got4 = h4.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sorted
+    assert(got4.toSeq == want, "re-applied batch mutated the history")
+    // exactly one open row per key
+    val openPerKey = h3.filter($"valid_to".isNull).groupBy($"k").count()
+      .collect().map(_.getLong(1))
+    assert(openPerKey.forall(_ == 1L), "a key has multiple open versions")
+  }
+
+  test("q_scd2: versions tile each user's timeline; one current row per user") {
+    import spark.implicits._
+    val rows = ops.Scd.qs("q_scd2")(spark, sfDir)
+    val n = rows.count()
+    assert(n > 0)
+    // exactly one current (open) version per user
+    val cur = rows.filter($"is_current").groupBy($"user_id").count()
+      .collect().map(_.getLong(1))
+    assert(cur.forall(_ == 1L), "user with != 1 current version")
+    // intervals chain: valid_to of version i == valid_from of version i+1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"valid_from", $"valid_to".asc_nulls_last)
+    val broken = rows
+      .withColumn("nxt", lead($"valid_from", 1).over(w))
+      .filter($"nxt".isNotNull && !($"valid_to" <=> $"nxt")).count()
+    assert(broken == 0, s"$broken non-chaining validity intervals")
   }
 }

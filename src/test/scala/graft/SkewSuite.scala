@@ -81,6 +81,29 @@ class SkewSuite extends SparkSpec {
     assert(fanout > 5, s"expected >5-way window parallelism, got $fanout")
   }
 
+  test("salted two-pass rank keeps NULL keys and values (null-safe join-back)") {
+    import spark.implicits._
+    // rows with NULL value and NULL key are legal window inputs: the
+    // naive rank() keeps them (nulls sort last under desc; a NULL key is
+    // its own partition) — the salted join-back must not drop them
+    val df = spark.range(100).select(
+      $"id",
+      when($"id" % 10 === 0, lit(null)).otherwise(concat(lit("k"), $"id" % 3)).as("k"),
+      when($"id" % 7 === 0, lit(null)).otherwise($"id" % 13).as("v"))
+    val tie = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"v".desc)
+    val naive = df.select($"id",
+      rank().over(tie).cast("long").as("rnk"),
+      dense_rank().over(tie).cast("long").as("drnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val salted = ops.Windows.saltedRank(df, "k", "v")
+      .select($"id", $"rnk", $"drnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(salted.length == naive.length,
+      s"null rows dropped: salted ${salted.length} vs naive ${naive.length}")
+    assert(salted.sameElements(naive), "salted rank diverged from naive on a null-bearing input")
+  }
+
   test("salted two-pass rank == naive rank/dense_rank on a whale key") {
     import spark.implicits._
     val df = whaleEvents

@@ -41,6 +41,12 @@ def main(sf_dir, out_dir):
                 if not eq and isinstance(x, float) and isinstance(y, float):
                     eq = (math.isnan(x) and math.isnan(y)) or x == y
                 if not eq:
+                    try:  # pandas NaT / NA (null timestamps etc.)
+                        import pandas as pd
+                        eq = bool(pd.isna(x)) and bool(pd.isna(y))
+                    except (TypeError, ValueError):
+                        pass
+                if not eq:
                     bad = (c, i, x, y); break
             if bad: break
         if bad:
