@@ -120,4 +120,27 @@ class CatalogSuite extends SparkSpec {
     val ms = (System.nanoTime() - t0) / 1e6
     assert(ms < 200, s"1000 re-registrations took ${ms}ms — not the O(1) fast path")
   }
+
+  test("operator views: a fresh session runs the L/J pipelines via pure SQL, rows == Scala twins") {
+    Catalog.registerOperatorViews(spark, sfDir)
+    // durable catalog objects: a session that never ran setup sees them
+    val fresh = spark.newSession()
+    assert(Catalog.operatorViews.size >= 10, "pure-SQL surface shrank below 10 operators")
+    Catalog.operatorViews.foreach { case (view, (qKey, _)) =>
+      val viaSql = fresh.sql(s"SELECT * FROM graft.$view")
+      val twin = SparkEntry.queries(qKey)(fresh, sfDir)
+      assert(viaSql.columns.toSeq == twin.columns.toSeq,
+        s"$view columns ${viaSql.columns.toSeq} != $qKey ${twin.columns.toSeq}")
+      val got = viaSql.collect().map(_.toString).sorted.toSeq
+      val want = twin.collect().map(_.toString).sorted.toSeq
+      assert(got.nonEmpty, s"$view returned no rows")
+      assert(got == want,
+        s"$view diverged from $qKey: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+    }
+    // plan sanity through the view layer: the tfidf corpus-count join
+    // must stay a broadcast, never a cartesian product
+    val plan = fresh.sql("SELECT * FROM graft.v_text_tfidf").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"v_text_tfidf planned a CartesianProduct:\n$plan")
+  }
 }
