@@ -4,6 +4,7 @@ import graft.{Q, Tables, U}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftShim
 
 /** Large-scale dedup suite — the training-data-pipeline extensions
   * (SURVEY.md §0 L3; dedup need anchored at the reference's overlapping
@@ -198,11 +199,13 @@ object Dedup {
     // lineage truncation localCheckpoint gives, but with an explicit
     // handle so a round's blocks are RELEASED once the next round lands.
     // (localCheckpoint has no public unpersist; its leaked per-round
-    // blocks were part of the r4 bench-interference cluster.)
-    def pin(df: DataFrame) = {
-      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (ss.createDataFrame(rdd, df.schema), rdd)
-    }
+    // blocks were part of the r4 bench-interference cluster.) The pin
+    // stays in Tungsten binary format (GraftShim.pinInternal) — the
+    // df.rdd route decoded every row to an external Row and re-encoded
+    // it, per round, which was the dominant CPU+GC churn of the
+    // fixpoint and a bench-variance source (VERDICT r6 #6).
+    def pin(df: DataFrame) = GraftShim.pinInternal(
+      df, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed with one propagation round folded into initialization: the
     // grouped min over {self} ∪ neighbors IS round 1, for the price of a
     // single partial-aggregable group-by (no join), so the loop below
@@ -279,10 +282,8 @@ object Dedup {
   def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
     val ss = edges.sparkSession
     import ss.implicits._
-    def pin(df: DataFrame) = {
-      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (ss.createDataFrame(rdd, df.schema), rdd)
-    }
+    def pin(df: DataFrame) = GraftShim.pinInternal(
+      df, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = edges.select($"u").union(edges.select($"v"))
       .distinct().select($"u".as("vid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -118,8 +118,26 @@ object Ingest {
     * FAILFAST stays available by reading with `mode=FAILFAST` where a
     * pipeline prefers to halt. */
   def readQuarantined(spark: SparkSession, srcDir: String): (DataFrame, DataFrame) = {
+    // Force-nullable: a quarantine reader exists BECAUSE rows violate the
+    // schema, so every field must tolerate null. Plain file reads coerce
+    // the user schema nullable anyway, but reading a dir landed by a
+    // STREAMING file sink (_spark_metadata present) takes the sink's
+    // metadata-log path, which trusts declared nullability — a corrupt
+    // row's null in a non-nullable field then NPEs the first projection
+    // that materializes it (found composing crawl→land→quarantine e2e).
+    def nullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+      dt match {
+        case s: org.apache.spark.sql.types.StructType =>
+          org.apache.spark.sql.types.StructType(s.fields.map(f =>
+            f.copy(dataType = nullable(f.dataType), nullable = true)))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          a.copy(elementType = nullable(a.elementType), containsNull = true)
+        case m: org.apache.spark.sql.types.MapType =>
+          m.copy(valueType = nullable(m.valueType), valueContainsNull = true)
+        case other => other
+      }
     val schemaWithCorrupt = org.apache.spark.sql.types.StructType(
-      TweetSchema.schema.fields :+
+      nullable(TweetSchema.schema).asInstanceOf[org.apache.spark.sql.types.StructType].fields :+
         org.apache.spark.sql.types.StructField("_corrupt_record",
           org.apache.spark.sql.types.StringType, nullable = true))
     val raw = spark.read.schema(schemaWithCorrupt)

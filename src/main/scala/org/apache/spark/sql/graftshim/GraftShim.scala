@@ -27,6 +27,22 @@ object GraftShim {
                          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
     ext.buildOptimizerRules(spark)
 
+  /** Pin a DataFrame's current contents as a persisted RDD WITHOUT the
+    * InternalRow→Row→InternalRow round-trip `df.rdd` +
+    * `createDataFrame(rdd, schema)` pays (per-row decode to external
+    * Row objects, then re-encode — measurable CPU + GC churn when an
+    * iterative fixpoint pins every round). The rows are copied before
+    * caching (toRdd reuses UnsafeRow buffers), stay in Tungsten binary
+    * format, and the returned RDD handle gives the caller the explicit
+    * unpersist that localCheckpoint lacks. */
+  def pinInternal(df: org.apache.spark.sql.DataFrame,
+                  level: org.apache.spark.storage.StorageLevel)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = df.queryExecution.toRdd.map(_.copy()).persist(level)
+    (classic.internalCreateDataFrame(rdd, df.schema), rdd)
+  }
+
   /** Block until the async listener bus has delivered every queued event —
     * the deterministic fence Bench needs before snapshotting per-query
     * task-metric counters (a fixed sleep misattributes late task-end

@@ -242,4 +242,74 @@ class IngestSuite extends SparkSpec {
     Ingest.streamToServingTable(spark, stream(), "graft_serve.daily", ckpt)
     assert(spark.table("graft_serve.daily").count() == 3)
   }
+
+  test("e2e: paged crawl → NDJSON landing → quarantine → curate → serving upsert → fresh-session SQL, pruned") {
+    import graft.sources.paged.PagedApi
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // The reference's whole main() dataflow (src/main.py:246-277:
+    // crawl → land → catalog → query) as ONE asserted pipeline.
+    val base = Files.createTempDirectory("graft_e2e").toString
+    // 1. the "API": 60 records across 3 days, every 20th page corrupt
+    def tweetJson(i: Int, day: Int) =
+      s"""{"id":"$i","text":"tweet $i #NBA","created_at":"2024-03-0${day}T12:00:${10 + i % 40}.000Z","public_metrics":{"retweet_count":$i,"reply_count":1,"like_count":${i * 2},"quote_count":0},"context_annotations":[],"entities":{"hashtags":[{"start":8,"end":12,"tag":"NBA"}],"mentions":[],"urls":[],"annotations":[]}}"""
+    val recs = (0 until 60).map { i =>
+      val day = 1 + i % 3
+      val body = if (i % 20 == 19) s"""{"id":"$i","text": BROKEN""" else tweetJson(i, day)
+      (i.toLong, s"2024-03-0${day}T12:00:00Z", body)
+    }
+    PagedApi.appendRecords(s"$base/api", recs)
+    // 2. crawl with the DSv2 paged source; land the raw page bodies as
+    //    NDJSON — the reference's landing format (src/main.py:151-153)
+    val crawl = spark.readStream.format("graft-pages").option("path", s"$base/api").load()
+      .select($"text".as("value"))
+      .writeStream.format("text").option("path", s"$base/raw")
+      .option("checkpointLocation", s"$base/ckpt_crawl")
+      .trigger(Trigger.AvailableNow()).start()
+    crawl.awaitTermination()
+    // 3. quarantine split of the landed NDJSON: 3 corrupt lines isolated
+    val (good, bad) = Ingest.readQuarantined(spark, s"$base/raw")
+    assert(bad.count() == 3, s"expected 3 quarantined lines, got ${bad.count()}")
+    assert(good.count() == 57)
+    // 4. curated serving table: streaming re-drain of the landing dir →
+    //    transform (the curate gate drops the null-parse corpses) →
+    //    per-day dynamic upsert into the catalog table
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_serve")
+    spark.sql("DROP TABLE IF EXISTS graft_serve.tweets_e2e")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/graft_serve.db/tweets_e2e")
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    val curatedShape = Ingest.transform(good, "Twitter", "NBA")
+    curatedShape.limit(0).write
+      .partitionBy("platform", "league", "year", "month", "day")
+      .saveAsTable("graft_serve.tweets_e2e")
+    val src = spark.readStream.schema(graft.model.TweetSchema.schema).json(s"$base/raw")
+    Ingest.streamToServingTable(spark, Ingest.transform(src, "Twitter", "NBA"),
+      "graft_serve.tweets_e2e", s"$base/ckpt_serve")
+    // 5. the Athena half: a FRESH session queries the table by name
+    val fresh = spark.newSession()
+    val total = fresh.sql("SELECT COUNT(*) FROM graft_serve.tweets_e2e")
+      .collect()(0).getLong(0)
+    assert(total == 57, s"serving table has $total rows, want 57")
+    val day1 = fresh.sql(
+      "SELECT COUNT(*) FROM graft_serve.tweets_e2e WHERE day = 1")
+      .collect()(0).getLong(0)
+    assert(day1 == recs.count { case (i, _, b) => !b.contains("BROKEN") && i % 3 == 0 },
+      s"day-1 slice wrong: $day1")
+    // partition pruning reaches the scan: the day-filtered query reads a
+    // strict file subset, all under day=1 directories
+    val all = fresh.table("graft_serve.tweets_e2e")
+    val pruned = fresh.sql("SELECT * FROM graft_serve.tweets_e2e WHERE day = 1")
+    assert(pruned.inputFiles.nonEmpty && pruned.inputFiles.length < all.inputFiles.length,
+      s"no pruning: ${pruned.inputFiles.length} of ${all.inputFiles.length} files")
+    assert(pruned.inputFiles.forall(_.contains("day=1")),
+      "day-filtered scan read a file outside day=1")
+    // idempotent re-run: same checkpoint, no duplicate rows
+    val src2 = spark.readStream.schema(graft.model.TweetSchema.schema).json(s"$base/raw")
+    Ingest.streamToServingTable(spark, Ingest.transform(src2, "Twitter", "NBA"),
+      "graft_serve.tweets_e2e", s"$base/ckpt_serve")
+    assert(fresh.sql("SELECT COUNT(*) FROM graft_serve.tweets_e2e")
+      .collect()(0).getLong(0) == 57, "checkpoint replay duplicated rows")
+  }
 }
