@@ -470,6 +470,40 @@ object Oracle {
                 array_to_string(list_sort(list(DISTINCT source)), ',') AS sources_csv,
                 COUNT(*) AS n
          FROM documents GROUP BY 1 ORDER BY lang""",
+    // heavy hitters: exact recount over the planted-skew key stream —
+    // the MG sketch on the Spark side only NOMINATES candidates, so the
+    // exact SQL is the full semantics (see ops/Aggregates.scala D16)
+    "q_heavy_hitters" ->
+      """WITH k AS (SELECT CASE WHEN event_id % 5 = 0
+                     THEN 'hot_' || CAST(event_id % 3 AS VARCHAR)
+                     ELSE 'cold_' || CAST(event_id % 7919 AS VARCHAR) END AS k
+               FROM events),
+         c AS (SELECT k, COUNT(*) AS cnt FROM k GROUP BY 1),
+         n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+         SELECT k, CAST(cnt AS BIGINT) AS cnt
+         FROM c, n WHERE cnt * 25 > total ORDER BY cnt DESC, k""",
+    // exact-moment statistics: identical double arithmetic over exact
+    // integer moments (see ops/Aggregates.scala D15)
+    "q_agg_stats" ->
+      """WITH b AS (SELECT l_returnflag,
+                  CAST(l_quantity AS BIGINT) AS x,
+                  CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+               FROM lineitem),
+         m AS (SELECT l_returnflag, COUNT(*) AS n,
+                      CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(x*x) AS DOUBLE) AS sxx,
+                      CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y*y) AS DOUBLE) AS syy,
+                      CAST(SUM(x*y) AS DOUBLE) AS sxy,
+                      CAST(COUNT(*) AS DOUBLE) AS nd
+               FROM b GROUP BY 1)
+         SELECT l_returnflag, n,
+                round(sx / nd, 6) AS mean_x,
+                round(sy / nd, 6) AS mean_y,
+                round((nd*sxx - sx*sx) / (nd*nd), 6) AS var_pop_x,
+                round(sqrt((nd*sxx - sx*sx) / (nd*(nd - 1.0))), 6) AS stddev_samp_x,
+                round((nd*sxy - sx*sy) / (nd*nd), 6) AS covar_pop,
+                round((nd*sxy - sx*sy)
+                      / (sqrt(nd*sxx - sx*sx) * sqrt(nd*syy - sy*sy)), 6) AS corr_xy
+         FROM m ORDER BY l_returnflag""",
 
     // ----- windows -----
     "q_win_rownum" ->
@@ -833,6 +867,24 @@ object Oracle {
          FROM documents ORDER BY doc_id""",
 
     // ----- dedup extensions (MinHash-LSH / SimHash / n-gram / embedding) -----
+    // duplicated 8-token-span profile (see ops/Dedup.scala L32)
+    "q_dedup_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         sp0 AS (SELECT doc_id,
+                   CASE WHEN len(tk) >= 8
+                     THEN [array_to_string(tk[i:i+7], ' ') for i in range(1, len(tk) - 6)]
+                     ELSE [] END AS sps
+                 FROM t),
+         u AS (SELECT doc_id, unnest(sps) AS span FROM sp0),
+         e AS (SELECT doc_id, ${h64Sql("span")} AS h FROM u),
+         dd AS (SELECT h, CAST(1 AS BIGINT) AS isdup
+                FROM e GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         m AS (SELECT e.doc_id, COUNT(*) AS n_spans,
+                      CAST(SUM(coalesce(dd.isdup, 0)) AS BIGINT) AS n_dup_spans
+               FROM e LEFT JOIN dd ON e.h = dd.h GROUP BY 1)
+         SELECT doc_id, n_spans, n_dup_spans,
+                round(CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE), 6) AS dup_frac
+         FROM m WHERE n_dup_spans > 0 ORDER BY doc_id""",
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_cluster" -> dedupClusterSql,
     "q_dedup_survivors" -> dedupSurvivorsSql,
@@ -891,6 +943,67 @@ object Oracle {
                       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rk
                FROM r)
          SELECT q_id, rk, c_id, sim FROM k WHERE rk <= 3 ORDER BY q_id, rk""",
+    // k-means: seeded assign + one Lloyd step (see ops/Similarity.scala L33)
+    "q_cluster_kmeans" ->
+      """WITH n AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+               FROM embeddings),
+         m AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM n),
+         seeds AS (SELECT vec_id AS sid, v AS sv, n2 AS sn2 FROM m WHERE vec_id < 8),
+         a1 AS (SELECT vec_id, sid,
+                       CAST(list_sum(list_transform(v, (x, i) -> x * sv[i])) AS DOUBLE)
+                         / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(sn2 AS DOUBLE))) AS sim
+                FROM m, seeds),
+         as1 AS (SELECT vec_id, sid AS cl FROM (
+                   SELECT vec_id, sid,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, sid) AS rk
+                   FROM a1) t WHERE rk = 1),
+         e AS (SELECT as1.cl, i, m.v[i] AS c
+               FROM as1 JOIN m USING (vec_id)
+               CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix),
+         cs AS (SELECT cl, i, CAST(FLOOR(CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cc
+                FROM e GROUP BY 1, 2),
+         cv AS (SELECT cl, list(cc ORDER BY i) AS cvec FROM cs GROUP BY 1),
+         cn AS (SELECT cl AS cl2, cvec, list_sum(list_transform(cvec, x -> x * x)) AS cn2 FROM cv),
+         a2 AS (SELECT vec_id, cl2,
+                       CAST(list_sum(list_transform(v, (x, i) -> x * cvec[i])) AS DOUBLE)
+                         / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS sim
+                FROM m, cn),
+         as2 AS (SELECT vec_id, cl2, sim FROM (
+                   SELECT vec_id, cl2, sim,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cl2) AS rk
+                   FROM a2) t WHERE rk = 1),
+         f AS (SELECT cl2 AS cluster, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_i FROM as2)
+         SELECT cluster, COUNT(*) AS n,
+                CAST(SUM(sim_i) AS BIGINT) AS sim_sum,
+                round(CAST(CAST(SUM(sim_i) AS BIGINT) AS DOUBLE)
+                      / (1000000.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS mean_sim
+         FROM f GROUP BY 1 ORDER BY cluster""",
+    // SemDeDup: within-cluster exact cosine dedup (see ops/Similarity.scala L34)
+    "q_dedup_semantic" ->
+      """WITH n AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+               FROM embeddings),
+         m AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM n),
+         seeds AS (SELECT vec_id AS sid, v AS sv, n2 AS sn2 FROM m WHERE vec_id < 8),
+         a1 AS (SELECT vec_id, sid,
+                       CAST(list_sum(list_transform(v, (x, i) -> x * sv[i])) AS DOUBLE)
+                         / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(sn2 AS DOUBLE))) AS sim
+                FROM m, seeds),
+         asg AS (SELECT a1.vec_id, sid AS cl, m.v, m.n2 FROM (
+                   SELECT vec_id, sid,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, sid) AS rk
+                   FROM a1) a1 JOIN m USING (vec_id) WHERE rk = 1),
+         p AS (SELECT a.cl, b.vec_id AS ib,
+                      CAST(list_sum(list_transform(a.v, (x, i) -> x * b.v[i])) AS DOUBLE)
+                        / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS ps
+               FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id),
+         dr AS (SELECT cl, COUNT(DISTINCT ib) AS n_dropped FROM p WHERE ps >= 0.4 GROUP BY 1),
+         mem AS (SELECT cl, COUNT(*) AS n_members FROM asg GROUP BY 1)
+         SELECT mem.cl AS cluster, n_members,
+                CAST(coalesce(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+                CAST(n_members - coalesce(dr.n_dropped, 0) AS BIGINT) AS n_kept
+         FROM mem LEFT JOIN dr ON mem.cl = dr.cl ORDER BY cluster""",
     "q_embed_centroid" ->
       """WITH n AS (SELECT CAST(label AS BIGINT) AS label,
                   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v

@@ -1,6 +1,9 @@
 package graft.ops
 
 import graft.{Q, Tables, U}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Aggregations — SURVEY.md §2.D. Reference anchors: the global running
@@ -12,7 +15,66 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates {
 
+  /** D16 sketch: Misra–Gries frequent-items summary with K counters — a
+    * mergeable bounded-memory heavy-hitter candidate generator (Agarwal
+    * et al., "Mergeable Summaries", PODS '12): after any sequence of
+    * partial merges, every item with true frequency > N/(K+1) is
+    * guaranteed present in the summary. State per partition is ≤K
+    * entries no matter how many distinct keys stream past — the property
+    * that makes the op viable when the key domain itself doesn't fit in
+    * memory (exact top-k via groupBy would shuffle the full domain). */
+  private val MgK = 64
+  object MisraGriesAgg extends Aggregator[String, Map[String, Long], Seq[String]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], t: String): Map[String, Long] =
+      b.get(t) match {
+        case Some(c) => b.updated(t, c + 1L)
+        case None if b.size < MgK => b.updated(t, 1L)
+        // full and t absent: decrement all (t's implicit counter and the
+        // K stored ones — the classic "cancel K+1 distinct items" step)
+        case None => b.flatMap { case (k, c) => if (c > 1L) Some(k -> (c - 1L)) else None }
+      }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val m = b.foldLeft(a) { case (acc, (k, c)) => acc.updated(k, acc.getOrElse(k, 0L) + c) }
+      if (m.size <= MgK) m
+      else {
+        // subtract the (K+1)-th largest count from everything and drop
+        // non-positives — the PODS'12 merge that preserves the N/(K+1)
+        // error bound under arbitrary merge trees
+        val cut = m.values.toIndexedSeq.sorted(Ordering[Long].reverse).apply(MgK)
+        m.flatMap { case (k, c) => if (c > cut) Some(k -> (c - cut)) else None }
+      }
+    }
+    def finish(m: Map[String, Long]): Seq[String] = m.keys.toSeq.sorted
+    def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()
+  }
+
   val qs: Map[String, Q] = Map(
+    // D16: exact heavy hitters via sketch→verify — the MG summary
+    // (bounded memory, mergeable) nominates ≤K candidates, then ONLY the
+    // candidates are recounted exactly (broadcast semi-join, no
+    // full-domain shuffle) and thresholded on the exact count: results
+    // are EXACT, memory is O(K), guarantee cnt > N/25 ⊂ cnt > N/(K+1)
+    // so no qualifying key can be missed. The key stream plants
+    // deterministic skew over the uniform test table (3 hot keys at
+    // ~6.7% each over a 7919-key cold tail, same splice in the oracle)
+    // because heavy-hitter semantics need a heavy tail to demonstrate.
+    "q_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val keyed = Tables.events(s, d).select(
+        when($"event_id" % 5 === 0, concat(lit("hot_"), ($"event_id" % 3).cast("string")))
+          .otherwise(concat(lit("cold_"), ($"event_id" % 7919).cast("string"))).as("k"))
+      val cands = keyed.as[String].select(MisraGriesAgg.toColumn.name("ks"))
+        .toDF("ks").select(explode($"ks").as("k"))
+      val totals = keyed.agg(count(lit(1)).as("total"))
+      keyed.join(broadcast(cands), Seq("k"), "left_semi")
+        .groupBy($"k").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(totals))
+        .filter($"cnt" * 25 > $"total")
+        .select($"k", $"cnt")
+        .orderBy($"cnt".desc, $"k")
+    }),
     // D1: global aggregate, one row.
     "q_agg_global" -> ((s, d) => {
       import s.implicits._
@@ -247,6 +309,51 @@ object Aggregates {
           round(expr("percentile(total_c, 0.9)"), 6).as("p90_c"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
+    }),
+    // D15: statistical aggregate family (variance/stddev/covariance/
+    // correlation) from EXACT integer moments. Spark's stddev/corr
+    // accumulate floating-point state whose partition merge order is
+    // nondeterministic — unusable under a bit-identical oracle and a
+    // repeatability contract. Here one partial-aggregable pass collects
+    // the six classical moments (n, Σx, Σx², Σy, Σy², Σxy) as exact int64
+    // sums (order-free), and every statistic is a FIXED IEEE expression
+    // over those integers, identical in the oracle: the shuffle carries
+    // six numbers per group at any scale, and the same moments are
+    // storable/mergeable for incremental stats (cf. q_agg_incremental).
+    "q_agg_stats" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          $"l_quantity".cast("long").as("x"),
+          floor($"l_extendedprice").cast("long").as("y"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
+          sum($"y").as("sy"), sum($"y" * $"y").as("syy"),
+          sum($"x" * $"y").as("sxy"))
+        .select($"l_returnflag", $"n",
+          round($"sx".cast("double") / $"n".cast("double"), 6).as("mean_x"),
+          round($"sy".cast("double") / $"n".cast("double"), 6).as("mean_y"),
+          // var_pop = (nΣx² − (Σx)²)/n² — numerators in double (Σy² terms
+          // exceed int64 when multiplied by n; the moments themselves are
+          // < 2^53 so the conversion is exact and the arithmetic is the
+          // same single-rounded IEEE ops in both engines)
+          round(($"n".cast("double") * $"sxx".cast("double")
+            - $"sx".cast("double") * $"sx".cast("double"))
+            / ($"n".cast("double") * $"n".cast("double")), 6).as("var_pop_x"),
+          round(sqrt(($"n".cast("double") * $"sxx".cast("double")
+            - $"sx".cast("double") * $"sx".cast("double"))
+            / ($"n".cast("double") * ($"n".cast("double") - 1.0))), 6).as("stddev_samp_x"),
+          round(($"n".cast("double") * $"sxy".cast("double")
+            - $"sx".cast("double") * $"sy".cast("double"))
+            / ($"n".cast("double") * $"n".cast("double")), 6).as("covar_pop"),
+          round(($"n".cast("double") * $"sxy".cast("double")
+            - $"sx".cast("double") * $"sy".cast("double"))
+            / (sqrt($"n".cast("double") * $"sxx".cast("double")
+                - $"sx".cast("double") * $"sx".cast("double"))
+              * sqrt($"n".cast("double") * $"syy".cast("double")
+                - $"sy".cast("double") * $"sy".cast("double"))), 6).as("corr_xy"))
+        .orderBy("l_returnflag")
     }),
     // D9: bounded collect-style agg, rendered as a sorted CSV string so the
     // comparison is representation-free (≙ alias lists, reference src/nba.yaml:6-7).

@@ -378,6 +378,40 @@ object Dedup {
         .select($"doc_id", $"lang", $"source")
         .orderBy("doc_id")
     }),
+    // L32: exact duplicated-SPAN profiling — the fixed-width relational
+    // form of suffix-array substring dedup (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better"): every
+    // rolling 8-token window is a span, and an occurrence is duplicated
+    // when the identical token sequence appears in ≥1 OTHER document.
+    // One generator pass (corpus tokens × 1 span each), then a
+    // partial-aggregable distinct-doc count keyed on the 64-bit span
+    // hash — the shuffle carries hashed longs that combine map-side, so
+    // a boilerplate span in d docs costs d rows on one key, never d²
+    // (profiling, not pairing). The per-doc duplicated-span fraction is
+    // the threshold a curation pipeline cuts on; same h64 in the oracle
+    // so even hash collisions agree.
+    "q_dedup_spans" -> ((s, d) => {
+      import s.implicits._
+      val spans = Tables.documents(s, d)
+        .withColumn("toks", split($"text", " "))
+        .select($"doc_id", explode(expr(
+          """CASE WHEN size(toks) >= 8 THEN transform(sequence(8, size(toks)),
+               i -> concat_ws(' ', slice(toks, i-7, 8)))
+             ELSE array() END""")).as("span"))
+        .select($"doc_id", graft.U.h64($"span").as("h"))
+      val dup = spans.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2)
+        .select($"h", lit(1L).as("isdup"))
+      spans.join(dup, Seq("h"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+             sum(coalesce($"isdup", lit(0L))).as("n_dup_spans"))
+        .filter($"n_dup_spans" > 0)
+        .select($"doc_id", $"n_spans", $"n_dup_spans",
+          round($"n_dup_spans".cast("double") / $"n_spans".cast("double"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
     // Line-level exact dedup (the C4 preprocessing rule): the corpus is
     // chopped into fixed 3-token "lines"; each distinct line survives
     // only at its globally-first occurrence (min doc_id, then position),

@@ -113,6 +113,88 @@ object Similarity {
         .select($"q_id", $"rk", $"c_id", $"sim")
         .orderBy("q_id", "rk")
     }),
+    // L33: k-means partitioning of the embedding corpus — seeded
+    // assignment + one Lloyd refinement. Seeds are the 8 lowest vec_ids
+    // (deterministic, oracle-shared); every vector joins the BROADCAST
+    // 8-row centroid table (nearest-by-cosine argmax with a total
+    // tie-break), new centroids are the floor-averaged int64 component
+    // sums via the mergeable CentroidAgg, and the corpus reassigns
+    // against the refined broadcast centroids. Per-iteration cost is one
+    // broadcast NLJ (N×K rows, map-side) + one partial-aggregable vector
+    // sum — the canonical scale recipe (K grows with corpus so clusters
+    // stay bounded; SemDeDup/cluster-balanced sampling build on this
+    // partition). sim checksum is int64-scaled BEFORE summation so the
+    // per-cluster quality metric is order-free and bit-exact.
+    "q_cluster_kmeans" -> ((s, d) => {
+      import s.implicits._
+      val m = Tables.embeddings(s, d)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))").as("v"))
+        .withColumn("n2", graft.functions.DotL.dot($"v", $"v"))
+      val seeds = m.filter($"vec_id" < 8)
+        .select($"vec_id".as("sid"), $"v".as("sv"), $"n2".as("sn2"))
+      val w1 = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"sid")
+      val as1 = m.join(broadcast(seeds))
+        .withColumn("sim", graft.functions.DotL.dot($"v", $"sv").cast("double") /
+          (sqrt($"n2".cast("double")) * sqrt($"sn2".cast("double"))))
+        .withColumn("rk", row_number().over(w1)).filter($"rk" === 1)
+        .select($"vec_id", $"sid".as("cl"), $"v")
+      val cents = as1.select($"cl", $"v").as[(Long, Array[Long])]
+        .groupByKey(_._1).mapValues(_._2).agg(CentroidAgg.toColumn)
+        .map { case (cl, (n, sums)) =>
+          (cl, sums.map(x => math.floor(x.toDouble / n).toLong)) }
+        .toDF("cl2", "cvec")
+        .withColumn("cn2", graft.functions.DotL.dot($"cvec", $"cvec"))
+      val w2 = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cl2")
+      m.join(broadcast(cents))
+        .withColumn("sim", graft.functions.DotL.dot($"v", $"cvec").cast("double") /
+          (sqrt($"n2".cast("double")) * sqrt($"cn2".cast("double"))))
+        .withColumn("rk", row_number().over(w2)).filter($"rk" === 1)
+        .select($"cl2".as("cluster"), floor($"sim" * 1000000).cast("long").as("sim_i"))
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n"), sum($"sim_i").as("sim_sum"))
+        .select($"cluster", $"n", $"sim_sum",
+          round($"sim_sum".cast("double") / (lit(1000000.0) * $"n".cast("double")), 6)
+            .as("mean_sim"))
+        .orderBy("cluster")
+    }),
+    // L34: SemDeDup (Abbas et al. 2023) — semantic dedup scoped BY the
+    // k-means partition: exact pairwise cosine runs only WITHIN a
+    // cluster, so the quadratic term is Σ|cluster|², never N² — at corpus
+    // scale K is chosen ∝ N to keep clusters near-constant-size, making
+    // the within-cluster sweep linear overall (and each cluster's pair
+    // block is an independent, AQE-splittable equi-join partition on the
+    // cluster key). Keep-lowest-id survivor rule; per-cluster dedup
+    // profile out.
+    "q_dedup_semantic" -> ((s, d) => {
+      import s.implicits._
+      val m = Tables.embeddings(s, d)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))").as("v"))
+        .withColumn("n2", graft.functions.DotL.dot($"v", $"v"))
+      val seeds = m.filter($"vec_id" < 8)
+        .select($"vec_id".as("sid"), $"v".as("sv"), $"n2".as("sn2"))
+      val w1 = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"sid")
+      val asg = m.join(broadcast(seeds))
+        .withColumn("sim", graft.functions.DotL.dot($"v", $"sv").cast("double") /
+          (sqrt($"n2".cast("double")) * sqrt($"sn2".cast("double"))))
+        .withColumn("rk", row_number().over(w1)).filter($"rk" === 1)
+        .select($"vec_id", $"sid".as("cl"), $"v", $"n2")
+      val a = asg.select($"cl", $"vec_id".as("ia"), $"v".as("va"), $"n2".as("na"))
+      val b = asg.select($"cl", $"vec_id".as("ib"), $"v".as("vb"), $"n2".as("nb"))
+      val dropped = a.join(b, Seq("cl")).filter($"ia" < $"ib")
+        .withColumn("ps", graft.functions.DotL.dot($"va", $"vb").cast("double") /
+          (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))))
+        .filter($"ps" >= 0.4)
+        .select($"cl", $"ib").distinct()
+        .groupBy($"cl").agg(count(lit(1)).as("n_dropped"))
+      asg.groupBy($"cl").agg(count(lit(1)).as("n_members"))
+        .join(dropped, Seq("cl"), "left")
+        .select($"cl".as("cluster"), $"n_members",
+          coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+          ($"n_members" - coalesce($"n_dropped", lit(0L))).as("n_kept"))
+        .orderBy("cluster")
+    }),
     // K2: per-label centroid via the typed Aggregator; first 8 components
     // as (label, comp, mean) rows.
     "q_embed_centroid" -> ((s, d) => {

@@ -423,6 +423,80 @@ class OperatorSuite extends SparkSpec {
     assert(openPerKey.forall(_ == 1L), "a key has multiple open versions")
   }
 
+  test("D16 Misra-Gries: guarantee holds under saturation + partition merges") {
+    import spark.implicits._
+    // same planted-skew stream as q_heavy_hitters: ~4k distinct cold keys
+    // >> K=64 counters, so per-partition buffers saturate and the
+    // decrement/merge paths genuinely run
+    val keyed = Tables.events(spark, sfDir).select(
+      when($"event_id" % 5 === 0, concat(lit("hot_"), ($"event_id" % 3).cast("string")))
+        .otherwise(concat(lit("cold_"), ($"event_id" % 7919).cast("string"))).as("k"))
+      .repartition(8) // force multiple partial buffers → merge path
+    val n = keyed.count()
+    val exact = keyed.groupBy($"k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.size > 64, "domain must exceed sketch capacity")
+    val cands = keyed.as[String]
+      .select(ops.Aggregates.MisraGriesAgg.toColumn.name("ks"))
+      .collect().head.toSet
+    assert(cands.size <= 64, s"sketch emitted ${cands.size} > K candidates")
+    // every key with true freq > N/(K+1) must be nominated
+    val mustHave = exact.filter { case (_, c) => c * 65 > n }.keySet
+    assert(mustHave.nonEmpty && mustHave.subsetOf(cands),
+      s"missed guaranteed-frequent keys: ${mustHave -- cands}")
+    // end-to-end: the query's exact-verified output == brute-force answer
+    val got = ops.Aggregates.qs("q_heavy_hitters")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    val want = exact.filter { case (_, c) => c * 25 > n }.toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("L32 span dedup: planted shared 8-token span is flagged, unique doc is not") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spans_").toString
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    Seq(
+      (1L, s"$shared one two three", "en", "t", 0L),
+      (2L, s"zero $shared nine ten", "en", "t", 0L),
+      (3L, "iota kappa lambda mu nu xi omicron pi rho sigma", "en", "t", 0L),
+      (4L, "too short", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = ops.Dedup.qs("q_dedup_spans")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // doc1/doc2: 11 tokens → 4 spans each, 1 duplicated; doc3/4 absent
+    assert(got == List((1L, 4L, 1L), (2L, 4L, 1L)), s"got $got")
+  }
+
+  test("L33 k-means: every vector assigned exactly once; checksum consistent") {
+    import spark.implicits._
+    val total = Tables.embeddings(spark, sfDir).count()
+    val rows = ops.Similarity.qs("q_cluster_kmeans")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum == total, "cluster sizes must partition the corpus")
+    rows.foreach { r =>
+      // mean_sim is derived from the int64 checksum, and cosine ≤ 1
+      assert(r.getLong(2) <= r.getLong(1) * 1000000L, s"sim_sum out of range: $r")
+    }
+  }
+
+  test("D15 exact-moment stats agree with Spark's builtin fp aggregates") {
+    import spark.implicits._
+    val got = ops.Aggregates.qs("q_agg_stats")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5), r.getDouble(7))).toMap
+    val ref = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_quantity".cast("long").as("x"),
+        floor($"l_extendedprice").cast("long").as("y"))
+      .groupBy($"l_returnflag")
+      .agg(var_pop($"x").as("vp"), stddev_samp($"x").as("sd"), corr($"x", $"y").as("cr"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    ref.foreach { case (flag, (vp, sd, cr)) =>
+      val (gvp, gsd, gcr) = got(flag)
+      assert(math.abs(gvp - vp) <= 1e-6 * math.abs(vp) + 1e-6, s"$flag var_pop $gvp vs $vp")
+      assert(math.abs(gsd - sd) <= 1e-6 * math.abs(sd) + 1e-6, s"$flag stddev $gsd vs $sd")
+      assert(math.abs(gcr - cr) <= 1e-4, s"$flag corr $gcr vs $cr")
+    }
+  }
+
   test("q_scd2: versions tile each user's timeline; one current row per user") {
     import spark.implicits._
     val rows = ops.Scd.qs("q_scd2")(spark, sfDir)

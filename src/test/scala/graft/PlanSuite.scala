@@ -308,4 +308,32 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     val sw = planOf("q_win_range_salted")
     assert(sw.contains("_chunk"), s"salted window lost its chunk partitioning:\n$sw")
   }
+
+  test("k-means: centroid tables broadcast onto the corpus, never a shuffle join") {
+    // the seed/centroid joins are unconditioned 8-row broadcasts — the
+    // intended bounded BNLJ shape; a CartesianProduct or a shuffled join
+    // would mean the broadcast was lost
+    val p = planOf("q_cluster_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in kmeans plan:\n$p")
+    assert(p.contains("dot_l"), s"native DotL missing from kmeans plan:\n$p")
+  }
+
+  test("semdedup: pair sweep is an equi-join on the cluster key (AQE-splittable)") {
+    val p = planOf("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"), s"cartesian in semdedup plan:\n$p")
+    // the within-cluster pair join must key on cl so skew-split can act
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no keyed join in semdedup plan:\n$p")
+  }
+
+  test("heavy hitters: candidate recount is a broadcast semi-join, stats agg is 2-phase") {
+    val p = planOf("q_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate set not broadcast-semi-joined:\n$p")
+    val st = planOf("q_agg_stats")
+    assert(st.contains("partial_sum") || st.contains("partial_count"),
+      s"moment aggregation not two-phase:\n$st")
+  }
 }
