@@ -41,6 +41,60 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Array[Long])]()
   }
 
+  /** Embedding components int64-scaled (floor(x·1e7)) + cached norm². */
+  private[graft] def scaledVectors(emb: org.apache.spark.sql.DataFrame) = {
+    import emb.sparkSession.implicits._
+    emb.select($"vec_id",
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))").as("v"))
+      .withColumn("n2", graft.functions.DotL.dot($"v", $"v"))
+  }
+
+  /** Seeded nearest-centroid assignment: broadcast the k seed rows (the k
+    * lowest vec_ids — deterministic, oracle-shareable) onto the corpus,
+    * argmax cosine with a total tie-break. One map-side broadcast NLJ of
+    * N×k rows; callers pick k ∝ corpus size so downstream within-cluster
+    * work stays bounded (SemDeDup's operating regime: cluster size
+    * ~constant as N grows). Returns (vec_id, cl, v, n2). */
+  private[graft] def seedAssign(m: org.apache.spark.sql.DataFrame, k: Int) = {
+    import m.sparkSession.implicits._
+    val seeds = m.filter($"vec_id" < k)
+      .select($"vec_id".as("sid"), $"v".as("sv"), $"n2".as("sn2"))
+    val w1 = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"sid")
+    m.join(broadcast(seeds))
+      .withColumn("sim", graft.functions.DotL.dot($"v", $"sv").cast("double") /
+        (sqrt($"n2".cast("double")) * sqrt($"sn2".cast("double"))))
+      .withColumn("rk", row_number().over(w1)).filter($"rk" === 1)
+      .select($"vec_id", $"sid".as("cl"), $"v", $"n2")
+  }
+
+  /** Within-cluster exact-cosine pair sweep (SemDeDup core): each
+    * cluster's pair block is an independent equi-join partition on the
+    * cluster key — Σ|cluster|² work, AQE-skew-splittable. */
+  private[graft] def semDedupPairs(asg: org.apache.spark.sql.DataFrame, tau: Double) = {
+    import asg.sparkSession.implicits._
+    val a = asg.select($"cl", $"vec_id".as("ia"), $"v".as("va"), $"n2".as("na"))
+    val b = asg.select($"cl", $"vec_id".as("ib"), $"v".as("vb"), $"n2".as("nb"))
+    a.join(b, Seq("cl")).filter($"ia" < $"ib")
+      .withColumn("ps", graft.functions.DotL.dot($"va", $"vb").cast("double") /
+        (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))))
+      .filter($"ps" >= tau)
+      .select($"cl", $"ia", $"ib")
+  }
+
+  /** Per-cluster SemDeDup profile: members, keep-lowest-id drops, kept. */
+  private[graft] def semDedupProfile(asg: org.apache.spark.sql.DataFrame, tau: Double) = {
+    import asg.sparkSession.implicits._
+    val dropped = semDedupPairs(asg, tau)
+      .select($"cl", $"ib").distinct()
+      .groupBy($"cl").agg(count(lit(1)).as("n_dropped"))
+    asg.groupBy($"cl").agg(count(lit(1)).as("n_members"))
+      .join(dropped, Seq("cl"), "left")
+      .select($"cl".as("cluster"), $"n_members",
+        coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+        ($"n_members" - coalesce($"n_dropped", lit(0L))).as("n_kept"))
+      .orderBy("cluster")
+  }
+
   val qs: Map[String, Q] = Map(
     // ANN via hyperplane-LSH buckets + exact rerank: top-3 over the
     // radius-1 multiprobe candidate set per query vector (probe the
@@ -114,7 +168,7 @@ object Similarity {
         .orderBy("q_id", "rk")
     }),
     // L33: k-means partitioning of the embedding corpus — seeded
-    // assignment + one Lloyd refinement. Seeds are the 8 lowest vec_ids
+    // assignment + one Lloyd refinement. Seeds are the k lowest vec_ids
     // (deterministic, oracle-shared); every vector joins the BROADCAST
     // 8-row centroid table (nearest-by-cosine argmax with a total
     // tie-break), new centroids are the floor-averaged int64 component
@@ -127,18 +181,8 @@ object Similarity {
     // per-cluster quality metric is order-free and bit-exact.
     "q_cluster_kmeans" -> ((s, d) => {
       import s.implicits._
-      val m = Tables.embeddings(s, d)
-        .select($"vec_id",
-          expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))").as("v"))
-        .withColumn("n2", graft.functions.DotL.dot($"v", $"v"))
-      val seeds = m.filter($"vec_id" < 8)
-        .select($"vec_id".as("sid"), $"v".as("sv"), $"n2".as("sn2"))
-      val w1 = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"sid")
-      val as1 = m.join(broadcast(seeds))
-        .withColumn("sim", graft.functions.DotL.dot($"v", $"sv").cast("double") /
-          (sqrt($"n2".cast("double")) * sqrt($"sn2".cast("double"))))
-        .withColumn("rk", row_number().over(w1)).filter($"rk" === 1)
-        .select($"vec_id", $"sid".as("cl"), $"v")
+      val m = scaledVectors(Tables.embeddings(s, d))
+      val as1 = seedAssign(m, 8).select($"vec_id", $"cl", $"v")
       val cents = as1.select($"cl", $"v").as[(Long, Array[Long])]
         .groupByKey(_._1).mapValues(_._2).agg(CentroidAgg.toColumn)
         .map { case (cl, (n, sums)) =>
@@ -166,35 +210,8 @@ object Similarity {
     // block is an independent, AQE-splittable equi-join partition on the
     // cluster key). Keep-lowest-id survivor rule; per-cluster dedup
     // profile out.
-    "q_dedup_semantic" -> ((s, d) => {
-      import s.implicits._
-      val m = Tables.embeddings(s, d)
-        .select($"vec_id",
-          expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))").as("v"))
-        .withColumn("n2", graft.functions.DotL.dot($"v", $"v"))
-      val seeds = m.filter($"vec_id" < 8)
-        .select($"vec_id".as("sid"), $"v".as("sv"), $"n2".as("sn2"))
-      val w1 = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"sid")
-      val asg = m.join(broadcast(seeds))
-        .withColumn("sim", graft.functions.DotL.dot($"v", $"sv").cast("double") /
-          (sqrt($"n2".cast("double")) * sqrt($"sn2".cast("double"))))
-        .withColumn("rk", row_number().over(w1)).filter($"rk" === 1)
-        .select($"vec_id", $"sid".as("cl"), $"v", $"n2")
-      val a = asg.select($"cl", $"vec_id".as("ia"), $"v".as("va"), $"n2".as("na"))
-      val b = asg.select($"cl", $"vec_id".as("ib"), $"v".as("vb"), $"n2".as("nb"))
-      val dropped = a.join(b, Seq("cl")).filter($"ia" < $"ib")
-        .withColumn("ps", graft.functions.DotL.dot($"va", $"vb").cast("double") /
-          (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))))
-        .filter($"ps" >= 0.4)
-        .select($"cl", $"ib").distinct()
-        .groupBy($"cl").agg(count(lit(1)).as("n_dropped"))
-      asg.groupBy($"cl").agg(count(lit(1)).as("n_members"))
-        .join(dropped, Seq("cl"), "left")
-        .select($"cl".as("cluster"), $"n_members",
-          coalesce($"n_dropped", lit(0L)).as("n_dropped"),
-          ($"n_members" - coalesce($"n_dropped", lit(0L))).as("n_kept"))
-        .orderBy("cluster")
-    }),
+    "q_dedup_semantic" -> ((s, d) =>
+      semDedupProfile(seedAssign(scaledVectors(Tables.embeddings(s, d)), 8), 0.4)),
     // K2: per-label centroid via the typed Aggregator; first 8 components
     // as (label, comp, mean) rows.
     "q_embed_centroid" -> ((s, d) => {

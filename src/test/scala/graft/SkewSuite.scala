@@ -167,4 +167,31 @@ class SkewSuite extends SparkSpec {
         s"prefix-filtered pairs diverged from brute: got ${got.length}, brute ${brute.length}")
     } finally sh.unpersist()
   }
+
+  test("L34 SemDeDup: scaling K with the corpus keeps pair work ~linear") {
+    import spark.implicits._
+    // The within-cluster sweep is Σ|c|² — quadratic if K is held fixed
+    // while N grows. The operating rule on the §2.L34 row is K ∝ N; this
+    // pins it with data: a 4× corpus (deterministically perturbed copies,
+    // so new points spread rather than stack) at 4× the seeds must cost
+    // at most ~linearly more pair work, while the same corpus at the
+    // ORIGINAL K must cost markedly more.
+    val base = ops.Similarity.scaledVectors(Tables.embeddings(spark, sfDir))
+    val n = base.count()
+    val big = (0 until 4).map { c =>
+      base.select(($"vec_id" + lit(c * n)).as("vec_id"),
+        expr(s"transform(v, (x, i) -> x + cast((vec_id * 7 + i * 13 + $c * 101) % 2000001 - 1000000 as bigint))").as("v"))
+    }.reduce(_ union _)
+      .withColumn("n2", graft.functions.DotL.dot($"v", $"v"))
+    def pairWork(m: org.apache.spark.sql.DataFrame, k: Int): Long =
+      ops.Similarity.seedAssign(m, k).groupBy($"cl").count()
+        .collect().map { r => val c = r.getLong(1); c * (c - 1) / 2 }.sum
+    val w1 = pairWork(base, 8)
+    val wScaled = pairWork(big, 32)
+    val wFixed = pairWork(big, 8)
+    assert(wScaled <= 8 * w1, // 4× data, ≤ 2× per-row slack
+      s"K∝N pair work not ~linear: base=$w1 scaled=$wScaled")
+    assert(wFixed > 2 * wScaled,
+      s"fixed-K should be markedly worse (fixed=$wFixed scaled=$wScaled) — test data no longer exercises the regime")
+  }
 }
