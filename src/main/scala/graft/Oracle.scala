@@ -470,6 +470,26 @@ object Oracle {
                 array_to_string(list_sort(list(DISTINCT source)), ',') AS sources_csv,
                 COUNT(*) AS n
          FROM documents GROUP BY 1 ORDER BY lang""",
+    // fixed-point integer PageRank: the same int64 micro-unit recurrence
+    // as ops/Graph.scala L35 (`//` == Spark's `div` on positive ints)
+    "q_graph_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+         deg AS (SELECT u, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM deg),
+         s1 AS (SELECT e.v AS u,
+                       CAST(150000 + (SUM(r0.r // deg.outdeg) * 85) // 100 AS BIGINT) AS r
+                FROM e JOIN r0 ON e.u = r0.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+         s2 AS (SELECT e.v AS u,
+                       CAST(150000 + (SUM(s1.r // deg.outdeg) * 85) // 100 AS BIGINT) AS r
+                FROM e JOIN s1 ON e.u = s1.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+         s3 AS (SELECT e.v AS u,
+                       CAST(150000 + (SUM(s2.r // deg.outdeg) * 85) // 100 AS BIGINT) AS r
+                FROM e JOIN s2 ON e.u = s2.u JOIN deg ON deg.u = e.u GROUP BY e.v)
+         SELECT (u - 1) // 2 AS supp_key, r AS rank_m
+         FROM s3 WHERE u % 2 = 1
+         ORDER BY rank_m DESC, supp_key LIMIT 20""",
     // heavy hitters: exact recount over the planted-skew key stream —
     // the MG sketch on the Spark side only NOMINATES candidates, so the
     // exact SQL is the full semantics (see ops/Aggregates.scala D16)

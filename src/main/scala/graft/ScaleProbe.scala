@@ -44,7 +44,13 @@ object ScaleProbe {
     "q_math_funcs", "q_project_compute", "q_scan_parquet",
     "q_pipeline_curate2", "q_text_repetition", "q_dedup_ngram",
     "q_text_keyphrases", "q_join_inner", "q_win_range_salted",
-    "q_date_funcs", "q_sim_jaccard", "q_dedup_cluster", "q_dedup_survivors")
+    "q_date_funcs", "q_sim_jaccard", "q_dedup_cluster", "q_dedup_survivors",
+    // round-7 additions: span-hash profiling (hot-span d-not-d² claim)
+    // and the broadcast-centroid assignment (N×K map-side claim).
+    // q_dedup_semantic is intentionally absent: at the exhibit's fixed
+    // K=8 a K× corpus is Σ|c|²-quadratic BY DESIGN; its scale rule is
+    // K ∝ N, pinned with data in SkewSuite instead.
+    "q_dedup_spans", "q_cluster_kmeans")
 
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

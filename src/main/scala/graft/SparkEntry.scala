@@ -56,7 +56,7 @@ object SparkEntry {
     ops.Relational.qs ++ ops.Aggregates.qs ++ ops.Windows.qs ++ ops.Scalars.qs ++
       ops.Streaming.qs ++ ops.TextOps.qs ++ ops.Dedup.qs ++ ops.Similarity.qs ++
       ops.TextAnalysis.qs ++ ops.Multimodal.qs ++ ops.Curate.qs ++ ops.CatalogOps.qs ++
-      ops.Layout.qs ++ ops.Scd.qs
+      ops.Layout.qs ++ ops.Scd.qs ++ ops.Graph.qs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (algorithm-specific sketches,

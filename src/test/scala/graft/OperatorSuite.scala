@@ -497,6 +497,23 @@ class OperatorSuite extends SparkSpec {
     }
   }
 
+  test("L35 integer PageRank: bit-identical under different partitionings") {
+    // the reason the ranks are int64 micro-units: double-summing PageRank
+    // differs in the last ulp between partition layouts and can flip a
+    // top-k boundary; the integer recurrence may not
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    def run() = ops.Graph.qs("q_graph_pagerank")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val a = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = run()
+      assert(a.nonEmpty && a == b, s"rank drift across partitionings:\n$a\nvs\n$b")
+      assert(a.map(_._2).forall(_ >= 150000L), "rank below the damping floor")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("q_scd2: versions tile each user's timeline; one current row per user") {
     import spark.implicits._
     val rows = ops.Scd.qs("q_scd2")(spark, sfDir)

@@ -328,6 +328,13 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       p.contains("BroadcastHashJoin"), s"no keyed join in semdedup plan:\n$p")
   }
 
+  test("pagerank: every round is an equi-join + 2-phase sum, no cartesian") {
+    val p = planOf("q_graph_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank round degenerated to a non-equi join:\n$p")
+    assert(p.contains("partial_sum"), s"contribution sum not map-side combined:\n$p")
+  }
+
   test("heavy hitters: candidate recount is a broadcast semi-join, stats agg is 2-phase") {
     val p = planOf("q_heavy_hitters")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
