@@ -470,6 +470,35 @@ object Oracle {
                 array_to_string(list_sort(list(DISTINCT source)), ',') AS sources_csv,
                 COUNT(*) AS n
          FROM documents GROUP BY 1 ORDER BY lang""",
+    // BPE merge training: 3 chained rounds of the same count→argmax→
+    // sentinel-replace recurrence as ops/TextAnalysis.scala L36
+    "q_text_bpe_train" -> {
+      def round(i: Int) = {
+        val prev = s"d${i - 1}"
+        s"""
+         p$i AS (SELECT syms, freq FROM (
+                   SELECT list_filter(string_split(repr, '|'), x -> x != '') AS syms, freq
+                   FROM $prev) WHERE len(syms) >= 2),
+         c$i AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+                   SELECT freq, unnest([{'a': syms[i], 'b': syms[i+1]} for i in range(1, len(syms))],
+                                       recursive := true)
+                   FROM p$i) GROUP BY 1, 2),
+         b$i AS (SELECT a, b, cnt FROM c$i ORDER BY cnt DESC, a, b LIMIT 1),
+         d$i AS (SELECT w, freq,
+                        replace(replace(replace(replace(repr, pat, rep), pat, rep), pat, rep), pat, rep) AS repr
+                 FROM $prev, (SELECT '|'||a||'|'||b||'|' AS pat, '|'||a||b||'|' AS rep FROM b$i))"""
+      }
+      s"""WITH wt AS (SELECT t AS w, COUNT(*) AS freq FROM (
+               SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+             WHERE len(t) > 0 GROUP BY 1),
+         d0 AS (SELECT w, freq,
+                  '|' || array_to_string([w[i] for i in range(1, len(w)+1)], '|') || '|' AS repr
+                FROM wt),${round(1)},${round(2)},${round(3)}
+         SELECT CAST(1 AS BIGINT) AS merge_rank, a AS pair_a, b AS pair_b, cnt FROM b1
+         UNION ALL SELECT CAST(2 AS BIGINT), a, b, cnt FROM b2
+         UNION ALL SELECT CAST(3 AS BIGINT), a, b, cnt FROM b3
+         ORDER BY merge_rank"""
+    },
     // fixed-point integer PageRank: the same int64 micro-unit recurrence
     // as ops/Graph.scala L35 (`//` == Spark's `div` on positive ints)
     "q_graph_pagerank" ->

@@ -77,6 +77,52 @@ object TextAnalysis {
           expr("aggregate(words, 0L, (acc, t) -> acc + (length(t) + 3) div 4)").as("n_pieces"))
         .orderBy("doc_id")
     }),
+    // L36: BPE merge TRAINING — learn the tokenizer from the corpus, not
+    // just apply one (complements q_text_bpe). Three rounds of the
+    // classic recurrence: count adjacent symbol pairs weighted by word
+    // frequency → argmax with a total tie-break → merge the winning pair
+    // in every word. The 100 TB shape: the corpus contributes ONE
+    // vocab-sized (word, freq) aggregate (Heaps-law-bounded — at scale
+    // you materialize it once); every learning round then runs on that
+    // dict, so merge training costs O(vocab), not O(corpus), per round.
+    // The merge application is sentinel-delimited string replace
+    // ('|a|b|' → '|ab|', 4-fold to fixpoint so consecutive occurrences
+    // merge greedily-leftmost like real BPE) — byte-identical in the
+    // oracle, no lambda-fold divergence risk.
+    "q_text_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      val dict0 = Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+        .withColumn("repr", concat(lit("|"),
+          expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '|')"),
+          lit("|")))
+      def bestOf(dict: org.apache.spark.sql.DataFrame) =
+        dict.select($"freq", expr("""filter(split(repr, '\\|'), x -> x != '')""").as("syms"))
+          .filter(size($"syms") >= 2)
+          .select($"freq", explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+                 i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))""")).as("p"))
+          .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(sum($"freq").as("cnt"))
+          .orderBy($"cnt".desc, $"a", $"b").limit(1)
+      def applyMerge(dict: org.apache.spark.sql.DataFrame,
+                     best: org.apache.spark.sql.DataFrame) =
+        dict.crossJoin(broadcast(best.select(
+            concat(lit("|"), $"a", lit("|"), $"b", lit("|")).as("pat"),
+            concat(lit("|"), $"a", $"b", lit("|")).as("rep"))))
+          .withColumn("repr",
+            expr("replace(replace(replace(replace(repr, pat, rep), pat, rep), pat, rep), pat, rep)"))
+          .select($"w", $"freq", $"repr")
+      var dict = dict0
+      val merges = (1 to 3).map { r =>
+        val best = bestOf(dict)
+        dict = applyMerge(dict, best)
+        best.select(lit(r.toLong).as("merge_rank"),
+          $"a".as("pair_a"), $"b".as("pair_b"), $"cnt")
+      }
+      merges.reduce(_ union _).orderBy("merge_rank")
+    }),
     // Deterministic stratified sampling: hash-bucket the stable key and
     // keep per-language rates (en 50%, others 10%) — the reproducible
     // downsampling a training-data pipeline needs (TABLESAMPLE is

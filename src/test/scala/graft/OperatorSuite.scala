@@ -497,6 +497,21 @@ class OperatorSuite extends SparkSpec {
     }
   }
 
+  test("L36 BPE training: consecutive pairs merge greedily-leftmost across rounds") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_").toString
+    // 'aaaa'×2 ⇒ round 1 learns (a,a) cnt 6 (3 adjacent pairs × freq 2)
+    // and must merge BOTH occurrences per word (the overlap case string
+    // replace gets wrong without the fixpoint), so round 2 sees (aa,aa)
+    Seq((1L, "aaaa bc", "en", "t", 0L), (2L, "aaaa", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = ops.TextAnalysis.qs("q_text_bpe_train")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    assert(got == List((1L, "a", "a", 6L), (2L, "aa", "aa", 2L), (3L, "b", "c", 1L)),
+      s"got $got")
+  }
+
   test("L35 integer PageRank: bit-identical under different partitionings") {
     // the reason the ranks are int64 micro-units: double-summing PageRank
     // differs in the last ulp between partition layouts and can flip a
