@@ -267,6 +267,62 @@ object Catalog {
             SELECT split, lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_id,
                    SUM(n_chars) AS total_chars
             FROM s GROUP BY split, lang"""),
+      "v_agg_stats" -> ("q_agg_stats",
+        s"""WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                              CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+                       FROM $Db.lineitem),
+            m AS (SELECT l_returnflag, COUNT(*) AS n,
+                         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(x*x) AS DOUBLE) AS sxx,
+                         CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y*y) AS DOUBLE) AS syy,
+                         CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(COUNT(*) AS DOUBLE) AS nd
+                  FROM b GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   round(sx / nd, 6) AS mean_x, round(sy / nd, 6) AS mean_y,
+                   round((nd*sxx - sx*sx) / (nd*nd), 6) AS var_pop_x,
+                   round(sqrt((nd*sxx - sx*sx) / (nd*(nd - 1.0))), 6) AS stddev_samp_x,
+                   round((nd*sxy - sx*sy) / (nd*nd), 6) AS covar_pop,
+                   round((nd*sxy - sx*sy)
+                         / (sqrt(nd*sxx - sx*sx) * sqrt(nd*syy - sy*sy)), 6) AS corr_xy
+            FROM m"""),
+      "v_heavy_hitters" -> ("q_heavy_hitters",
+        s"""WITH k AS (SELECT CASE WHEN event_id % 5 = 0
+                         THEN concat('hot_', CAST(event_id % 3 AS STRING))
+                         ELSE concat('cold_', CAST(event_id % 7919 AS STRING)) END AS k
+                       FROM $Db.events),
+            c AS (SELECT k, COUNT(*) AS cnt FROM k GROUP BY k),
+            n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+            SELECT c.k, c.cnt FROM c CROSS JOIN n WHERE c.cnt * 25 > n.total"""),
+      "v_dedup_spans" -> ("q_dedup_spans",
+        s"""WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM $Db.documents),
+            sp AS (SELECT doc_id, explode(CASE WHEN size(toks) >= 8
+                     THEN transform(sequence(8, size(toks)),
+                            i -> concat_ws(' ', slice(toks, i-7, 8)))
+                     ELSE array() END) AS span FROM t),
+            e AS (SELECT doc_id, ${h64("span")} AS h FROM sp),
+            dd AS (SELECT h, CAST(1 AS BIGINT) AS isdup
+                   FROM e GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+            m AS (SELECT e.doc_id, COUNT(*) AS n_spans,
+                         CAST(SUM(coalesce(dd.isdup, 0)) AS BIGINT) AS n_dup_spans
+                  FROM e LEFT JOIN dd ON e.h = dd.h GROUP BY e.doc_id)
+            SELECT doc_id, n_spans, n_dup_spans,
+                   round(CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE), 6) AS dup_frac
+            FROM m WHERE n_dup_spans > 0"""),
+      "v_graph_pagerank" -> ("q_graph_pagerank",
+        s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+                        FROM $Db.orders JOIN $Db.lineitem ON o_orderkey = l_orderkey),
+            e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+            deg AS (SELECT u, COUNT(*) AS outdeg FROM e GROUP BY u),
+            r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM deg),
+            s1 AS (SELECT e.v AS u,
+                          CAST(150000 + (SUM(r0.r div deg.outdeg) * 85) div 100 AS BIGINT) AS r
+                   FROM e JOIN r0 ON e.u = r0.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+            s2 AS (SELECT e.v AS u,
+                          CAST(150000 + (SUM(s1.r div deg.outdeg) * 85) div 100 AS BIGINT) AS r
+                   FROM e JOIN s1 ON e.u = s1.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+            s3 AS (SELECT e.v AS u,
+                          CAST(150000 + (SUM(s2.r div deg.outdeg) * 85) div 100 AS BIGINT) AS r
+                   FROM e JOIN s2 ON e.u = s2.u JOIN deg ON deg.u = e.u GROUP BY e.v)
+            SELECT (u - 1) div 2 AS supp_key, r AS rank_m FROM s3 WHERE u % 2 = 1"""),
       "v_text_langid" -> ("q_text_langid",
         s"""WITH v AS (SELECT doc_id, lang AS labeled, explode(split(text, ' ')) AS t
                   FROM $Db.documents),
