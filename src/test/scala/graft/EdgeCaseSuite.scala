@@ -69,4 +69,34 @@ class EdgeCaseSuite extends SparkSpec {
     assert(fp(2L).isEmpty && fp(3L).isEmpty && fp(4L).isEmpty)
     assert(fp(6L).nonEmpty && fp(7L).nonEmpty)
   }
+
+  test("bpe training: corpus with fewer learnable merges than rounds degrades cleanly") {
+    import spark.implicits._
+    // one word 'ab' ⇒ round 1 learns (a,b), rounds 2-3 find no adjacent
+    // pair anywhere: the query must emit the merges that EXIST (1 row),
+    // not fail or fabricate — and the dict must stay intact through the
+    // no-op rounds (an empty best crossJoined in must not wipe it)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_edge_").toString
+    Seq((1L, "ab ab", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_text_bpe_train")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    assert(got == List((1L, "a", "b", 2L)), s"got $got")
+  }
+
+  test("k-means / semdedup: corpus smaller than the seed count still partitions fully") {
+    import spark.implicits._
+    // 3 vectors, 8 requested seeds: every vector is its own seed/cluster
+    val m = Seq(
+      (0L, Array(10000000L, 0L, 0L)),
+      (1L, Array(0L, 10000000L, 0L)),
+      (2L, Array(0L, 0L, 10000000L)))
+      .toDF("vec_id", "v")
+      .withColumn("n2", graft.functions.DotL.dot(col("v"), col("v")))
+    val asg = ops.Similarity.seedAssign(m, 8)
+      .select(col("vec_id"), col("cl")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg == Map(0L -> 0L, 1L -> 1L, 2L -> 2L), s"got $asg")
+  }
 }
