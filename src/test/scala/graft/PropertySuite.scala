@@ -220,4 +220,47 @@ class PropertySuite extends SparkSpec {
       }
     }
   }
+
+  test("Misra-Gries: frequent-item guarantee survives arbitrary merge trees") {
+    // The mergeable-summaries law D16 leans on (Agarwal et al., PODS'12):
+    // for ANY stream split into ANY partitions reduced independently and
+    // merged in ANY tree order, every item with true frequency > N/(K+1)
+    // appears in the final summary. Checked on skewed random streams
+    // (zipf-ish: small alphabet + planted hot keys) with random splits
+    // and a random binary merge order — the adversarial setting the one
+    // in-Spark test (fixed 8-partition layout) cannot cover.
+    val mg = ops.Aggregates.MisraGriesAgg
+    val streamGen = for {
+      hot <- Gen.chooseNum(1, 3)
+      n <- Gen.chooseNum(200, 1200)
+      items <- Gen.listOfN(n, Gen.frequency(
+        4 -> Gen.chooseNum(0, hot - 1).map(i => s"hot$i"),
+        6 -> Gen.chooseNum(0, 499).map(i => s"cold$i")))
+      cuts <- Gen.listOfN(7, Gen.chooseNum(0, n))
+      shuffleSeed <- Gen.chooseNum(0L, Long.MaxValue)
+    } yield (items, cuts.sorted, shuffleSeed)
+    forAll(streamGen, n = 40) { case (items, cuts, shuffleSeed) =>
+      val n = items.size
+      val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      // split at the random cut points → independent partial reductions
+      val bounds = (0 +: cuts :+ n).distinct.sorted
+      val parts = bounds.zip(bounds.tail).map { case (a, b) =>
+        items.slice(a, b).foldLeft(mg.zero)(mg.reduce)
+      }
+      // merge in a random order (fold over a shuffled partition list is
+      // an arbitrary left-deep merge tree)
+      val order = new scala.util.Random(shuffleSeed).shuffle(parts)
+      val summary = order.foldLeft(mg.zero)(mg.merge)
+      assert(summary.size <= 64, s"summary overflowed: ${summary.size}")
+      val mustHave = exact.collect { case (k, c) if c * 65 > n => k }.toSet
+      val got = summary.keySet
+      assert(mustHave.subsetOf(got),
+        s"guarantee violated: missing ${mustHave -- got} (n=$n, parts=${parts.size})")
+      // and the estimate error bound: est ∈ [true − N/(K+1), true]
+      summary.foreach { case (k, est) =>
+        val t = exact.getOrElse(k, 0L)
+        assert(est <= t && est >= t - n / 65 - 1, s"$k est=$est true=$t n=$n")
+      }
+    }
+  }
 }
