@@ -328,6 +328,21 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       p.contains("BroadcastHashJoin"), s"no keyed join in semdedup plan:\n$p")
   }
 
+  test("round-7 plan shapes: span dedup and BPE training keep scale-safe forms") {
+    // span dedup: hash-keyed distinct-doc count must combine map-side
+    // (partial aggregation), and the dup-mark join is an equi-join
+    val sp = planOf("q_dedup_spans")
+    assert(!sp.contains("CartesianProduct"), s"cartesian in span-dedup plan:\n$sp")
+    assert(sp.contains("partial_count") || sp.contains("partial_sum"),
+      s"span counting not two-phase:\n$sp")
+    // bpe training: each round's 1-row best pair rides a broadcast —
+    // an unbroadcast cartesian against the dict would be the scale bug
+    val bpe = planOf("q_text_bpe_train")
+    assert(!bpe.contains("CartesianProduct"), s"cartesian in bpe-train plan:\n$bpe")
+    assert(bpe.contains("BroadcastNestedLoopJoin") || bpe.contains("BroadcastHashJoin"),
+      s"best-pair scalar not broadcast:\n$bpe")
+  }
+
   test("pagerank: every round is an equi-join + 2-phase sum, no cartesian") {
     val p = planOf("q_graph_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
