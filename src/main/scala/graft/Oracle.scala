@@ -519,6 +519,33 @@ object Oracle {
          SELECT (u - 1) // 2 AS supp_key, r AS rank_m
          FROM s3 WHERE u % 2 = 1
          ORDER BY rank_m DESC, supp_key LIMIT 20""",
+    // degree-oriented triangle counting over the part co-occurrence
+    // graph — same orientation rule and int64 ppm coefficient as
+    // ops/Graph.scala L37
+    "q_graph_triangles" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem),
+         e0 AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+                FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk),
+         deg AS (SELECT x, COUNT(*) AS dg FROM
+                   (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+         e AS (SELECT CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND u < v)
+                           THEN u ELSE v END AS s,
+                      CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND u < v)
+                           THEN v ELSE u END AS t
+               FROM e0 JOIN deg d1 ON d1.x = e0.u JOIN deg d2 ON d2.x = e0.v),
+         tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+                 FROM e e1 JOIN e e2 ON e1.t = e2.s
+                 WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.s = e1.s AND e3.t = e2.t)),
+         pn AS (SELECT x, COUNT(*) AS tri FROM
+                  (SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+                   UNION ALL SELECT c FROM tri) GROUP BY 1)
+         SELECT deg.x AS part_key, CAST(COALESCE(pn.tri, 0) AS BIGINT) AS tri,
+                CAST(deg.dg AS BIGINT) AS degree,
+                CAST(CASE WHEN deg.dg >= 2
+                     THEN (COALESCE(pn.tri, 0) * 2000000) // (deg.dg * (deg.dg - 1))
+                     ELSE 0 END AS BIGINT) AS cc_ppm
+         FROM deg LEFT JOIN pn ON pn.x = deg.x
+         ORDER BY tri DESC, part_key LIMIT 20""",
     // heavy hitters: exact recount over the planted-skew key stream —
     // the MG sketch on the Spark side only NOMINATES candidates, so the
     // exact SQL is the full semantics (see ops/Aggregates.scala D16)
@@ -1382,6 +1409,31 @@ object Oracle {
                 lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_id,
                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
          FROM b GROUP BY 1, 2 ORDER BY split, lang""",
+    // integer-ppm split drift + total variation row (ops/TextAnalysis
+    // L38) — `//` matches Spark's `div` on non-negative int64
+    "q_split_drift" ->
+      s"""WITH t AS (SELECT ${h64Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 800
+                       AS is_tr, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+         c AS (SELECT tok,
+                      CAST(SUM(CASE WHEN is_tr THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+                      CAST(SUM(CASE WHEN is_tr THEN 0 ELSE 1 END) AS BIGINT) AS n_ho
+               FROM t GROUP BY 1),
+         tot AS (SELECT SUM(n_tr) AS t_tr, SUM(n_ho) AS t_ho FROM c),
+         ppm AS (SELECT tok, n_tr, n_ho,
+                        CAST((n_tr * 1000000) // t_tr AS BIGINT) AS p_ppm,
+                        CAST((n_ho * 1000000) // t_ho AS BIGINT) AS q_ppm,
+                        CAST(ABS((n_tr * 1000000) // t_tr
+                                 - (n_ho * 1000000) // t_ho) AS BIGINT) AS drift_ppm
+                 FROM c, tot),
+         top AS (SELECT * FROM ppm ORDER BY drift_ppm DESC, tok LIMIT 20),
+         tv AS (SELECT '__tv_total__' AS tok, CAST(t_tr AS BIGINT) AS n_tr,
+                       CAST(t_ho AS BIGINT) AS n_ho, CAST(0 AS BIGINT) AS p_ppm,
+                       CAST(0 AS BIGINT) AS q_ppm,
+                       CAST((SELECT SUM(drift_ppm) FROM ppm) // 2 AS BIGINT) AS drift_ppm
+                FROM tot)
+         SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM tv)
+         ORDER BY drift_ppm DESC, tok""",
     "q_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
                   ${h64Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard

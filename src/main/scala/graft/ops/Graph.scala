@@ -45,6 +45,83 @@ object Graph {
       .select($"v".as("u"), (lit(150000L) + expr("(c * 85) div 100")).as("r"))
   }
 
+  /** Degree-oriented triangle profile of an undirected graph. `e0`
+    * must hold each undirected edge exactly once as (u, v) with
+    * u ≠ v (either orientation). Returns one row per vertex:
+    * (node, tri, degree, cc_ppm) — triangle count, degree, and
+    * local clustering coefficient 2T·1e6 div d(d−1) in int64 ppm.
+    * See the L37 scaladoc on q_graph_triangles for the scale argument
+    * (oriented out-degree ≤ O(√|E|) ⇒ no hot-key wedge blowup). */
+  def triangleProfile(e0In: DataFrame): DataFrame = {
+    val ss = e0In.sparkSession
+    import ss.implicits._
+    val e0 = e0In
+      .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+      .filter($"u" =!= $"v").distinct()
+    val deg = e0.select($"u".as("x")).union(e0.select($"v".as("x")))
+      .groupBy($"x").agg(count(lit(1)).as("dg"))
+    // orient lower (deg, id) → higher (deg, id); ties break on id so
+    // the orientation is total and acyclic. The oriented list feeds
+    // THREE joins (both wedge arms + the closing semi-join); pin it
+    // once in Tungsten format (cf. the pagerank/CC fixpoint pins) so
+    // the upstream self-join lineage runs once, not three times.
+    val (e, _) = org.apache.spark.sql.graftshim.GraftShim.pinInternal(
+      e0
+        .join(deg.select($"x".as("u"), $"dg".as("du")), Seq("u"))
+        .join(deg.select($"x".as("v"), $"dg".as("dv")), Seq("v"))
+        .select(
+          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"),
+            struct($"u".as("s"), $"v".as("t")))
+            .otherwise(struct($"v".as("s"), $"u".as("t"))).as("e"))
+        .select($"e.s".as("s"), $"e.t".as("t")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SHUFFLE_HASH on the edge arms: the wedge stream is Σ d⁺² rows —
+    // the big side — while each edge-list partition is small; hashing
+    // the edge build side skips the sort-merge sort of the wedge
+    // stream (still hash-partitioned and AQE-splittable, no broadcast
+    // assumption on |E|)
+    val wedges = e.as("e1").join(e.as("e2").hint("shuffle_hash"), $"e1.t" === $"e2.s")
+      .select($"e1.s".as("a"), $"e1.t".as("b"), $"e2.t".as("c"))
+    // Filter-before-shuffle: in a sparse graph almost no wedge closes
+    // (sf0.1: 1.9M of 49M), yet the naive plan shuffles the ENTIRE
+    // wedge stream to the closing join. A bloom filter over
+    // xxhash64(s,t) of the edge list, probed map-side by the codegen'd
+    // BloomFilterMightContain kernel, drops non-closing wedges before
+    // they ever hit the wire — the same edge-side filter Spark's own
+    // runtime row-level filtering injects for selective joins, built
+    // here explicitly because the edge side has no selective predicate
+    // for the optimizer to latch onto. False positives are fine: the
+    // exact LEFT SEMI join after the filter is the correctness
+    // backstop. At crawl-scale |E| the single-literal bloom gives way
+    // to the same mergeable sketch built distributed
+    // (bloom_filter_agg) and broadcast — the shape is unchanged.
+    val nEdges = e.count()
+    val bloom = e.select(xxhash64($"s", $"t").as("k"))
+      .stat.bloomFilter("k", math.max(nEdges, 1L), 0.01)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.GraftShim.{column, expression}
+    val mightClose = column(BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      expression(xxhash64($"a", $"c"))))
+    val tri = wedges.filter(mightClose).join(
+      e.select($"s".as("a"), $"t".as("c")).hint("shuffle_hash"),
+      Seq("a", "c"), "left_semi")
+    val perNode = tri
+      .select(explode(array($"a", $"b", $"c")).as("x"))
+      .groupBy($"x").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("x"), "left")
+      .select($"x".as("node"), coalesce($"tri", lit(0L)).as("tri"),
+        $"dg".as("degree"))
+      .withColumn("cc_ppm",
+        when($"degree" >= 2, expr("(tri * 2000000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+  }
+
   val qs: Map[String, Q] = Map(
     // L35: supplier centrality in the customer↔supplier order graph.
     // Undirected edges (both directions materialized) so the bipartite
@@ -74,6 +151,38 @@ object Graph {
       r3.filter($"u" % 2 === 1)
         .select(expr("(u - 1) div 2").as("supp_key"), $"r".as("rank_m"))
         .orderBy($"rank_m".desc, $"supp_key")
+        .limit(20)
+    }),
+    // L37: triangle counting / clustering coefficient over the part
+    // co-occurrence graph (parts sharing an order — the market-basket
+    // projection of the bipartite order graph; parts are chosen over
+    // suppliers because the part domain grows with SF, so the
+    // projection stays SPARSE: the 1000-supplier projection at sf0.1 is
+    // near-complete and its ~n³/6 genuine triangles are an exhibit of
+    // the graph, not the algorithm). Naive triangle
+    // enumeration joins the full edge list on arbitrary endpoints and a
+    // hub vertex of degree d contributes d² wedges on ONE shuffle key —
+    // the same quadratic hot-key failure as shared-shingle Jaccard. The
+    // standard fix (Chiba–Nishizeki; Latapy's compact-forward; Suri &
+    // Vassilvitskii's MR variant) is DEGREE ORIENTATION: orient every
+    // edge from its lower-(degree, id) endpoint to the higher one, which
+    // makes the oriented out-degree of EVERY vertex O(√|E|), so wedge
+    // generation Σ d⁺(v)² is bounded and no single join key explodes.
+    // Each triangle then materializes exactly once (its two lowest-order
+    // corners form the wedge apex edge pair) and is confirmed by one
+    // LEFT SEMI equi-join against the oriented edge list — three
+    // shuffle-partitioned hash joins, zero cartesian, AQE-splittable.
+    // Per-part triangle count + local clustering coefficient in ppm
+    // (2T·1e6 div d(d−1)) — all int64, bit-identical to the oracle.
+    "q_graph_triangles" -> ((s, d) => {
+      import s.implicits._
+      val ls = Tables.lineitem(s, d)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("sk")).distinct()
+      val e0 = ls.as("a").join(ls.as("b"), $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
+        .select($"a.sk".as("u"), $"b.sk".as("v")).distinct()
+      triangleProfile(e0)
+        .select($"node".as("part_key"), $"tri", $"degree", $"cc_ppm")
+        .orderBy($"tri".desc, $"part_key")
         .limit(20)
     })
   )

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables, U}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,6 +15,35 @@ import org.apache.spark.sql.functions._
   * final ORDER BY, so each op is flat O(corpus) at 100 TB.
   */
 object TextAnalysis {
+
+  /** Integer-ppm distribution drift between the train and holdout arms
+    * of a split. `toks` has one row per token occurrence with columns
+    * (is_tr: Boolean, tok: String). Returns the top-20 tokens by
+    * |p−q| drift plus a '__tv_total__' row carrying the total
+    * variation distance Σ|p−q| div 2 — the scalar drift gate. All
+    * arithmetic is exact int64 (count·1e6 div total), so the gate is
+    * bit-reproducible across runs, partitionings, and engines. See the
+    * L38 scaladoc on q_split_drift. */
+  def splitDrift(toks: DataFrame): DataFrame = {
+    val ss = toks.sparkSession
+    import ss.implicits._
+    val counts = toks.groupBy($"tok").agg(
+      sum(when($"is_tr", 1L).otherwise(0L)).as("n_tr"),
+      sum(when(!$"is_tr", 1L).otherwise(0L)).as("n_ho"))
+    val tot = counts.agg(sum($"n_tr").as("t_tr"), sum($"n_ho").as("t_ho"))
+    val ppm = counts.crossJoin(broadcast(tot))
+      .select($"tok", $"n_tr", $"n_ho",
+        expr("(n_tr * 1000000) div t_tr").as("p_ppm"),
+        expr("(n_ho * 1000000) div t_ho").as("q_ppm"))
+      .withColumn("drift_ppm", abs($"p_ppm" - $"q_ppm"))
+    val top = ppm.orderBy($"drift_ppm".desc, $"tok").limit(20)
+    val tv = ppm.agg(sum($"drift_ppm").as("s"))
+      .crossJoin(broadcast(tot))
+      .select(lit("__tv_total__").as("tok"), $"t_tr".as("n_tr"),
+        $"t_ho".as("n_ho"), lit(0L).as("p_ppm"), lit(0L).as("q_ppm"),
+        expr("s div 2").as("drift_ppm"))
+    top.unionAll(tv).orderBy($"drift_ppm".desc, $"tok")
+  }
 
   /** Candidate languages, alphabetical; a token "votes" for language
     * h64(token) % 5 — a deterministic stand-in for a real char-n-gram
@@ -309,6 +339,26 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_id"),
           sum($"n_chars").as("total_chars"))
         .orderBy("split", "lang")
+    }),
+    // Split-drift monitor (L38): after the hash split, a training
+    // pipeline must verify the holdout actually resembles train — a
+    // skewed split silently corrupts every eval. Per-token unigram
+    // distributions of train vs holdout are compared in integer ppm
+    // (count·1e6 div total — exact `div`, never a float ratio), the
+    // per-token drift is |p−q|, and total variation distance is
+    // Σ|p−q| div 2 (the '__tv_total__' row) — the scalar drift gate.
+    // Everything is int64 arithmetic over exact counts, so the gate is
+    // bit-reproducible across runs, partitionings, and engines — a
+    // flapping drift alarm is worse than none. Shape: one explode →
+    // partial-aggregable conditional counts (one row per distinct
+    // token, Heaps-bounded), totals ride a 1-row broadcast; flat
+    // O(corpus) at 100 TB.
+    "q_split_drift" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .withColumn("b", U.h64(concat(lit("split:"), $"doc_id")) % 1000)
+        .select(($"b" < 800).as("is_tr"), explode(split($"text", " ")).as("tok"))
+      splitDrift(toks)
     }),
     // Sequence packing (context-window packing for training batches):
     // docs are laid end-to-end into fixed 64-token context windows, the

@@ -323,6 +323,53 @@ object Catalog {
                           CAST(150000 + (SUM(s2.r div deg.outdeg) * 85) div 100 AS BIGINT) AS r
                    FROM e JOIN s2 ON e.u = s2.u JOIN deg ON deg.u = e.u GROUP BY e.v)
             SELECT (u - 1) div 2 AS supp_key, r AS rank_m FROM s3 WHERE u % 2 = 1"""),
+      "v_graph_triangles" -> ("q_graph_triangles",
+        s"""WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk
+                        FROM $Db.lineitem),
+            e0 AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+                   FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk),
+            deg AS (SELECT x, COUNT(*) AS dg FROM
+                      (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY x),
+            e AS (SELECT CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND u < v)
+                              THEN u ELSE v END AS s,
+                         CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND u < v)
+                              THEN v ELSE u END AS t
+                  FROM e0 JOIN deg d1 ON d1.x = e0.u JOIN deg d2 ON d2.x = e0.v),
+            tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+                    FROM e e1 JOIN e e2 ON e1.t = e2.s
+                    WHERE EXISTS (SELECT 1 FROM e e3
+                                  WHERE e3.s = e1.s AND e3.t = e2.t)),
+            pn AS (SELECT x, COUNT(*) AS tri FROM
+                     (SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri) GROUP BY x)
+            SELECT part_key, tri, degree,
+                   CASE WHEN degree >= 2 THEN (tri * 2000000) div (degree * (degree - 1))
+                        ELSE CAST(0 AS BIGINT) END AS cc_ppm
+            FROM (SELECT deg.x AS part_key, CAST(coalesce(pn.tri, 0) AS BIGINT) AS tri,
+                         deg.dg AS degree
+                  FROM deg LEFT JOIN pn ON pn.x = deg.x)
+            ORDER BY tri DESC, part_key LIMIT 20"""),
+      "v_split_drift" -> ("q_split_drift",
+        s"""WITH t AS (SELECT ${h64("concat('split:', CAST(doc_id AS STRING))")} % 1000
+                         < 800 AS is_tr, explode(split(text, ' ')) AS tok
+                  FROM $Db.documents),
+            c AS (SELECT tok, SUM(CASE WHEN is_tr THEN 1 ELSE 0 END) AS n_tr,
+                       SUM(CASE WHEN is_tr THEN 0 ELSE 1 END) AS n_ho
+                  FROM t GROUP BY tok),
+            tot AS (SELECT SUM(n_tr) AS t_tr, SUM(n_ho) AS t_ho FROM c),
+            ppm AS (SELECT tok, n_tr, n_ho,
+                           (n_tr * 1000000) div t_tr AS p_ppm,
+                           (n_ho * 1000000) div t_ho AS q_ppm,
+                           abs((n_tr * 1000000) div t_tr
+                               - (n_ho * 1000000) div t_ho) AS drift_ppm
+                    FROM c CROSS JOIN tot),
+            top AS (SELECT * FROM ppm ORDER BY drift_ppm DESC, tok LIMIT 20),
+            tv AS (SELECT '__tv_total__' AS tok, t_tr AS n_tr, t_ho AS n_ho,
+                          CAST(0 AS BIGINT) AS p_ppm, CAST(0 AS BIGINT) AS q_ppm,
+                          (SELECT SUM(drift_ppm) FROM ppm) div 2 AS drift_ppm
+                   FROM tot)
+            SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM tv)
+            ORDER BY drift_ppm DESC, tok"""),
       "v_text_langid" -> ("q_text_langid",
         s"""WITH v AS (SELECT doc_id, lang AS labeled, explode(split(text, ' ')) AS t
                   FROM $Db.documents),

@@ -546,4 +546,42 @@ class OperatorSuite extends SparkSpec {
       .filter($"nxt".isNotNull && !($"valid_to" <=> $"nxt")).count()
     assert(broken == 0, s"$broken non-chaining validity intervals")
   }
+
+  test("L37 triangleProfile: exact counts on K4 ∪ triangle ∪ path, robust to dup/reversed edges") {
+    import spark.implicits._
+    // K4 on {1..4}: 4 triangles, every vertex in 3, degree 3, cc = 1.0;
+    // isolated triangle {10,11,12}: each in 1, degree 2, cc = 1.0;
+    // path 20-21-22: no triangles, cc = 0. Edges arrive messy — some
+    // reversed, one duplicated — canonicalization must absorb that.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (3L, 2L), (2L, 4L), (3L, 4L),
+      (3L, 4L), (10L, 11L), (12L, 11L), (10L, 12L),
+      (20L, 21L), (22L, 21L)).toDF("u", "v")
+    val got = ops.Graph.triangleProfile(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = Map(
+      1L -> ((3L, 3L, 1000000L)), 2L -> ((3L, 3L, 1000000L)),
+      3L -> ((3L, 3L, 1000000L)), 4L -> ((3L, 3L, 1000000L)),
+      10L -> ((1L, 2L, 1000000L)), 11L -> ((1L, 2L, 1000000L)),
+      12L -> ((1L, 2L, 1000000L)),
+      20L -> ((0L, 1L, 0L)), 21L -> ((0L, 2L, 0L)), 22L -> ((0L, 1L, 0L)))
+    assert(got == want, s"triangle profile mismatch: $got")
+  }
+
+  test("L38 splitDrift: proportional splits drift 0; disjoint vocabularies hit TV = 1e6") {
+    import spark.implicits._
+    // train {a×8, b×4} vs holdout {a×2, b×1}: identical unigram
+    // distributions → every per-token drift and the TV row are 0
+    val prop = (Seq.fill(8)("a") ++ Seq.fill(4)("b")).map((true, _)) ++
+      (Seq.fill(2)("a") ++ Seq.fill(1)("b")).map((false, _))
+    val d0 = ops.TextAnalysis.splitDrift(prop.toDF("is_tr", "tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(d0.values.forall(_ == 0L), s"proportional split drifted: $d0")
+    assert(d0.contains("__tv_total__"))
+    // fully disjoint vocabularies: each token drifts 1e6, TV = (1e6+1e6)/2
+    val disj = Seq((true, "only_train"), (false, "only_holdout"))
+    val d1 = ops.TextAnalysis.splitDrift(disj.toDF("is_tr", "tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(d1 == Map("only_train" -> 1000000L, "only_holdout" -> 1000000L,
+      "__tv_total__" -> 1000000L), s"disjoint drift wrong: $d1")
+  }
 }

@@ -343,6 +343,18 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       s"best-pair scalar not broadcast:\n$bpe")
   }
 
+  test("triangles + split drift: equi-joins only; scalar totals ride broadcasts") {
+    // degree-oriented triangle counting: wedge join and the closing
+    // semi-join are equi-joins — any cartesian means orientation broke
+    val tp = planOf("q_graph_triangles")
+    assert(!tp.contains("CartesianProduct"), s"cartesian in triangle plan:\n$tp")
+    assert(!tp.contains("BroadcastNestedLoopJoin"), s"BNLJ in triangle plan:\n$tp")
+    // split drift: the only non-equi join allowed is the broadcast of
+    // the 1-row totals aggregate
+    val dp = planOf("q_split_drift")
+    assert(!dp.contains("CartesianProduct"), s"cartesian in drift plan:\n$dp")
+  }
+
   test("pagerank: every round is an equi-join + 2-phase sum, no cartesian") {
     val p = planOf("q_graph_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
