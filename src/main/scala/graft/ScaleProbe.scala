@@ -50,7 +50,11 @@ object ScaleProbe {
     // q_dedup_semantic is intentionally absent: at the exhibit's fixed
     // K=8 a K× corpus is Σ|c|²-quadratic BY DESIGN; its scale rule is
     // K ∝ N, pinned with data in SkewSuite instead.
-    "q_dedup_spans", "q_cluster_kmeans")
+    "q_dedup_spans", "q_cluster_kmeans",
+    // degree-oriented triangles (wedge stream is the structural risk;
+    // key-offset copies are disjoint subgraphs so truth scales exactly
+    // K×) and the drift monitor (explode-heavy token shuffle)
+    "q_graph_triangles", "q_split_drift")
 
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

@@ -349,6 +349,10 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     val tp = planOf("q_graph_triangles")
     assert(!tp.contains("CartesianProduct"), s"cartesian in triangle plan:\n$tp")
     assert(!tp.contains("BroadcastNestedLoopJoin"), s"BNLJ in triangle plan:\n$tp")
+    // the wedge stream must pass the map-side bloom prefilter BEFORE
+    // the closing shuffle — dropping it silently re-shuffles the full
+    // Σ d⁺² wedge stream
+    assert(tp.contains("might_contain"), s"bloom prefilter missing from triangle plan:\n$tp")
     // split drift: the only non-equi join allowed is the broadcast of
     // the 1-row totals aggregate
     val dp = planOf("q_split_drift")

@@ -19,7 +19,8 @@ class ScaleProbeSuite extends SparkSpec {
   // the suite stays fast; the main's probe list is wider
   private val suiteQueries = Seq(
     "q_sim_jaccard", "q_dedup_ngram", "q_pipeline_curate2",
-    "q_join_inner", "q_math_funcs", "q_dedup_spans", "q_cluster_kmeans")
+    "q_join_inner", "q_math_funcs", "q_dedup_spans", "q_cluster_kmeans",
+    "q_graph_triangles", "q_split_drift")
 
   test("10x corpus: deterministic, key-consistent, cross-copy-dissimilar") {
     import spark.implicits._
