@@ -1355,6 +1355,17 @@ object Oracle {
          SELECT prio_tag, COUNT(*) AS n, MIN(o_orderkey) AS first_key
          FROM f JOIN d ON f.prio IS NOT DISTINCT FROM d.prio
          GROUP BY prio_tag ORDER BY prio_tag""",
+    // C13 salted join: the salting is semantically invisible, so the
+    // oracle is the PLAIN cohort join (ops/Relational.scala saltedJoin)
+    "q_join_salted" ->
+      """WITH f AS (SELECT event_id, event_type,
+                           CASE WHEN user_id % 7 = 0 THEN 0 ELSE user_id END AS uk
+                    FROM events),
+              d AS (SELECT uk, COUNT(*) AS n_cohort FROM f GROUP BY 1)
+         SELECT f.event_type, COUNT(*) AS n,
+                CAST(SUM(d.n_cohort) AS BIGINT) AS cohort_weight
+         FROM f JOIN d USING (uk)
+         GROUP BY 1 ORDER BY event_type""",
     "q_agg_listagg" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
                 string_agg(n_name, ',' ORDER BY n_name) AS nations

@@ -13,6 +13,35 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** C13: salted repartition equi-join — the skew hardening for a
+    * fact ⋈ dim join where BOTH sides are too large to broadcast and a
+    * few whale keys dominate the fact. A plain shuffle join lands every
+    * row of a hot key in ONE task; AQE's skew-join split repairs that
+    * for sort-merge partitions it can subdivide, but not when the join
+    * feeds a stateful/streaming stage or the skew re-appears after a
+    * partial aggregate upstream — the salted form is the portable fix.
+    * Mechanics: the fact side gets `_salt = pmod(saltOf, n)` from a
+    * per-row deterministic column (any unique id — NOT the join key, or
+    * every copy of the hot key lands on one salt), the dim side is
+    * replicated n× (dim rows are unique per key, so replication is n·|dim|
+    * — bounded, and each (key, salt) cell holds exactly one dim row), and
+    * the join runs on (key, salt): the hot key's rows now spread across n
+    * shuffle partitions. Join output is row-identical to the unsalted
+    * join. The `merge` hint pins the shuffle plan the helper exists to
+    * fix — at the scale this matters the dim side is far over any
+    * broadcast threshold, and letting the local-test dim broadcast would
+    * silently turn the exhibit into a BHJ (SkewSuite asserts the hot
+    * key's output really spans ≥ n/2 partitions). */
+  def saltedJoin(fact: org.apache.spark.sql.DataFrame,
+                 dim: org.apache.spark.sql.DataFrame, key: String,
+                 saltOf: org.apache.spark.sql.Column, nSalt: Int): org.apache.spark.sql.DataFrame = {
+    val salted = fact.withColumn("_salt",
+      pmod(U.h64(saltOf.cast("string")), lit(nSalt.toLong)))
+    val rep = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(nSalt.toLong - 1L))))
+    salted.join(rep.hint("merge"), Seq(key, "_salt")).drop("_salt")
+  }
+
   val qs: Map[String, Q] = Map(
     // ----- §2.A scans -------------------------------------------------
     // A2: full vectorized parquet scan, projected columns only (pruned scan).
@@ -374,6 +403,27 @@ object Relational {
         .groupBy($"prio_tag")
         .agg(count(lit(1)).as("n"), min($"o_orderkey").as("first_key"))
         .orderBy("prio_tag")
+    }),
+    // C13: the salted join exhibit — cohort enrichment over a planted
+    // whale key. The fact collapses every 7th user onto cohort key 0
+    // (~14% of all events on ONE key — the test tables are uniform, so
+    // the skew is planted in-query, spliced identically in the oracle);
+    // the dim is the per-cohort profile aggregated from the fact itself
+    // (at crawl scale: a billion-row user-profile table — never
+    // broadcastable). The salted mechanics are semantically invisible —
+    // the oracle is the PLAIN join — while SkewSuite pins the physical
+    // effect (hot key spread across ≥ nSalt/2 partitions, row-identical
+    // output).
+    "q_join_salted" -> ((s, d) => {
+      import s.implicits._
+      val f = Tables.events(s, d)
+        .select($"event_id", $"event_type",
+          when($"user_id" % 7 === 0, 0L).otherwise($"user_id").as("uk"))
+      val dim = f.groupBy($"uk").agg(count(lit(1)).as("n_cohort"))
+      Relational.saltedJoin(f, dim, "uk", $"event_id", 8)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"n_cohort").as("cohort_weight"))
+        .orderBy("event_type")
     }),
     // Correlated EXISTS — Catalyst decorrelates it (RewritePredicateSubquery)
     // into a LeftSemi whose join condition carries BOTH the correlation key

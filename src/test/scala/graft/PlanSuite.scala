@@ -82,6 +82,16 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       "theta join fell back to the O(n*m) nested loop")
   }
 
+  test("salted join: stays a shuffle join on (key, salt) — never broadcast, never cartesian") {
+    val p = planOf("q_join_salted")
+    // the merge hint must hold: letting the local-test dim broadcast
+    // would silently turn the skew exhibit into a BHJ (the regime the
+    // helper targets has a dim side no cluster could broadcast)
+    assert(p.contains("SortMergeJoin"), s"salted join is not a sort-merge join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in salted join plan:\n$p")
+    assert(p.contains("_salt"), s"salt key missing from the join:\n$p")
+  }
+
   test("minhash signature reduction combines map-side (partial_min before the shuffle)") {
     val p = planOf("q_dedup_minhash")
     assert(p.contains("partial_min"),

@@ -168,6 +168,57 @@ class SkewSuite extends SparkSpec {
     } finally sh.unpersist()
   }
 
+  test("C13 saltedJoin: row-identical to the plain join, whale key fans out across partitions") {
+    import spark.implicits._
+    // 100k-row fact with 50% of rows on ONE key, dim keyed 0..999 — the
+    // both-sides-large regime where broadcast is off the table and a
+    // plain shuffle join serializes the whale into one task
+    val fact = spark.range(100000).select(
+      $"id",
+      when($"id" % 2 === 0, lit(0L)).otherwise($"id" % 1000).as("k"),
+      ($"id" % 1013).as("v"))
+    val dim = spark.range(1000).select($"id".as("k"), ($"id" * 7 + 3).as("w"))
+    val nSalt = 16
+    // AQE would coalesce these tiny post-shuffle partitions into one,
+    // hiding the fan-out the assertion below measures; at real scale the
+    // partitions are nowhere near coalescible
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val savedCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+    val salted = ops.Relational.saltedJoin(fact, dim, "k", $"id", nSalt)
+    // same merge hint as the helper so the comparison is shuffle-join vs
+    // shuffle-join (an auto-broadcast plain join would never shuffle at
+    // this size, which isn't the regime the helper targets)
+    val plain = fact.join(dim.hint("merge"), "k")
+    // row-identical output: order-free checksum over every column
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.select(U.h64(concat_ws("|", $"id", $"k", $"v", $"w")).as("hh"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(hh)").as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(sig(salted) == sig(plain),
+      "salted join output differs from the plain join")
+    // physical effect: the whale key's joined rows must span many output
+    // partitions (the plain shuffle join pins them all to one task)
+    val spread = salted.filter($"k" === 0L)
+      .select(spark_partition_id().as("p")).distinct().count()
+    // the fan-out ceiling is min(nSalt, shuffle partitions) — the test
+    // session runs with few shuffle partitions, a cluster has hundreds
+    val ceiling = math.min(nSalt,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    assert(spread > ceiling / 2,
+      s"whale key landed in only $spread of $ceiling reachable partitions (nSalt=$nSalt)")
+    val plainSpread = plain.filter($"k" === 0L)
+      .select(spark_partition_id().as("p")).distinct().count()
+    assert(plainSpread <= 2,
+      s"test no longer exercises the regime: plain join already spreads the whale ($plainSpread partitions)")
+    } finally savedCoalesce match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+  }
+
   test("L34 SemDeDup: scaling K with the corpus keeps pair work ~linear") {
     import spark.implicits._
     // The within-cluster sweep is Σ|c|² — quadratic if K is held fixed
