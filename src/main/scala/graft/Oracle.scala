@@ -23,6 +23,34 @@ object Oracle {
     s"""list_reduce(list_transform(string_split(substring(md5($e), 1, 15), ''),
         c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1), (a, b) -> a*16 + b)"""
 
+  /** One BPE learning round (count pairs → argmax → sentinel replace),
+    * chained d0 → d3 — shared by the q_text_bpe_train / _encode oracles
+    * (same recurrence as ops/TextAnalysis.scala bpeTrain). */
+  private def bpeRoundSql(i: Int): String = {
+    val prev = s"d${i - 1}"
+    s"""
+     p$i AS (SELECT syms, freq FROM (
+               SELECT list_filter(string_split(repr, '|'), x -> x != '') AS syms, freq
+               FROM $prev) WHERE len(syms) >= 2),
+     c$i AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+               SELECT freq, unnest([{'a': syms[i], 'b': syms[i+1]} for i in range(1, len(syms))],
+                                   recursive := true)
+               FROM p$i) GROUP BY 1, 2),
+     b$i AS (SELECT a, b, cnt FROM c$i ORDER BY cnt DESC, a, b LIMIT 1),
+     d$i AS (SELECT w, freq,
+                    replace(replace(replace(replace(repr, pat, rep), pat, rep), pat, rep), pat, rep) AS repr
+             FROM $prev, (SELECT '|'||a||'|'||b||'|' AS pat, '|'||a||b||'|' AS rep FROM b$i))"""
+  }
+
+  /** Seed word-dict CTEs (wt, d0) + 3 learning rounds → final dict d3. */
+  private val bpeCtes =
+    s"""wt AS (SELECT t AS w, COUNT(*) AS freq FROM (
+           SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         WHERE len(t) > 0 GROUP BY 1),
+     d0 AS (SELECT w, freq,
+              '|' || array_to_string([w[i] for i in range(1, len(w)+1)], '|') || '|' AS repr
+            FROM wt),${bpeRoundSql(1)},${bpeRoundSql(2)},${bpeRoundSql(3)}"""
+
   /** Word-3-gram shingle CTEs shared by the dedup oracles. */
   private val shingleCtes =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -472,33 +500,27 @@ object Oracle {
          FROM documents GROUP BY 1 ORDER BY lang""",
     // BPE merge training: 3 chained rounds of the same count→argmax→
     // sentinel-replace recurrence as ops/TextAnalysis.scala L36
-    "q_text_bpe_train" -> {
-      def round(i: Int) = {
-        val prev = s"d${i - 1}"
-        s"""
-         p$i AS (SELECT syms, freq FROM (
-                   SELECT list_filter(string_split(repr, '|'), x -> x != '') AS syms, freq
-                   FROM $prev) WHERE len(syms) >= 2),
-         c$i AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-                   SELECT freq, unnest([{'a': syms[i], 'b': syms[i+1]} for i in range(1, len(syms))],
-                                       recursive := true)
-                   FROM p$i) GROUP BY 1, 2),
-         b$i AS (SELECT a, b, cnt FROM c$i ORDER BY cnt DESC, a, b LIMIT 1),
-         d$i AS (SELECT w, freq,
-                        replace(replace(replace(replace(repr, pat, rep), pat, rep), pat, rep), pat, rep) AS repr
-                 FROM $prev, (SELECT '|'||a||'|'||b||'|' AS pat, '|'||a||b||'|' AS rep FROM b$i))"""
-      }
-      s"""WITH wt AS (SELECT t AS w, COUNT(*) AS freq FROM (
-               SELECT unnest(string_split(text, ' ')) AS t FROM documents)
-             WHERE len(t) > 0 GROUP BY 1),
-         d0 AS (SELECT w, freq,
-                  '|' || array_to_string([w[i] for i in range(1, len(w)+1)], '|') || '|' AS repr
-                FROM wt),${round(1)},${round(2)},${round(3)}
+    "q_text_bpe_train" ->
+      s"""WITH $bpeCtes
          SELECT CAST(1 AS BIGINT) AS merge_rank, a AS pair_a, b AS pair_b, cnt FROM b1
          UNION ALL SELECT CAST(2 AS BIGINT), a, b, cnt FROM b2
          UNION ALL SELECT CAST(3 AS BIGINT), a, b, cnt FROM b3
-         ORDER BY merge_rank"""
-    },
+         ORDER BY merge_rank""",
+    // L39 BPE encoding: final dict d3 → per-word piece counts → per-doc
+    // sums (same helpers as ops/TextAnalysis.scala q_text_bpe_encode)
+    "q_text_bpe_encode" ->
+      s"""WITH $bpeCtes,
+         dict AS (SELECT w,
+                         CAST(len(list_filter(string_split(repr, '|'), x -> x != '')) AS BIGINT) AS np
+                  FROM d3),
+         tok AS (SELECT doc_id, t AS w FROM (
+                   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+                 WHERE len(t) > 0),
+         enc AS (SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(np) AS BIGINT) AS n_pieces
+                 FROM tok JOIN dict USING (w) GROUP BY 1)
+         SELECT doc_id, n_words, n_pieces,
+                (n_pieces * 1000000) // n_words AS ppw_ppm
+         FROM enc ORDER BY doc_id""",
     // fixed-point integer PageRank: the same int64 micro-unit recurrence
     // as ops/Graph.scala L35 (`//` == Spark's `div` on positive ints)
     "q_graph_pagerank" ->
@@ -1055,6 +1077,36 @@ object Oracle {
                 round(CAST(CAST(SUM(sim_i) AS BIGINT) AS DOUBLE)
                       / (1000000.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS mean_sim
          FROM f GROUP BY 1 ORDER BY cluster""",
+    // cluster keyword labeling: seeded assignment (same CTE as SemDeDup)
+    // + integer-ppm token lift (see ops/Similarity.scala L41)
+    "q_cluster_terms" ->
+      """WITH n AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+               FROM embeddings),
+         m AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM n),
+         seeds AS (SELECT vec_id AS sid, v AS sv, n2 AS sn2 FROM m WHERE vec_id < 8),
+         a1 AS (SELECT vec_id, sid,
+                       CAST(list_sum(list_transform(v, (x, i) -> x * sv[i])) AS DOUBLE)
+                         / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(sn2 AS DOUBLE))) AS sim
+                FROM m, seeds),
+         asg AS (SELECT vec_id, sid AS cl FROM (
+                   SELECT vec_id, sid,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, sid) AS rk
+                   FROM a1) t WHERE rk = 1),
+         t AS (SELECT asg.cl, unnest(string_split(d.text, ' ')) AS tok
+               FROM documents d JOIN asg ON d.doc_id = asg.vec_id),
+         ct AS (SELECT cl, tok, COUNT(*) AS tf_c FROM t GROUP BY 1, 2),
+         cc AS (SELECT cl, CAST(SUM(tf_c) AS BIGINT) AS tot_c FROM ct GROUP BY 1),
+         gt AS (SELECT tok, CAST(SUM(tf_c) AS BIGINT) AS tf_g FROM ct GROUP BY 1),
+         gg AS (SELECT CAST(SUM(tf_g) AS BIGINT) AS tot_g FROM gt),
+         sc AS (SELECT ct.cl, ct.tok, ct.tf_c,
+                       (ct.tf_c * 1000000) // cc.tot_c - (gt.tf_g * 1000000) // gg.tot_g AS lift_ppm
+                FROM ct JOIN cc USING (cl) JOIN gt USING (tok) CROSS JOIN gg),
+         r AS (SELECT cl, tok, tf_c, lift_ppm,
+                      ROW_NUMBER() OVER (PARTITION BY cl ORDER BY lift_ppm DESC, tok) AS rk
+               FROM sc)
+         SELECT cl AS cluster, CAST(rk AS BIGINT) AS rk, tok, lift_ppm, tf_c
+         FROM r WHERE rk <= 3 ORDER BY cluster, rk""",
     // SemDeDup: within-cluster exact cosine dedup (see ops/Similarity.scala L34)
     "q_dedup_semantic" ->
       """WITH n AS (SELECT vec_id,
@@ -1485,6 +1537,37 @@ object Oracle {
                 CAST(CASE WHEN domain IN ('src1.example.com', 'src3.example.com')
                           THEN 1 ELSE 0 END AS BIGINT) AS blocked
          FROM u GROUP BY domain ORDER BY domain""",
+    // L40 naive-Bayes quality classifier: same split, same heuristic
+    // labels, same smoothed integer log-odds (ops/TextAnalysis.scala)
+    "q_quality_classify" ->
+      s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks,
+                      (len(toks) >= 40 AND
+                       floor(CAST(len(list_distinct(toks)) AS DOUBLE) * 1000000 / len(toks)) >= 350000) AS label_pos,
+                      (${h64Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000) < 800 AS is_tr
+               FROM d0),
+         tok AS (SELECT doc_id, label_pos, is_tr, unnest(toks) AS tok FROM d),
+         cnt AS (SELECT tok,
+                        CAST(SUM(CASE WHEN label_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                        CAST(SUM(CASE WHEN label_pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+                 FROM tok WHERE is_tr GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c_pos) AS BIGINT) AS t_pos,
+                        CAST(SUM(c_neg) AS BIGINT) AS t_neg,
+                        CAST(COUNT(*) AS BIGINT) AS vocab
+                 FROM cnt),
+         wts AS (SELECT tok,
+                        CAST(FLOOR(ln(CAST((c_pos + 1) * (t_neg + vocab) AS DOUBLE)
+                                      / ((c_neg + 1) * (t_pos + vocab))) * 1000000 + 0.000001) AS BIGINT) AS w
+                 FROM cnt CROSS JOIN tot),
+         sc AS (SELECT t.doc_id, t.label_pos, COUNT(*) AS n_toks,
+                       CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS score_micros
+                FROM tok t LEFT JOIN wts w USING (tok)
+                GROUP BY 1, 2)
+         SELECT doc_id, n_toks, score_micros,
+                CASE WHEN score_micros > 0 THEN 'pos' ELSE 'neg' END AS pred,
+                CASE WHEN label_pos THEN 'pos' ELSE 'neg' END AS label,
+                CAST(CASE WHEN (score_micros > 0) = label_pos THEN 1 ELSE 0 END AS BIGINT) AS correct
+         FROM sc ORDER BY doc_id""",
     "q_text_perplexity" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                   FROM documents),

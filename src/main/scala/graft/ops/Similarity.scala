@@ -202,6 +202,42 @@ object Similarity {
             .as("mean_sim"))
         .orderBy("cluster")
     }),
+    // L41: cluster keyword labeling — the "what IS this cluster" step
+    // after k-means partitions the corpus (the BERTopic/c-TF-IDF shape:
+    // describe each embedding cluster by its most over-represented
+    // tokens). Assignment reuses the seeded nearest-centroid partition
+    // (same CTE as SemDeDup, oracle-shared); each assigned doc's tokens
+    // aggregate to (cluster, token) counts, and a token's salience is
+    // its integer-ppm LIFT — in-cluster rate minus corpus rate
+    // (tf_c·1e6 div tot_c − tf_g·1e6 div tot_g) — which stays
+    // meaningful when the vocabulary is shared across clusters (pure
+    // c-TF-IDF's ln(K/df) term collapses to 0 when every token is in
+    // every cluster). All exact int64; top-3 per cluster with a total
+    // tie-break. Scale shape: one corpus token explode → two
+    // partial-aggregable group-bys (cluster×vocab and vocab rows, both
+    // Heaps-bounded), totals ride broadcasts — flat O(corpus), and the
+    // doc↔vector join is an equi-join on the id (only the embedded
+    // sample of the corpus carries vectors, the realistic regime).
+    "q_cluster_terms" -> ((s, d) => {
+      import s.implicits._
+      val asg = seedAssign(scaledVectors(Tables.embeddings(s, d)), 8)
+        .select($"vec_id", $"cl")
+      val toks = Tables.documents(s, d)
+        .join(asg, $"doc_id" === $"vec_id")
+        .select($"cl", explode(split($"text", " ")).as("tok"))
+      val cTok = toks.groupBy($"cl", $"tok").agg(count(lit(1)).as("tf_c"))
+      val cTot = cTok.groupBy($"cl").agg(sum($"tf_c").as("tot_c"))
+      val gTok = cTok.groupBy($"tok").agg(sum($"tf_c").as("tf_g"))
+      val gTot = gTok.agg(sum($"tf_g").as("tot_g"))
+      val w = Window.partitionBy($"cl").orderBy($"lift_ppm".desc, $"tok")
+      cTok.join(cTot, "cl").join(gTok, "tok").crossJoin(broadcast(gTot))
+        .withColumn("lift_ppm",
+          expr("tf_c * 1000000 div tot_c - tf_g * 1000000 div tot_g"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"cl".as("cluster"), $"rk", $"tok", $"lift_ppm", $"tf_c")
+        .orderBy("cluster", "rk")
+    }),
     // L34: SemDeDup (Abbas et al. 2023) — semantic dedup scoped BY the
     // k-means partition: exact pairwise cosine runs only WITHIN a
     // cluster, so the quadratic term is Σ|cluster|², never N² — at corpus

@@ -50,6 +50,51 @@ object TextAnalysis {
     * profile table (which would be a broadcast dim joined the same way). */
   val langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
 
+  /** The corpus word dictionary that seeds BPE: one Heaps-law-bounded
+    * (word, freq, sentinel-repr) aggregate — the ONLY corpus-sized pass
+    * in tokenizer training (see q_text_bpe_train). */
+  private[graft] def bpeDict0(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .withColumn("repr", concat(lit("|"),
+        expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '|')"),
+        lit("|")))
+  }
+
+  /** `rounds` BPE learning rounds over the word dict: count adjacent
+    * symbol pairs (freq-weighted) → argmax (total tie-break) → merge the
+    * winning pair everywhere (sentinel replace, 4-fold to fixpoint ⇒
+    * greedy-leftmost). Returns (dict after all merges, per-round winner
+    * rows) so training (L36) and encoding (L39) share one recurrence. */
+  private[graft] def bpeTrain(dict0: DataFrame, rounds: Int): (DataFrame, Seq[DataFrame]) = {
+    import dict0.sparkSession.implicits._
+    def bestOf(dict: DataFrame) =
+      dict.select($"freq", expr("""filter(split(repr, '\\|'), x -> x != '')""").as("syms"))
+        .filter(size($"syms") >= 2)
+        .select($"freq", explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+               i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))""")).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"a", $"b").limit(1)
+    def applyMerge(dict: DataFrame, best: DataFrame) =
+      dict.crossJoin(broadcast(best.select(
+          concat(lit("|"), $"a", lit("|"), $"b", lit("|")).as("pat"),
+          concat(lit("|"), $"a", $"b", lit("|")).as("rep"))))
+        .withColumn("repr",
+          expr("replace(replace(replace(replace(repr, pat, rep), pat, rep), pat, rep), pat, rep)"))
+        .select($"w", $"freq", $"repr")
+    var dict = dict0
+    val merges = (1 to rounds).map { r =>
+      val best = bestOf(dict)
+      dict = applyMerge(dict, best)
+      best.select(lit(r.toLong).as("merge_rank"),
+        $"a".as("pair_a"), $"b".as("pair_b"), $"cnt")
+    }
+    (dict, merges)
+  }
+
   val qs: Map[String, Q] = Map(
     // Language-ID: argmax of per-language token votes (ties → first lang
     // alphabetically). Shape matches a real n-gram-profile classifier:
@@ -120,38 +165,86 @@ object TextAnalysis {
     // merge greedily-leftmost like real BPE) — byte-identical in the
     // oracle, no lambda-fold divergence risk.
     "q_text_bpe_train" -> ((s, d) => {
-      import s.implicits._
-      val dict0 = Tables.documents(s, d)
-        .select(explode(split($"text", " ")).as("w"))
-        .filter(length($"w") > 0)
-        .groupBy($"w").agg(count(lit(1)).as("freq"))
-        .withColumn("repr", concat(lit("|"),
-          expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '|')"),
-          lit("|")))
-      def bestOf(dict: org.apache.spark.sql.DataFrame) =
-        dict.select($"freq", expr("""filter(split(repr, '\\|'), x -> x != '')""").as("syms"))
-          .filter(size($"syms") >= 2)
-          .select($"freq", explode(expr(
-            """transform(sequence(1, size(syms) - 1),
-                 i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))""")).as("p"))
-          .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(sum($"freq").as("cnt"))
-          .orderBy($"cnt".desc, $"a", $"b").limit(1)
-      def applyMerge(dict: org.apache.spark.sql.DataFrame,
-                     best: org.apache.spark.sql.DataFrame) =
-        dict.crossJoin(broadcast(best.select(
-            concat(lit("|"), $"a", lit("|"), $"b", lit("|")).as("pat"),
-            concat(lit("|"), $"a", $"b", lit("|")).as("rep"))))
-          .withColumn("repr",
-            expr("replace(replace(replace(replace(repr, pat, rep), pat, rep), pat, rep), pat, rep)"))
-          .select($"w", $"freq", $"repr")
-      var dict = dict0
-      val merges = (1 to 3).map { r =>
-        val best = bestOf(dict)
-        dict = applyMerge(dict, best)
-        best.select(lit(r.toLong).as("merge_rank"),
-          $"a".as("pair_a"), $"b".as("pair_b"), $"cnt")
-      }
+      val (_, merges) = bpeTrain(bpeDict0(Tables.documents(s, d)), 3)
       merges.reduce(_ union _).orderBy("merge_rank")
+    }),
+    // L39: BPE ENCODING — apply the learned merges to tokenize the
+    // corpus (closing the loop train → encode → pack: L36 learns the
+    // merges, this op turns documents into piece counts, L30 packs the
+    // result into context windows). The merged dictionary maps each
+    // word to its post-merge piece count; documents encode by joining
+    // their word stream against that Heaps-bounded table (broadcast at
+    // real scale — the same "vocab ≪ corpus" asymmetry every tokenizer
+    // service exploits), then one partial-aggregable per-doc sum.
+    // pieces-per-word ppm is the compression diagnostic (exact int64
+    // div) a tokenizer team tracks when it retrains. Flat O(corpus):
+    // the 3 learning rounds run on the vocab only, the corpus is
+    // touched by exactly one explode + one map-side join + one agg.
+    "q_text_bpe_encode" -> ((s, d) => {
+      import s.implicits._
+      val (dictF, _) = bpeTrain(bpeDict0(Tables.documents(s, d)), 3)
+      val pieces = dictF.select($"w",
+        size(expr("""filter(split(repr, '\\|'), x -> x != '')""")).cast("long").as("np"))
+      Tables.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .join(broadcast(pieces), "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"), sum($"np").as("n_pieces"))
+        .select($"doc_id", $"n_words", $"n_pieces",
+          expr("n_pieces * 1000000 div n_words").as("ppw_ppm"))
+        .orderBy("doc_id")
+    }),
+    // L40: model-based quality classifier (the CCNet/fastText shape:
+    // train a cheap token classifier to imitate an expensive quality
+    // signal, then apply it corpus-wide — the model-based filtering
+    // step in RefinedWeb/CCNet-style pipelines). Supervision comes from
+    // the engine's own quality heuristic ('high' bucket of
+    // q_text_quality = positive class); the model is multinomial naive
+    // Bayes over tokens, fit on the TRAIN arm of the hash split only
+    // (the 20% holdout sees weights it never influenced). Per-token
+    // log-odds with Laplace smoothing are floored to int64 micros —
+    // ln() evaluates once per distinct vocab entry on an exact
+    // int64-ratio argument (both engines divide the same exact
+    // products, so libm agreement is per-value; the +1e-6 before floor
+    // absorbs a last-ulp flip at an exact boundary, as in
+    // q_text_perplexity) — so document scores are exact int64 SUMS of
+    // those micros: order-free, bit-identical across partitionings and
+    // engines. Verdict = sign of the summed score. Scale shape: class
+    // counts are ONE vocab-sized partial-aggregable pass, totals ride a
+    // 1-row broadcast, and scoring is a map-side join of the token
+    // stream against the Heaps-bounded weight table (broadcast at real
+    // scale) — flat O(corpus), the reason fastText-style filters run
+    // over 100 TB crawls at all.
+    "q_quality_classify" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", split($"text", " "))
+        .withColumn("n_toks", size($"toks").cast("long"))
+        .withColumn("label_pos", $"n_toks" >= 40 &&
+          floor(size(array_distinct($"toks")).cast("double") * 1000000 / $"n_toks") >= 350000)
+        .withColumn("is_tr", U.h64(concat(lit("split:"), $"doc_id")) % 1000 < 800)
+      val tok = docs.select($"doc_id", $"label_pos", $"is_tr", explode($"toks").as("tok"))
+      val counts = tok.filter($"is_tr")
+        .groupBy($"tok")
+        .agg(sum(when($"label_pos", 1L).otherwise(0L)).as("c_pos"),
+          sum(when(!$"label_pos", 1L).otherwise(0L)).as("c_neg"))
+      val tot = counts.agg(sum($"c_pos").as("t_pos"), sum($"c_neg").as("t_neg"),
+        count(lit(1)).as("vocab"))
+      val wts = counts.crossJoin(broadcast(tot))
+        .select($"tok", floor(log(
+          (($"c_pos" + 1) * ($"t_neg" + $"vocab")).cast("double") /
+          (($"c_neg" + 1) * ($"t_pos" + $"vocab")).cast("double")) * 1000000 + 0.000001)
+          .cast("long").as("w_micros"))
+      tok.join(wts, Seq("tok"), "left")
+        .groupBy($"doc_id", $"label_pos")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(coalesce($"w_micros", lit(0L))).as("score_micros"))
+        .select($"doc_id", $"n_toks", $"score_micros",
+          when($"score_micros" > 0, "pos").otherwise("neg").as("pred"),
+          when($"label_pos", "pos").otherwise("neg").as("label"),
+          (($"score_micros" > 0) === $"label_pos").cast("int").cast("long").as("correct"))
+        .orderBy("doc_id")
     }),
     // Deterministic stratified sampling: hash-bucket the stable key and
     // keep per-language rates (en 50%, others 10%) — the reproducible

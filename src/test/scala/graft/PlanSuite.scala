@@ -353,6 +353,28 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       s"best-pair scalar not broadcast:\n$bpe")
   }
 
+  test("session-5 plan shapes: bpe encode, quality classifier, cluster terms stay scale-safe") {
+    // bpe encode: the corpus word stream joins the vocab-sized piece
+    // table via BROADCAST — a shuffled join here would shuffle the
+    // whole corpus to meet a dictionary that fits in one executor
+    val enc = planOf("q_text_bpe_encode")
+    assert(!enc.contains("CartesianProduct"), s"cartesian in bpe-encode plan:\n$enc")
+    assert(enc.contains("BroadcastHashJoin"),
+      s"piece dictionary not broadcast onto the word stream:\n$enc")
+    // quality classifier: class counts must combine map-side and the
+    // scalar totals row must ride a broadcast, never a shuffle
+    val qc = planOf("q_quality_classify")
+    assert(!qc.contains("CartesianProduct"), s"cartesian in classifier plan:\n$qc")
+    assert(qc.contains("partial_sum") || qc.contains("partial_count"),
+      s"classifier counts not two-phase:\n$qc")
+    // cluster terms: the 8-seed centroid table broadcasts onto the
+    // corpus; the global-total scalar rides a broadcast too
+    val ct = planOf("q_cluster_terms")
+    assert(!ct.contains("CartesianProduct"), s"cartesian in cluster-terms plan:\n$ct")
+    assert(ct.contains("BroadcastHashJoin") || ct.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast in cluster-terms plan:\n$ct")
+  }
+
   test("triangles + split drift: equi-joins only; scalar totals ride broadcasts") {
     // degree-oriented triangle counting: wedge join and the closing
     // semi-join are equi-joins — any cartesian means orientation broke
