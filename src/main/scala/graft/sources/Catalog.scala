@@ -370,6 +370,89 @@ object Catalog {
                    FROM tot)
             SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM tv)
             ORDER BY drift_ppm DESC, tok"""),
+      "v_quality_classify" -> ("q_quality_classify",
+        s"""WITH d0 AS (SELECT doc_id, split(text, ' ') AS toks FROM $Db.documents),
+            d AS (SELECT doc_id, toks, CAST(size(toks) AS BIGINT) AS n_toks,
+                    (size(toks) >= 40 AND
+                     floor(CAST(size(array_distinct(toks)) AS DOUBLE) * 1000000 / size(toks)) >= 350000) AS label_pos,
+                    ${h64("concat('split:', CAST(doc_id AS STRING))")} % 1000 < 800 AS is_tr
+                  FROM d0),
+            tok AS (SELECT doc_id, label_pos, is_tr, explode(toks) AS tok FROM d),
+            cnt AS (SELECT tok, SUM(CASE WHEN label_pos THEN 1 ELSE 0 END) AS c_pos,
+                           SUM(CASE WHEN label_pos THEN 0 ELSE 1 END) AS c_neg
+                    FROM tok WHERE is_tr GROUP BY tok),
+            tot AS (SELECT SUM(c_pos) AS t_pos, SUM(c_neg) AS t_neg, COUNT(*) AS vocab FROM cnt),
+            wts AS (SELECT tok, CAST(floor(ln(CAST((c_pos + 1) * (t_neg + vocab) AS DOUBLE)
+                              / ((c_neg + 1) * (t_pos + vocab))) * 1000000 + 0.000001) AS BIGINT) AS w
+                    FROM cnt CROSS JOIN tot),
+            sc AS (SELECT t.doc_id, t.label_pos, COUNT(*) AS n_toks,
+                          SUM(coalesce(w.w, 0L)) AS score_micros
+                   FROM tok t LEFT JOIN wts w ON t.tok = w.tok
+                   GROUP BY t.doc_id, t.label_pos)
+            SELECT doc_id, n_toks, score_micros,
+                   CASE WHEN score_micros > 0 THEN 'pos' ELSE 'neg' END AS pred,
+                   CASE WHEN label_pos THEN 'pos' ELSE 'neg' END AS label,
+                   CAST(CAST((score_micros > 0) = label_pos AS INT) AS BIGINT) AS correct
+            FROM sc"""),
+      "v_text_bpe_encode" -> ("q_text_bpe_encode", {
+        def round(i: Int) = {
+          val prev = s"d${i - 1}"
+          s"""
+            p$i AS (SELECT freq, filter(split(repr, '\\\\|'), x -> x != '') AS syms FROM $prev),
+            c$i AS (SELECT p.a AS a, p.b AS b, SUM(freq) AS cnt FROM (
+                      SELECT freq, explode(transform(sequence(1, size(syms) - 1),
+                        i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))) AS p
+                      FROM p$i WHERE size(syms) >= 2) GROUP BY p.a, p.b),
+            b$i AS (SELECT a, b, cnt FROM c$i ORDER BY cnt DESC, a, b LIMIT 1),
+            d$i AS (SELECT w, freq,
+                      replace(replace(replace(replace(repr, pat, rep), pat, rep), pat, rep), pat, rep) AS repr
+                    FROM $prev CROSS JOIN (SELECT concat('|', a, '|', b, '|') AS pat,
+                                                  concat('|', a, b, '|') AS rep FROM b$i))"""
+        }
+        s"""WITH wt AS (SELECT tok AS w, COUNT(*) AS freq FROM (
+                 SELECT explode(split(text, ' ')) AS tok FROM $Db.documents)
+               WHERE length(tok) > 0 GROUP BY tok),
+            d0 AS (SELECT w, freq, concat('|',
+                     array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '|'),
+                     '|') AS repr FROM wt),${round(1)},${round(2)},${round(3)},
+            dict AS (SELECT w,
+                       CAST(size(filter(split(repr, '\\\\|'), x -> x != '')) AS BIGINT) AS np
+                     FROM d3),
+            tok AS (SELECT doc_id, tok AS w FROM (
+                      SELECT doc_id, explode(split(text, ' ')) AS tok FROM $Db.documents)
+                    WHERE length(tok) > 0)
+            SELECT doc_id, COUNT(*) AS n_words, SUM(np) AS n_pieces,
+                   (SUM(np) * 1000000) div COUNT(*) AS ppw_ppm
+            FROM tok JOIN dict USING (w) GROUP BY doc_id"""
+      }),
+      "v_cluster_terms" -> ("q_cluster_terms",
+        s"""WITH m0 AS (SELECT vec_id,
+                  transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+                  FROM $Db.embeddings),
+            m AS (SELECT vec_id, v, aggregate(v, 0L, (a, x) -> a + x * x) AS n2 FROM m0),
+            seeds AS (SELECT vec_id AS sid, v AS sv, n2 AS sn2 FROM m WHERE vec_id < 8),
+            a1 AS (SELECT vec_id, sid,
+                     CAST(aggregate(zip_with(v, sv, (x, y) -> x * y), 0L, (a, x) -> a + x) AS DOUBLE)
+                       / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(sn2 AS DOUBLE))) AS sim
+                   FROM m CROSS JOIN seeds),
+            asg AS (SELECT vec_id, sid AS cl FROM (
+                      SELECT vec_id, sid,
+                             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, sid) AS rk
+                      FROM a1) WHERE rk = 1),
+            t AS (SELECT cl, explode(split(text, ' ')) AS tok
+                  FROM $Db.documents d JOIN asg ON d.doc_id = asg.vec_id),
+            ct AS (SELECT cl, tok, COUNT(*) AS tf_c FROM t GROUP BY cl, tok),
+            cc AS (SELECT cl, SUM(tf_c) AS tot_c FROM ct GROUP BY cl),
+            gt AS (SELECT tok, SUM(tf_c) AS tf_g FROM ct GROUP BY tok),
+            gg AS (SELECT SUM(tf_g) AS tot_g FROM gt),
+            sc AS (SELECT ct.cl, ct.tok, ct.tf_c,
+                     (ct.tf_c * 1000000) div cc.tot_c - (gt.tf_g * 1000000) div gg.tot_g AS lift_ppm
+                   FROM ct JOIN cc ON ct.cl = cc.cl JOIN gt ON ct.tok = gt.tok CROSS JOIN gg),
+            r AS (SELECT cl, tok, tf_c, lift_ppm,
+                    ROW_NUMBER() OVER (PARTITION BY cl ORDER BY lift_ppm DESC, tok) AS rk
+                  FROM sc)
+            SELECT cl AS cluster, CAST(rk AS BIGINT) AS rk, tok, lift_ppm, tf_c
+            FROM r WHERE rk <= 3"""),
       "v_text_langid" -> ("q_text_langid",
         s"""WITH v AS (SELECT doc_id, lang AS labeled, explode(split(text, ' ')) AS t
                   FROM $Db.documents),
