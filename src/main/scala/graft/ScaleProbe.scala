@@ -54,7 +54,14 @@ object ScaleProbe {
     // degree-oriented triangles (wedge stream is the structural risk;
     // key-offset copies are disjoint subgraphs so truth scales exactly
     // K×) and the drift monitor (explode-heavy token shuffle)
-    "q_graph_triangles", "q_split_drift")
+    "q_graph_triangles", "q_split_drift",
+    // session-5 additions: the naive-Bayes classifier (token stream ×
+    // vocab-weight join — rotation grows the vocab ×K, weights stay a
+    // broadcast), BPE encoding (corpus explode against the merged
+    // dict), and the salted join (the planted uk=0 whale key absorbs
+    // rows from EVERY copy, so the K× corpus is a direct stress of the
+    // salt fan-out itself)
+    "q_quality_classify", "q_text_bpe_encode", "q_join_salted")
 
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -130,6 +137,13 @@ object ScaleProbe {
     def release(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // broadcast blocks are reclaimed by the ContextCleaner only after
+      // the driver GC collects their references — across 20 queries × 3
+      // runs × 2 scales in one JVM the lazy cleanup falls behind the
+      // allocation rate and a later broadcast build OOMs (observed as a
+      // GCLocker retry failure at the 10× measure); an explicit GC per
+      // released query keeps the cleaner ahead
+      System.gc()
     }
     names.map { n =>
       val fn = SparkEntry.queries(n)

@@ -20,7 +20,7 @@ class ScaleProbeSuite extends SparkSpec {
   private val suiteQueries = Seq(
     "q_sim_jaccard", "q_dedup_ngram", "q_pipeline_curate2",
     "q_join_inner", "q_math_funcs", "q_dedup_spans", "q_cluster_kmeans",
-    "q_graph_triangles", "q_split_drift")
+    "q_graph_triangles", "q_split_drift", "q_quality_classify")
 
   test("10x corpus: deterministic, key-consistent, cross-copy-dissimilar") {
     import spark.implicits._
