@@ -35,11 +35,12 @@ object Relational {
   def saltedJoin(fact: org.apache.spark.sql.DataFrame,
                  dim: org.apache.spark.sql.DataFrame, key: String,
                  saltOf: org.apache.spark.sql.Column, nSalt: Int): org.apache.spark.sql.DataFrame = {
-    val salted = fact.withColumn("_salt",
+    val saltCol = "__graft_salt" // namespaced: must not collide with user columns
+    val salted = fact.withColumn(saltCol,
       pmod(U.h64(saltOf.cast("string")), lit(nSalt.toLong)))
-    val rep = dim.withColumn("_salt",
+    val rep = dim.withColumn(saltCol,
       explode(sequence(lit(0L), lit(nSalt.toLong - 1L))))
-    salted.join(rep.hint("merge"), Seq(key, "_salt")).drop("_salt")
+    salted.join(rep.hint("merge"), Seq(key, saltCol)).drop(saltCol)
   }
 
   val qs: Map[String, Q] = Map(

@@ -567,6 +567,38 @@ class OperatorSuite extends SparkSpec {
     assert(got == want, s"triangle profile mismatch: $got")
   }
 
+  test("L40 classifier: beats the majority class on the fixed corpus, predicts both classes") {
+    import spark.implicits._
+    // deterministic model on deterministic data — these are exact facts
+    // about the corpus, not statistical hopes: if a refactor degrades
+    // the model to the majority-class baseline (e.g. weights all zero
+    // after a join regression), this fails
+    val out = ops.TextAnalysis.qs("q_quality_classify")(spark, sfDir)
+      .select($"pred", $"label", $"correct").collect()
+    val n = out.length.toLong
+    val correct = out.map(_.getLong(2)).sum
+    val majority = out.groupBy(_.getString(1)).values.map(_.length.toLong).max
+    assert(out.map(_.getString(0)).toSet == Set("pos", "neg"),
+      "classifier collapsed to a single predicted class")
+    assert(correct > majority,
+      s"classifier ($correct/$n) no better than majority class ($majority/$n)")
+  }
+
+  test("L39 BPE encode: pieces bounded by words below and char-split above, merges save pieces") {
+    import spark.implicits._
+    val enc = ops.TextAnalysis.qs("q_text_bpe_encode")(spark, sfDir)
+      .select($"doc_id", $"n_words", $"n_pieces").collect()
+    // every word is ≥1 piece; no word exceeds its own character count
+    assert(enc.forall(r => r.getLong(2) >= r.getLong(1)), "a word encoded to <1 piece")
+    val charPieces = Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("w")).filter(length($"w") > 0)
+      .agg(sum(length($"w"))).head().getLong(0)
+    val totPieces = enc.map(_.getLong(2)).sum
+    // 3 learned merges must strictly compress vs the character baseline
+    assert(totPieces < charPieces,
+      s"merges saved nothing: $totPieces pieces vs $charPieces chars")
+  }
+
   test("L38 splitDrift: proportional splits drift 0; disjoint vocabularies hit TV = 1e6") {
     import spark.implicits._
     // train {a×8, b×4} vs holdout {a×2, b×1}: identical unigram
