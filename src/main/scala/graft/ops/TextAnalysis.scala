@@ -85,10 +85,18 @@ object TextAnalysis {
         .withColumn("repr",
           expr("replace(replace(replace(replace(repr, pat, rep), pat, rep), pat, rep), pat, rep)"))
         .select($"w", $"freq", $"repr")
-    var dict = dict0
+    // pin each round's dict: every round reads its predecessor TWICE
+    // (pair argmax + merge application), and without the pin that
+    // re-execution compounds through the rounds all the way down to the
+    // corpus-sized dict0 explode — the one pass that must run exactly
+    // once at 100 TB. The pins are vocab-sized (Heaps-bounded), so the
+    // cache cost is trivial; the harness clears cache between queries.
+    val pin = (df: DataFrame) =>
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dict = pin(dict0)
     val merges = (1 to rounds).map { r =>
       val best = bestOf(dict)
-      dict = applyMerge(dict, best)
+      dict = pin(applyMerge(dict, best))
       best.select(lit(r.toLong).as("merge_rank"),
         $"a".as("pair_a"), $"b".as("pair_b"), $"cnt")
     }
