@@ -233,10 +233,16 @@ object TextAnalysis {
           floor(size(array_distinct($"toks")).cast("double") * 1000000 / $"n_toks") >= 350000)
         .withColumn("is_tr", U.h64(concat(lit("split:"), $"doc_id")) % 1000 < 800)
       val tok = docs.select($"doc_id", $"label_pos", $"is_tr", explode($"toks").as("tok"))
+      // pin the vocab-sized class counts: both the totals row and the
+      // weight table read them, and without the pin each reader re-runs
+      // the corpus explode underneath — the fit pass must touch the
+      // corpus exactly once at 100 TB (the scoring join is the second,
+      // inherent pass)
       val counts = tok.filter($"is_tr")
         .groupBy($"tok")
         .agg(sum(when($"label_pos", 1L).otherwise(0L)).as("c_pos"),
           sum(when(!$"label_pos", 1L).otherwise(0L)).as("c_neg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = counts.agg(sum($"c_pos").as("t_pos"), sum($"c_neg").as("t_neg"),
         count(lit(1)).as("vocab"))
       val wts = counts.crossJoin(broadcast(tot))
