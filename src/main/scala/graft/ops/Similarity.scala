@@ -225,7 +225,12 @@ object Similarity {
       val toks = Tables.documents(s, d)
         .join(asg, $"doc_id" === $"vec_id")
         .select($"cl", explode(split($"text", " ")).as("tok"))
+      // pin the (cluster × vocab)-sized counts: three consumers read them
+      // (cluster totals, corpus totals, and the scoring join) and without
+      // the pin each re-runs the doc⋈assignment explode underneath — the
+      // corpus must be touched exactly once at 100 TB
       val cTok = toks.groupBy($"cl", $"tok").agg(count(lit(1)).as("tf_c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cTot = cTok.groupBy($"cl").agg(sum($"tf_c").as("tot_c"))
       val gTok = cTok.groupBy($"tok").agg(sum($"tf_c").as("tf_g"))
       val gTot = gTok.agg(sum($"tf_g").as("tot_g"))
