@@ -27,9 +27,15 @@ object TextAnalysis {
   def splitDrift(toks: DataFrame): DataFrame = {
     val ss = toks.sparkSession
     import ss.implicits._
+    // pin the vocab-sized counts: the totals row, the ppm projection,
+    // the top-20 sort, and the TV aggregate all read them — without the
+    // pin each consumer re-runs the corpus explode underneath (the
+    // corpus must be touched exactly once; the pin itself is
+    // Heaps-bounded, so caching is trivial at any scale)
     val counts = toks.groupBy($"tok").agg(
       sum(when($"is_tr", 1L).otherwise(0L)).as("n_tr"),
       sum(when(!$"is_tr", 1L).otherwise(0L)).as("n_ho"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = counts.agg(sum($"n_tr").as("t_tr"), sum($"n_ho").as("t_ho"))
     val ppm = counts.crossJoin(broadcast(tot))
       .select($"tok", $"n_tr", $"n_ho",
@@ -555,7 +561,12 @@ object TextAnalysis {
       import s.implicits._
       val tok = Tables.documents(s, d)
         .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      // pin the vocab-sized LM: the totals scalar and the scoring join
+      // both read it — without the pin each re-runs the corpus explode
+      // underneath (vocab-sized cache, Heaps-bounded at any scale; the
+      // scoring join's own corpus pass is the second, inherent one)
       val tf = tok.groupBy($"tok").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = tf.agg(sum($"c").as("total"))
       tok.join(tf, "tok")
         .crossJoin(broadcast(tot))
