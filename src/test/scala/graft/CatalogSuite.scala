@@ -137,10 +137,16 @@ class CatalogSuite extends SparkSpec {
       assert(got == want,
         s"$view diverged from $qKey: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
     }
-    // plan sanity through the view layer: the tfidf corpus-count join
-    // must stay a broadcast, never a cartesian product
-    val plan = fresh.sql("SELECT * FROM graft.v_text_tfidf").queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"),
-      s"v_text_tfidf planned a CartesianProduct:\n$plan")
+    // plan sanity through the view layer: corpus-count joins and 1-row
+    // scalar sides must stay broadcasts, never cartesian products — the
+    // view SQL has no access to the Scala twins' explicit broadcast()
+    // and persist() hints, so these pins catch a planner regression that
+    // would only bite SQL-surface users
+    Seq("v_text_tfidf", "v_quality_classify", "v_text_bpe_encode", "v_cluster_terms")
+      .foreach { v =>
+        val plan = fresh.sql(s"SELECT * FROM graft.$v").queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$v planned a CartesianProduct:\n$plan")
+      }
   }
 }
