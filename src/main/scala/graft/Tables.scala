@@ -22,17 +22,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is nanosecond parquet, which vanilla Spark 4 refuses
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw int64 ns and floor-divide to
-    * a µs timestamp — the same truncation DuckDB applies on
-    * CAST(ts AS TIMESTAMP), so both engines see identical µs instants
-    * (oracle SQL must CAST accordingly; never output raw ts).
-    * `spark.sql.legacy.parquet.nanosAsLong=true` must be pinned at session
-    * build (Verify/Bench/SparkSpec do; SparkEntry.entry guards externally
-    * built sessions) — a loader must not mutate session state. */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** events.ts has shipped in two physical encodings across testdata
+    * generations: nanosecond int64 (which vanilla Spark 4 refuses —
+    * [PARQUET_TYPE_ILLEGAL] — hence the `nanosAsLong` pin in every
+    * session builder) and naive timestamp[us] (which Spark reads as
+    * TIMESTAMP_NTZ). Normalize BOTH to a µs TimestampType so every
+    * downstream operator and the DuckDB oracle (`CAST(ts AS TIMESTAMP)`)
+    * see identical µs instants; sessions pin UTC so the NTZ cast is an
+    * identity on the instant. A loader must not mutate session state. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -76,9 +76,17 @@ object Catalog {
     PathTables.foreach(t => ensure(s"$Db.$t", s"$t.parquet"))
     ensure(s"$Db.events_raw", "events.parquet")
     // persistent view: the normalization travels with the catalog, so a
-    // session that has never seen graft.Tables still reads µs instants
-    val cols = spark.table(s"$Db.events_raw").schema.fieldNames
-      .map(c => if (c == "ts") "timestamp_micros(ts div 1000) AS ts" else s"`$c`")
+    // session that has never seen graft.Tables still reads µs instants.
+    // ts has shipped as ns-int64 or naive timestamp[us] across testdata
+    // generations — emit the matching normalization (see Tables.events).
+    val rawSchema = spark.table(s"$Db.events_raw").schema
+    val tsExpr = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType      => "timestamp_micros(ts div 1000) AS ts"
+      case org.apache.spark.sql.types.TimestampType => "`ts`"
+      case _                                        => "CAST(ts AS TIMESTAMP) AS ts"
+    }
+    val cols = rawSchema.fieldNames
+      .map(c => if (c == "ts") tsExpr else s"`$c`")
     spark.sql(
       s"CREATE OR REPLACE VIEW $Db.events AS SELECT ${cols.mkString(", ")} FROM $Db.events_raw")
     Db
