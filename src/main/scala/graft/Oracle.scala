@@ -603,6 +603,40 @@ object Oracle {
                       / (sqrt(nd*sxx - sx*sx) * sqrt(nd*syy - sy*sy)), 6) AS corr_xy
          FROM m ORDER BY l_returnflag""",
 
+    "q_agg_regression" ->
+      """WITH b AS (SELECT l_returnflag,
+                  CAST(l_quantity AS BIGINT) AS x,
+                  CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+               FROM lineitem),
+         m AS (SELECT l_returnflag, COUNT(*) AS n,
+                      CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(x*x) AS DOUBLE) AS sxx,
+                      CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y*y) AS DOUBLE) AS syy,
+                      CAST(SUM(x*y) AS DOUBLE) AS sxy,
+                      CAST(COUNT(*) AS DOUBLE) AS nd
+               FROM b GROUP BY 1)
+         SELECT l_returnflag, n,
+                round((nd*sxy - sx*sy) / (nd*sxx - sx*sx), 6) AS slope,
+                round((sy - ((nd*sxy - sx*sy) / (nd*sxx - sx*sx)) * sx) / nd, 6) AS intercept,
+                round((nd*sxy - sx*sy) * (nd*sxy - sx*sy)
+                      / ((nd*sxx - sx*sx) * (nd*syy - sy*sy)), 6) AS r2
+         FROM m ORDER BY l_returnflag""",
+
+    "q_agg_entropy" ->
+      """WITH e AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+                           event_type
+                    FROM events),
+         c AS (SELECT day, event_type, COUNT(*) AS c FROM e GROUP BY 1, 2),
+         n AS (SELECT day, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types
+               FROM c GROUP BY 1),
+         t AS (SELECT c.day, n.n, n.n_types,
+                      CAST(FLOOR((CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+                        * ln(CAST(n.n AS DOUBLE) / CAST(c.c AS DOUBLE))
+                        * 1000000 + 0.000001) AS BIGINT) AS nm
+               FROM c JOIN n USING (day))
+         SELECT day, MAX(n) AS n_events, CAST(MAX(n_types) AS BIGINT) AS n_types,
+                CAST(SUM(nm) AS BIGINT) AS entropy_micro_nats
+         FROM t GROUP BY day ORDER BY day""",
+
     // ----- windows -----
     "q_win_rownum" ->
       """SELECT user_id, event_id,
@@ -815,6 +849,41 @@ object Oracle {
          FROM a JOIN c USING (user_id)
          GROUP BY c.cohort_day, day - cohort_day
          ORDER BY cohort_day, day_offset""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                           CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+                    FROM events),
+         x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM e),
+         f AS (SELECT *, CASE WHEN prev_ts IS NULL
+                    OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+               FROM x),
+         s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+               FROM f)
+         SELECT user_id, session_id,
+                strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                COUNT(*) AS n_events, CAST(SUM(vm) AS BIGINT) AS value_micros
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+    "q_resample_gapfill" ->
+      """WITH ev AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                           CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+                    FROM events),
+         b AS (SELECT user_id, h, CAST(SUM(vm) AS BIGINT) AS vm, COUNT(*) AS n
+               FROM ev GROUP BY 1, 2),
+         g AS (SELECT user_id, unnest(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h
+               FROM b GROUP BY user_id),
+         j AS (SELECT g.user_id, g.h, COALESCE(b.n, 0) AS n,
+                      last_value(b.vm IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vmf
+               FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h)
+         SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+                CAST(n AS BIGINT) AS n, CAST(COALESCE(vmf, 0) AS BIGINT) AS vm_filled
+         FROM j ORDER BY user_id, hour""",
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
          u AS (SELECT DISTINCT user_id FROM e),

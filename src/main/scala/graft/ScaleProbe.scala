@@ -61,7 +61,12 @@ object ScaleProbe {
     // dict), and the salted join (the planted uk=0 whale key absorbs
     // rows from EVERY copy, so the K× corpus is a direct stress of the
     // salt fan-out itself)
-    "q_quality_classify", "q_text_bpe_encode", "q_join_salted")
+    "q_quality_classify", "q_text_bpe_encode", "q_join_salted",
+    // session-6 addition: the grid resample — its generator-side
+    // sequence() amplifies rows by span-hours per user; key-shifted
+    // copies multiply users K×, so the densified grid (and the
+    // per-user fill windows over it) is a direct K× stress
+    "q_resample_gapfill")
 
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

@@ -355,6 +355,67 @@ object Aggregates {
                 - $"sy".cast("double") * $"sy".cast("double"))), 6).as("corr_xy"))
         .orderBy("l_returnflag")
     }),
+    // D15b: per-group OLS trend fit (slope/intercept/R²) from the SAME
+    // exact integer moments as q_agg_stats — the canonical "fit a line
+    // per segment" analytics op (quantity vs price here; tokens-per-doc
+    // vs quality score in a curation pipeline). One partial-aggregable
+    // pass collects (n, Σx, Σx², Σy, Σy², Σxy) as order-free int64 sums;
+    // each statistic is then a FIXED single-rounding IEEE expression over
+    // those exact integers, identical in the DuckDB oracle — so the
+    // result is bit-stable across partitionings and engines, and the
+    // moments are mergeable for incremental refits at 100 TB.
+    "q_agg_regression" -> ((s, d) => {
+      import s.implicits._
+      val m = Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          $"l_quantity".cast("long").as("x"),
+          floor($"l_extendedprice").cast("long").as("y"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
+          sum($"y").as("sy"), sum($"y" * $"y").as("syy"),
+          sum($"x" * $"y").as("sxy"))
+      val nd  = $"n".cast("double")
+      val sx  = $"sx".cast("double");  val sxx = $"sxx".cast("double")
+      val sy  = $"sy".cast("double");  val syy = $"syy".cast("double")
+      val sxy = $"sxy".cast("double")
+      val covN = nd * sxy - sx * sy     // n·cov numerator (exact-int inputs)
+      val varXN = nd * sxx - sx * sx    // n·var_x numerator
+      val varYN = nd * syy - sy * sy
+      val slope = covN / varXN
+      m.select($"l_returnflag", $"n",
+          round(slope, 6).as("slope"),
+          round((sy - slope * sx) / nd, 6).as("intercept"),
+          round(covN * covN / (varXN * varYN), 6).as("r2"))
+        .orderBy("l_returnflag")
+    }),
+    // D17: Shannon entropy of the per-day event-type mix — the
+    // distribution-drift / content-mix monitor a training-data pipeline
+    // runs per ingest batch (a collapsing entropy = one source flooding
+    // the corpus; cf. q_split_drift's pairwise TV distance). Exact
+    // (day, type) counts shuffle map-side-combined; each type's
+    // p·ln(1/p) term is quantized to int64 micro-nats PER ROW (the same
+    // per-row-quantize-then-integer-sum scheme as q_text_perplexity), so
+    // the per-day sum is order-free and bit-identical to the oracle at
+    // any partitioning. Work ∝ days × |event types| after the first
+    // aggregate — flat at 100 TB.
+    "q_agg_entropy" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.events(s, d)
+        .select(U.dayStr($"ts").as("day"), $"event_type")
+        .groupBy($"day", $"event_type").agg(count(lit(1)).as("c"))
+      val n = c.groupBy($"day")
+        .agg(sum($"c").as("n"), count(lit(1)).as("n_types"))
+      c.join(n, Seq("day"))
+        .select($"day", $"n", $"n_types",
+          floor(($"c".cast("double") / $"n".cast("double"))
+            * log($"n".cast("double") / $"c".cast("double"))
+            * 1000000.0 + 0.000001).cast("long").as("nm"))
+        .groupBy($"day")
+        .agg(max($"n").as("n_events"), max($"n_types").as("n_types"),
+          sum($"nm").as("entropy_micro_nats"))
+        .orderBy("day")
+    }),
     // D9: bounded collect-style agg, rendered as a sorted CSV string so the
     // comparison is representation-free (≙ alias lists, reference src/nba.yaml:6-7).
     "q_agg_collect" -> ((s, d) => {

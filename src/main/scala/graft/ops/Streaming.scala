@@ -146,6 +146,34 @@ object Streaming {
           $"day_offset", $"n_users")
         .orderBy("cohort_day", "day_offset")
     }),
+    // I14: time-series resample to a fixed per-key grid + gap fill — the
+    // batch form of "regularize an irregular event stream before
+    // windowed feature extraction". Unlike q_win_fill (which fills nulls
+    // in EXISTING rows), this GENERATES the missing buckets: per-user
+    // hourly buckets are aggregated (map-side-combinable int64 sums),
+    // the (min,max) hour span per user is one tiny aggregate, and
+    // `sequence(lo, hi, 1 hour)` exploded generator-side densifies the
+    // grid without a shuffle beyond the bucket join. Forward fill is a
+    // per-user ordered window (partitioned on the grid key — bounded by
+    // span-hours per user, not corpus size). Empty buckets report n=0
+    // and carry the last observed value (0 before any observation).
+    "q_resample_gapfill" -> ((s, d) => {
+      import s.implicits._
+      val b = Tables.events(s, d)
+        .select($"user_id", date_trunc("hour", $"ts").as("h"),
+          U.micros($"value").cast("long").as("vm"))
+        .groupBy($"user_id", $"h")
+        .agg(sum($"vm").as("vm"), count(lit(1)).as("n"))
+      val grid = b.groupBy($"user_id").agg(min($"h").as("lo"), max($"h").as("hi"))
+        .select($"user_id", explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      val w = Window.partitionBy($"user_id").orderBy($"h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(b, Seq("user_id", "h"), "left")
+        .select($"user_id", $"h", coalesce($"n", lit(0L)).as("n"),
+          coalesce(last($"vm", ignoreNulls = true).over(w), lit(0L)).as("vm_filled"))
+        .select($"user_id", U.tsStr($"h").as("hour"), $"n", $"vm_filled")
+        .orderBy("user_id", "hour")
+    }),
     // I6: stateful per-key processing — the final state a
     // mapGroupsWithState counter would hold per user: event count,
     // value sum, last event type. (The true streaming form is in

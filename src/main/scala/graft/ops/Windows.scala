@@ -176,6 +176,35 @@ object Windows {
         .filter($"rn" <= 3)
         .select($"event_type", $"rn", $"event_id", $"value")
         .orderBy("event_type", "rn")
+    }),
+    // E10: batch sessionization — assign NUMBERED sessions per user by
+    // the 30-minute-gap rule (lag → new-session flag → running sum), the
+    // composite-window idiom behind every clickstream session table.
+    // Distinct from q_stream_session (a session_window AGGREGATE): this
+    // yields a per-session id usable as a join key for downstream
+    // attribution. Both windows share one (user_id, ts) sort — Catalyst
+    // plans a single Exchange+Sort and evaluates lag and the running sum
+    // in consecutive Window operators over it; per-user state, not
+    // corpus-sized (user_id cardinality grows with the corpus, so
+    // partitions stay balanced; a whale user would route through the E9
+    // salted two-pass variants).
+    "q_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("new_s",
+          when($"prev_ts".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum($"new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(U.tsStr(min($"ts")).as("session_start"),
+          U.tsStr(max($"ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(U.micros($"value").cast("long")).as("value_micros"))
+        .orderBy("user_id", "session_id")
     })
   )
 }

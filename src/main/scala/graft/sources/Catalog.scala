@@ -158,6 +158,62 @@ object Catalog {
     val h64 = (e: String) => s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
     val langsArr = "array('de','en','es','fr','zh')"
     Map(
+      "v_agg_regression" -> ("q_agg_regression",
+        s"""WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                  CAST(FLOOR(l_extendedprice) AS BIGINT) AS y FROM $Db.lineitem),
+            m AS (SELECT l_returnflag, COUNT(*) AS n,
+                    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(x*x) AS DOUBLE) AS sxx,
+                    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y*y) AS DOUBLE) AS syy,
+                    CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(COUNT(*) AS DOUBLE) AS nd
+                  FROM b GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+              ROUND((nd*sxy - sx*sy) / (nd*sxx - sx*sx), 6) AS slope,
+              ROUND((sy - ((nd*sxy - sx*sy) / (nd*sxx - sx*sx)) * sx) / nd, 6) AS intercept,
+              ROUND((nd*sxy - sx*sy) * (nd*sxy - sx*sy)
+                    / ((nd*sxx - sx*sx) * (nd*syy - sy*sy)), 6) AS r2
+            FROM m"""),
+      "v_agg_entropy" -> ("q_agg_entropy",
+        s"""WITH c AS (SELECT date_format(ts, 'yyyy-MM-dd') AS day, event_type,
+                    COUNT(*) AS c
+                  FROM $Db.events GROUP BY date_format(ts, 'yyyy-MM-dd'), event_type),
+            n AS (SELECT day, SUM(c) AS n, COUNT(*) AS n_types FROM c GROUP BY day),
+            t AS (SELECT c.day, n.n, n.n_types,
+                    CAST(FLOOR((CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+                      * ln(CAST(n.n AS DOUBLE) / CAST(c.c AS DOUBLE))
+                      * 1000000.0 + 0.000001) AS BIGINT) AS nm
+                  FROM c JOIN n ON c.day = n.day)
+            SELECT day, MAX(n) AS n_events, MAX(n_types) AS n_types,
+                   SUM(nm) AS entropy_micro_nats
+            FROM t GROUP BY day"""),
+      "v_resample_gapfill" -> ("q_resample_gapfill",
+        s"""WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                    CAST(FLOOR(value * 1000000) AS BIGINT) AS vm FROM $Db.events),
+            b AS (SELECT user_id, h, SUM(vm) AS vm, COUNT(*) AS n
+                  FROM ev GROUP BY user_id, h),
+            s AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM b GROUP BY user_id),
+            g AS (SELECT user_id, explode(sequence(lo, hi, interval 1 hour)) AS h FROM s),
+            j AS (SELECT g.user_id, g.h, COALESCE(b.n, CAST(0 AS BIGINT)) AS n,
+                    LAST(b.vm) IGNORE NULLS OVER (PARTITION BY g.user_id ORDER BY g.h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vmf
+                  FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h)
+            SELECT user_id, date_format(h, 'yyyy-MM-dd HH:mm:ss') AS hour, n,
+                   COALESCE(vmf, CAST(0 AS BIGINT)) AS vm_filled
+            FROM j"""),
+      "v_sessionize" -> ("q_sessionize",
+        s"""WITH e AS (SELECT user_id, event_id, ts,
+                    CAST(FLOOR(value * 1000000) AS BIGINT) AS vm FROM $Db.events),
+            x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS prev_ts FROM e),
+            f AS (SELECT *, CASE WHEN prev_ts IS NULL
+                    OR unix_timestamp(ts) - unix_timestamp(prev_ts) > 1800
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_s FROM x),
+            s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f)
+            SELECT user_id, session_id,
+                   date_format(MIN(ts), 'yyyy-MM-dd HH:mm:ss') AS session_start,
+                   date_format(MAX(ts), 'yyyy-MM-dd HH:mm:ss') AS session_end,
+                   COUNT(*) AS n_events, SUM(vm) AS value_micros
+            FROM s GROUP BY user_id, session_id"""),
       "v_text_tokens" -> ("q_text_tokens",
         s"""SELECT lang, tok, COUNT(*) AS n
             FROM (SELECT lang, explode(split(text, ' ')) AS tok FROM $Db.documents)

@@ -479,6 +479,68 @@ class OperatorSuite extends SparkSpec {
     }
   }
 
+  test("D15b OLS regression agrees with Spark's builtin regr_slope/intercept/r2") {
+    import spark.implicits._
+    val got = ops.Aggregates.qs("q_agg_regression")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val ref = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_quantity".cast("long").as("x"),
+        floor($"l_extendedprice").cast("long").as("y"))
+      .groupBy($"l_returnflag")
+      .agg(expr("regr_slope(y, x)").as("sl"), expr("regr_intercept(y, x)").as("ic"),
+        expr("regr_r2(y, x)").as("r2"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    ref.foreach { case (flag, (sl, ic, r2)) =>
+      val (gsl, gic, gr2) = got(flag)
+      assert(math.abs(gsl - sl) <= 1e-4 * math.abs(sl) + 1e-4, s"$flag slope $gsl vs $sl")
+      assert(math.abs(gic - ic) <= 1e-4 * math.abs(ic) + 1e-2, s"$flag intercept $gic vs $ic")
+      assert(gr2 >= 0.0 && gr2 <= 1.0 && math.abs(gr2 - r2) <= 1e-4, s"$flag r2 $gr2 vs $r2")
+    }
+  }
+
+  test("D17 entropy: bounded by ln(n_types); uniform mix is exactly at the bound") {
+    import spark.implicits._
+    val rows = ops.Aggregates.qs("q_agg_entropy")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (types, hMicro) = (r.getLong(2), r.getLong(3))
+      assert(hMicro >= 0L, s"negative entropy: $r")
+      assert(hMicro <= math.ceil(math.log(types.toDouble) * 1e6).toLong + types,
+        s"entropy above ln(n_types): $r")
+    }
+    // planted uniform 4-type day: H must hit ln(4) to micro-nat rounding
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ent_").toString
+    val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    (0 until 40).map(i => (i.toLong, new java.sql.Timestamp(base.getTime + i * 60000L),
+        i.toLong % 5, Seq("a", "b", "c", "d")(i % 4), 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val h = ops.Aggregates.qs("q_agg_entropy")(spark, tmp).collect()
+    assert(h.length == 1 && math.abs(h(0).getLong(3) - 1386294L) <= 4,
+      s"uniform 4-mix entropy != ln(4): ${h.toList}")
+  }
+
+  test("I14 resample: per-user grid is gapless hourly; fills carry last observation") {
+    import spark.implicits._
+    val out = ops.Streaming.qs("q_resample_gapfill")(spark, sfDir)
+      .withColumn("h", to_timestamp($"hour"))
+    // gapless: row count per user == span hours + 1; distinct hours == rows
+    val spans = out.groupBy($"user_id")
+      .agg(count(lit(1)).as("rows"), countDistinct($"h").as("dh"),
+        ((unix_timestamp(max($"h")) - unix_timestamp(min($"h"))) / 3600 + 1).cast("long").as("span"))
+      .collect()
+    spans.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3) && r.getLong(2) == r.getLong(3),
+        s"user ${r.get(0)}: grid not gapless: $r")
+    }
+    // a gap row (n=0) must repeat its predecessor's filled value
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"h")
+    val bad = out.withColumn("prev", lag($"vm_filled", 1).over(w))
+      .filter($"n" === 0L && $"prev".isNotNull && $"vm_filled" =!= $"prev")
+    assert(bad.isEmpty, s"gap rows that invent values: ${bad.take(3).toList}")
+  }
+
   test("D15 exact-moment stats agree with Spark's builtin fp aggregates") {
     import spark.implicits._
     val got = ops.Aggregates.qs("q_agg_stats")(spark, sfDir).collect()

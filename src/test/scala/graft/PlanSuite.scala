@@ -406,4 +406,23 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(st.contains("partial_sum") || st.contains("partial_count"),
       s"moment aggregation not two-phase:\n$st")
   }
+
+  test("sessionize: lag, running sum, and session agg share ONE user_id shuffle") {
+    val p = planOf("q_sessionize")
+    // one hash exchange on user_id feeds both Window operators AND the
+    // (user_id, session_id) aggregate (ClusteredDistribution is
+    // satisfied by the subset partitioning); plus the output-sort range
+    // exchange. Anything more means the composite re-shuffled.
+    val exchanges = "(?i)Exchange (hash|range|single)partitioning".r
+      .findAllIn(p).size
+    assert(exchanges <= 2, s"sessionize re-shuffled between stages:\n$p")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+  }
+
+  test("resample: grid generation is generator-side — no forced rebalance") {
+    val p = planOf("q_resample_gapfill")
+    assert(p.contains("Generate"), s"sequence/explode not generator-side:\n$p")
+    assert(!p.contains("RoundRobinPartitioning"),
+      s"grid explode forced a rebalance:\n$p")
+  }
 }
