@@ -85,6 +85,37 @@ class EdgeCaseSuite extends SparkSpec {
     assert(got == List((1L, "a", "b", 2L)), s"got $got")
   }
 
+  test("sessionize: exactly-1800s gaps stay in-session; strict gaps split; singletons session 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ts(sec: Long) = new java.sql.Timestamp(t0 + sec * 1000L)
+    // user 1: 0s, +1800s (boundary — SAME session), +3601s (strict gap — new)
+    // user 2: single event
+    Seq(
+      (1L, ts(0L), 1L, "click", 1.0, "{}"),
+      (2L, ts(1800L), 1L, "view", 1.0, "{}"),
+      (3L, ts(1800L + 1801L), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(0L), 2L, "signup", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_sessionize")(spark, dir)
+      .select($"user_id", $"session_id", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)), s"got $got")
+  }
+
+  test("resample: a user with one event yields exactly one grid hour, n=1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_grid1_").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 10:42:17"), 9L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_resample_gapfill")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toList
+    assert(got == List((9L, "2024-03-01 10:00:00", 1L, 1500000L)), s"got $got")
+  }
+
   test("k-means / semdedup: corpus smaller than the seed count still partitions fully") {
     import spark.implicits._
     // 3 vectors, 8 requested seeds: every vector is its own seed/cluster
