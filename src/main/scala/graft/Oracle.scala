@@ -849,6 +849,31 @@ object Oracle {
          FROM a JOIN c USING (user_id)
          GROUP BY c.cohort_day, day - cohort_day
          ORDER BY cohort_day, day_offset""",
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                    FROM events),
+         x AS (SELECT event_type AS from_type,
+                      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS to_type
+               FROM e),
+         m AS (SELECT from_type, to_type, COUNT(*) AS n FROM x
+               WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         o AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS outflow FROM m GROUP BY 1)
+         SELECT m.from_type, m.to_type, m.n,
+                CAST(m.n * 1000000 // o.outflow AS BIGINT) AS share_ppm
+         FROM m JOIN o USING (from_type)
+         ORDER BY from_type, to_type""",
+    "q_interval_concurrency" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS lo,
+                           CAST(o_orderdate AS DATE) + 30 AS hi FROM orders),
+         d AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+                 SELECT lo AS day, 1 AS delta FROM o
+                 UNION ALL SELECT hi AS day, -1 AS delta FROM o)
+               GROUP BY day)
+         SELECT strftime(day, '%Y-%m-%d') AS day, delta,
+                CAST(SUM(delta) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+         FROM d ORDER BY day""",
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
                            CAST(FLOOR(value * 1000000) AS BIGINT) AS vm

@@ -146,6 +146,52 @@ object Streaming {
           $"day_offset", $"n_users")
         .orderBy("cohort_day", "day_offset")
     }),
+    // I15: event-transition matrix — per-user next-event bigram counts
+    // plus each transition's share of its source state's outflow (the
+    // Markov chain behind journey/Sankey analytics). One user-partitioned
+    // lag window (the same single-exchange shape as q_sessionize), then a
+    // partial-aggregable (from, to) count; the per-source outflow total
+    // rides a second tiny aggregate joined back on the |types|²-bounded
+    // matrix — never on the event stream. Share in exact ppm (int64 of
+    // count·1e6 div total), so the matrix is engine-identical.
+    "q_transitions" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val m = Tables.events(s, d)
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val out = m.groupBy($"from_type").agg(sum($"n").as("outflow"))
+      m.join(out, Seq("from_type"))
+        .select($"from_type", $"to_type", $"n",
+          expr("n * 1000000L div outflow").as("share_ppm"))
+        .orderBy("from_type", "to_type")
+    }),
+    // I16: interval concurrency via sweep-line delta decomposition — how
+    // many orders are "open" (within 30 days of placement) on each
+    // calendar day. The naive form is a day×interval range join (corpus ×
+    // days rows); the scale form aggregates each interval to a +1 delta
+    // on its start day and a −1 on its end day (partial-aggregable — the
+    // full shuffle carries one row per DAY, not per order), then a
+    // running sum over the day DOMAIN — bounded by the calendar, not the
+    // corpus, so the single-partition cumsum window is O(days) at any
+    // scale. Same decomposition family as q_join_theta's histogram+cumsum.
+    "q_interval_concurrency" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .select(to_date($"o_orderdate").as("lo"),
+          date_add(to_date($"o_orderdate"), 30).as("hi"))
+      val deltas = o.select($"lo".as("day"), lit(1L).as("delta"))
+        .unionAll(o.select($"hi".as("day"), lit(-1L).as("delta")))
+        .groupBy($"day").agg(sum($"delta").as("delta"))
+      val w = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("open_orders", sum($"delta").over(w))
+        .select(date_format($"day", "yyyy-MM-dd").as("day"), $"delta", $"open_orders")
+        .orderBy("day")
+    }),
     // I14: time-series resample to a fixed per-key grid + gap fill — the
     // batch form of "regularize an irregular event stream before
     // windowed feature extraction". Unlike q_win_fill (which fills nulls

@@ -199,6 +199,28 @@ object Catalog {
             SELECT user_id, date_format(h, 'yyyy-MM-dd HH:mm:ss') AS hour, n,
                    COALESCE(vmf, CAST(0 AS BIGINT)) AS vm_filled
             FROM j"""),
+      "v_transitions" -> ("q_transitions",
+        s"""WITH x AS (SELECT event_type AS from_type,
+                    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS to_type
+                  FROM $Db.events),
+            m AS (SELECT from_type, to_type, COUNT(*) AS n FROM x
+                  WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+            o AS (SELECT from_type, SUM(n) AS outflow FROM m GROUP BY from_type)
+            SELECT m.from_type, m.to_type, m.n,
+                   m.n * CAST(1000000 AS BIGINT) div o.outflow AS share_ppm
+            FROM m JOIN o ON m.from_type = o.from_type"""),
+      "v_interval_concurrency" -> ("q_interval_concurrency",
+        s"""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS lo,
+                    date_add(CAST(o_orderdate AS DATE), 30) AS hi FROM $Db.orders),
+            d AS (SELECT day, SUM(delta) AS delta FROM (
+                    SELECT lo AS day, CAST(1 AS BIGINT) AS delta FROM o
+                    UNION ALL SELECT hi AS day, CAST(-1 AS BIGINT) AS delta FROM o)
+                  GROUP BY day)
+            SELECT date_format(day, 'yyyy-MM-dd') AS day, delta,
+                   SUM(delta) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_orders
+            FROM d"""),
       "v_sessionize" -> ("q_sessionize",
         s"""WITH e AS (SELECT user_id, event_id, ts,
                     CAST(FLOOR(value * 1000000) AS BIGINT) AS vm FROM $Db.events),

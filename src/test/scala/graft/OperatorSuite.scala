@@ -541,6 +541,31 @@ class OperatorSuite extends SparkSpec {
     assert(bad.isEmpty, s"gap rows that invent values: ${bad.take(3).toList}")
   }
 
+  test("I15 transitions: shares sum to ~1e6 per source; counts conserve the lag stream") {
+    import spark.implicits._
+    val rows = ops.Streaming.qs("q_transitions")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val shareSum = rs.map(_.getLong(3)).sum
+      // integer div floors each share: total in (1e6 - |fanout|, 1e6]
+      assert(shareSum <= 1000000L && shareSum > 1000000L - rs.length,
+        s"$from: share_ppm sums to $shareSum over ${rs.length} targets")
+    }
+    val total = rows.map(_.getLong(2)).sum
+    val expected = Tables.events(spark, sfDir).count() -
+      Tables.events(spark, sfDir).select($"user_id").distinct().count()
+    assert(total == expected, s"transition count $total != events - users $expected")
+  }
+
+  test("I16 interval concurrency: sweep-line closes at zero and never goes negative") {
+    val rows = ops.Streaming.qs("q_interval_concurrency")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= 0L, s"negative concurrency: $r"))
+    assert(rows.last.getLong(2) == 0L,
+      s"sweep must close at zero: ${rows.last}")
+    assert(rows.map(_.getLong(1)).sum == 0L, "deltas must conserve")
+  }
+
   test("D15 exact-moment stats agree with Spark's builtin fp aggregates") {
     import spark.implicits._
     val got = ops.Aggregates.qs("q_agg_stats")(spark, sfDir).collect()
