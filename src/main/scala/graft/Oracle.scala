@@ -603,6 +603,20 @@ object Oracle {
                       / (sqrt(nd*sxx - sx*sx) * sqrt(nd*syy - sy*sy)), 6) AS corr_xy
          FROM m ORDER BY l_returnflag""",
 
+    "q_agg_mode" ->
+      """WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY n DESC, source) AS rk FROM c)
+         SELECT lang, source AS modal_source, n FROM r WHERE rk = 1 ORDER BY lang""",
+    "q_win_pct_of_total" ->
+      """WITH e AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+                           event_type, CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+                    FROM events),
+         g AS (SELECT day, event_type, CAST(SUM(vm) AS BIGINT) AS vm FROM e GROUP BY 1, 2)
+         SELECT day, event_type, vm,
+                CAST(vm * 1000000 // nullif(CAST(SUM(vm) OVER (PARTITION BY day) AS BIGINT), 0)
+                  AS BIGINT) AS share_ppm
+         FROM g ORDER BY day, event_type""",
     "q_agg_regression" ->
       """WITH b AS (SELECT l_returnflag,
                   CAST(l_quantity AS BIGINT) AS x,

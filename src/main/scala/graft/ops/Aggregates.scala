@@ -416,6 +416,23 @@ object Aggregates {
           sum($"nm").as("entropy_micro_nats"))
         .orderBy("day")
     }),
+    // D18: exact per-group MODE with a DETERMINISTIC tie-break — SQL's
+    // mode() leaves ties implementation-defined (DuckDB picks first-seen,
+    // Spark's mode() picks arbitrarily), which is unusable under a
+    // repeatability contract; the (count desc, value asc) row_number
+    // formulation makes the answer total. Count first (partial-
+    // aggregable), rank the GROUP×VALUE-sized count table — the window
+    // never sees corpus rows.
+    "q_agg_mode" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.documents(s, d)
+        .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"n".desc, $"source")
+      c.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .select($"lang", $"source".as("modal_source"), $"n")
+        .orderBy("lang")
+    }),
     // D9: bounded collect-style agg, rendered as a sorted CSV string so the
     // comparison is representation-free (≙ alias lists, reference src/nba.yaml:6-7).
     "q_agg_collect" -> ((s, d) => {

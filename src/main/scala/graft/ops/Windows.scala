@@ -177,6 +177,24 @@ object Windows {
         .select($"event_type", $"rn", $"event_id", $"value")
         .orderBy("event_type", "rn")
     }),
+    // E11: percent-of-total (ratio-to-report) — each (day, type)'s share
+    // of its day's value total, in exact ppm so both engines agree
+    // bit-for-bit. The unordered full-partition window sum runs on the
+    // day×type aggregate (bounded by the type domain), never the event
+    // stream; nullif guards an all-zero day (NULL share in both engines
+    // rather than a DuckDB division error).
+    "q_win_pct_of_total" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select(U.dayStr($"ts").as("day"), $"event_type",
+          U.micros($"value").cast("long").as("vm"))
+        .groupBy($"day", $"event_type").agg(sum($"vm").as("vm"))
+      val w = Window.partitionBy($"day")
+      e.withColumn("day_total", sum($"vm").over(w))
+        .select($"day", $"event_type", $"vm",
+          expr("vm * 1000000L div nullif(day_total, 0L)").as("share_ppm"))
+        .orderBy("day", "event_type")
+    }),
     // E10: batch sessionization — assign NUMBERED sessions per user by
     // the 30-minute-gap rule (lag → new-session flag → running sum), the
     // composite-window idiom behind every clickstream session table.

@@ -199,6 +199,20 @@ object Catalog {
             SELECT user_id, date_format(h, 'yyyy-MM-dd HH:mm:ss') AS hour, n,
                    COALESCE(vmf, CAST(0 AS BIGINT)) AS vm_filled
             FROM j"""),
+      "v_agg_mode" -> ("q_agg_mode",
+        s"""WITH c AS (SELECT lang, source, COUNT(*) AS n FROM $Db.documents
+                  GROUP BY lang, source),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY n DESC, source) AS rk FROM c)
+            SELECT lang, source AS modal_source, n FROM r WHERE rk = 1"""),
+      "v_win_pct_of_total" -> ("q_win_pct_of_total",
+        s"""WITH g AS (SELECT date_format(ts, 'yyyy-MM-dd') AS day, event_type,
+                    SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS vm
+                  FROM $Db.events GROUP BY date_format(ts, 'yyyy-MM-dd'), event_type)
+            SELECT day, event_type, vm,
+                   vm * 1000000L div nullif(SUM(vm) OVER (PARTITION BY day), 0L)
+                     AS share_ppm
+            FROM g"""),
       "v_transitions" -> ("q_transitions",
         s"""WITH x AS (SELECT event_type AS from_type,
                     lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
