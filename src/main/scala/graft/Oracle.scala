@@ -402,7 +402,7 @@ object Oracle {
                       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
                FROM ch)
          SELECT user_id, event_type, valid_from,
-                COALESCE(valid_to, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+                COALESCE(valid_to, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
                 (valid_to IS NULL) AS is_current
          FROM h
          ORDER BY user_id, valid_from, event_type, valid_to""",
@@ -645,7 +645,7 @@ object Oracle {
          t AS (SELECT c.day, n.n, n.n_types,
                       CAST(FLOOR((CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
                         * ln(CAST(n.n AS DOUBLE) / CAST(c.c AS DOUBLE))
-                        * 1000000 + 0.000001) AS BIGINT) AS nm
+                        * 1000000 + 0.5) AS BIGINT) AS nm
                FROM c JOIN n USING (day))
          SELECT day, MAX(n) AS n_events, CAST(MAX(n_types) AS BIGINT) AS n_types,
                 CAST(SUM(nm) AS BIGINT) AS entropy_micro_nats

@@ -16,8 +16,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
     // Boundary guard: the driver builds this session, which may not pin
-    // the nanosecond-parquet legacy flag Tables.events needs.
+    // the nanosecond-parquet legacy flag Tables.events needs, nor UTC —
+    // events.ts ships as naive timestamp[us] (read as TIMESTAMP_NTZ),
+    // and Tables.events' NTZ→TIMESTAMP normalization is session-timezone
+    // dependent; a non-UTC external session would silently shift every
+    // event instant relative to the oracle.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val dir = "/root/testdata/sf0.001"
     val dim = Seq(
       ("click", "engagement"), ("view", "engagement"),

@@ -14,6 +14,12 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NOTE: dumps stay INT96 (the default outputTimestampType): INT96
+      // reads back as NAIVE in DuckDB/pandas, matching the oracle's
+      // dump; TIMESTAMP_MICROS would read as tz-aware and flip every
+      // timestamp compare. The INT96→ns render at the comparer means
+      // every emitted timestamp must sit inside int64-ns range
+      // (< 2262-04-11) — see q_scd2's sentinel.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -327,10 +327,17 @@ object Aggregates {
           $"l_quantity".cast("long").as("x"),
           floor($"l_extendedprice").cast("long").as("y"))
         .groupBy($"l_returnflag")
+        // moment sums widen to Decimal(38,0): per-row products fit int64
+        // (y² ~ 1e10) but sum(long) would wrap silently at ~1e9 rows per
+        // group, while DuckDB SUM(BIGINT) promotes to HUGEINT and stays
+        // exact — Decimal keeps the engines identical at 100 TB and is
+        // still partial-aggregable
         .agg(count(lit(1)).as("n"),
-          sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
-          sum($"y").as("sy"), sum($"y" * $"y").as("syy"),
-          sum($"x" * $"y").as("sxy"))
+          sum($"x".cast("decimal(38,0)")).as("sx"),
+          sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
+          sum($"y".cast("decimal(38,0)")).as("sy"),
+          sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"),
+          sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"))
         .select($"l_returnflag", $"n",
           round($"sx".cast("double") / $"n".cast("double"), 6).as("mean_x"),
           round($"sy".cast("double") / $"n".cast("double"), 6).as("mean_y"),
@@ -371,10 +378,14 @@ object Aggregates {
           $"l_quantity".cast("long").as("x"),
           floor($"l_extendedprice").cast("long").as("y"))
         .groupBy($"l_returnflag")
+        // Decimal(38,0) moment sums — same overflow rationale as
+        // q_agg_stats above (sum(long) wraps at ~1e9 rows/group)
         .agg(count(lit(1)).as("n"),
-          sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
-          sum($"y").as("sy"), sum($"y" * $"y").as("syy"),
-          sum($"x" * $"y").as("sxy"))
+          sum($"x".cast("decimal(38,0)")).as("sx"),
+          sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
+          sum($"y".cast("decimal(38,0)")).as("sy"),
+          sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"),
+          sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"))
       val nd  = $"n".cast("double")
       val sx  = $"sx".cast("double");  val sxx = $"sxx".cast("double")
       val sy  = $"sy".cast("double");  val syy = $"syy".cast("double")
@@ -408,9 +419,14 @@ object Aggregates {
         .agg(sum($"c").as("n"), count(lit(1)).as("n_types"))
       c.join(n, Seq("day"))
         .select($"day", $"n", $"n_types",
+          // round-to-NEAREST micro-nat (floor(x·1e6 + 0.5)): a +ε-only
+          // guard protects terms just below an integer but not just
+          // above one — libm-vs-JVM ln can differ by ulps in either
+          // direction; centering puts the decision boundary half a
+          // micro-nat from any representable result
           floor(($"c".cast("double") / $"n".cast("double"))
             * log($"n".cast("double") / $"c".cast("double"))
-            * 1000000.0 + 0.000001).cast("long").as("nm"))
+            * 1000000.0 + 0.5).cast("long").as("nm"))
         .groupBy($"day")
         .agg(max($"n").as("n_events"), max($"n_types").as("n_types"),
           sum($"nm").as("entropy_micro_nats"))

@@ -73,15 +73,20 @@ object Scd {
   val qs: Map[String, Q] = Map(
     // A8b: SCD2 history of each user's event_type from the event log —
     // every (ts, event_id)-ordered change opens a version and closes its
-    // predecessor. Open rows surface the warehouse-idiomatic 9999-12-31
-    // high date instead of NULL (also sidesteps engine-dependent NULL
-    // ordering/serialization in the row-order-sensitive hash compare).
+    // predecessor. Open rows surface a high-date sentinel instead of NULL
+    // (sidesteps engine-dependent NULL ordering/serialization in the
+    // row-order-sensitive hash compare). The sentinel must sit INSIDE the
+    // int64-nanosecond timestamp range (< 2262-04-11): the classic
+    // 9999-12-31 overflows every ns-resolution reader (pyarrow renders
+    // INT96/ns parquet as timestamp[ns] and silently wraps), so the two
+    // engines' dumps diverge at the comparer even though both computed
+    // the same instant. 2200-01-01 is safely representable everywhere.
     "q_scd2" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts", $"event_id")
       scd2History(ev, "user_id", "event_type", "ts", "event_id")
         .withColumn("valid_to",
-          coalesce($"valid_to", lit("9999-12-31 00:00:00").cast("timestamp")))
+          coalesce($"valid_to", lit("2200-01-01 00:00:00").cast("timestamp")))
         .orderBy($"user_id", $"valid_from", $"event_type", $"valid_to")
     })
   )

@@ -210,7 +210,24 @@ object Streaming {
           U.micros($"value").cast("long").as("vm"))
         .groupBy($"user_id", $"h")
         .agg(sum($"vm").as("vm"), count(lit(1)).as("n"))
+      // Densification contract (scale guard): the generated grid is
+      // users × span-hours — inherent to resampling, and the one term
+      // here that does NOT track input size (a single user with a
+      // 10-year-wide pair of events mints 87k rows from 2). Cap the
+      // per-user span at 3 years (26 281 hourly buckets) and fail
+      // LOUDLY past it rather than silently densifying: a span that
+      // wide is an upstream data bug (stale clock, epoch-zero ts), and
+      // the operator's cost model is void beyond the stated envelope.
+      // The guard is one expression over the per-user (lo, hi) roll-up
+      // — corpus-size-free. Pinned by StreamingSuite.
+      val maxSpanHours = 26281L
       val grid = b.groupBy($"user_id").agg(min($"h").as("lo"), max($"h").as("hi"))
+        .withColumn("_span_ok",
+          when(expr("timestampdiff(HOUR, lo, hi)") <= maxSpanHours, lit(true))
+            .otherwise(raise_error(concat(
+              lit(s"resample span exceeds $maxSpanHours h for user "),
+              $"user_id".cast("string")))))
+        .filter($"_span_ok")
         .select($"user_id", explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
       val w = Window.partitionBy($"user_id").orderBy($"h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -162,9 +162,12 @@ object Catalog {
         s"""WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
                   CAST(FLOOR(l_extendedprice) AS BIGINT) AS y FROM $Db.lineitem),
             m AS (SELECT l_returnflag, COUNT(*) AS n,
-                    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(x*x) AS DOUBLE) AS sxx,
-                    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y*y) AS DOUBLE) AS syy,
-                    CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(COUNT(*) AS DOUBLE) AS nd
+                    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                    CAST(SUM(CAST(x*x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+                    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                    CAST(SUM(CAST(y*y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+                    CAST(SUM(CAST(x*y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+                    CAST(COUNT(*) AS DOUBLE) AS nd
                   FROM b GROUP BY l_returnflag)
             SELECT l_returnflag, n,
               ROUND((nd*sxy - sx*sy) / (nd*sxx - sx*sx), 6) AS slope,
@@ -180,7 +183,7 @@ object Catalog {
             t AS (SELECT c.day, n.n, n.n_types,
                     CAST(FLOOR((CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
                       * ln(CAST(n.n AS DOUBLE) / CAST(c.c AS DOUBLE))
-                      * 1000000.0 + 0.000001) AS BIGINT) AS nm
+                      * 1000000.0 + 0.5) AS BIGINT) AS nm
                   FROM c JOIN n ON c.day = n.day)
             SELECT day, MAX(n) AS n_events, MAX(n_types) AS n_types,
                    SUM(nm) AS entropy_micro_nats
@@ -250,6 +253,24 @@ object Catalog {
                    date_format(MAX(ts), 'yyyy-MM-dd HH:mm:ss') AS session_end,
                    COUNT(*) AS n_events, SUM(vm) AS value_micros
             FROM s GROUP BY user_id, session_id"""),
+      "v_scd2" -> ("q_scd2",
+        s"""WITH e AS (SELECT user_id, event_type, ts, event_id FROM $Db.events),
+            c AS (SELECT user_id, event_type, ts, event_id,
+                    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS prev,
+                    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS rn
+                  FROM e),
+            ch AS (SELECT user_id, event_type, ts, event_id FROM c
+                   WHERE rn = 1 OR NOT (prev <=> event_type)),
+            h AS (SELECT user_id, event_type, ts AS valid_from,
+                    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS valid_to
+                  FROM ch)
+            SELECT user_id, event_type, valid_from,
+                   COALESCE(valid_to, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+                   (valid_to IS NULL) AS is_current
+            FROM h"""),
       "v_text_tokens" -> ("q_text_tokens",
         s"""SELECT lang, tok, COUNT(*) AS n
             FROM (SELECT lang, explode(split(text, ' ')) AS tok FROM $Db.documents)
@@ -372,9 +393,12 @@ object Catalog {
                               CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
                        FROM $Db.lineitem),
             m AS (SELECT l_returnflag, COUNT(*) AS n,
-                         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(x*x) AS DOUBLE) AS sxx,
-                         CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y*y) AS DOUBLE) AS syy,
-                         CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(COUNT(*) AS DOUBLE) AS nd
+                         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                         CAST(SUM(CAST(x*x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+                         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                         CAST(SUM(CAST(y*y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+                         CAST(SUM(CAST(x*y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+                         CAST(COUNT(*) AS DOUBLE) AS nd
                   FROM b GROUP BY l_returnflag)
             SELECT l_returnflag, n,
                    round(sx / nd, 6) AS mean_x, round(sy / nd, 6) AS mean_y,

@@ -116,6 +116,28 @@ class EdgeCaseSuite extends SparkSpec {
     assert(got == List((9L, "2024-03-01 10:00:00", 1L, 1500000L)), s"got $got")
   }
 
+  test("resample: densification guard fails loudly past the 3-year span envelope") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gridwide_").toString
+    // user 7: two events 4 years apart — 35k hourly buckets from 2 rows
+    // is an upstream data bug (stale clock / epoch-zero ts), and the
+    // operator's users×span-hours cost envelope is void; it must refuse,
+    // not silently densify. user 8 in-envelope as the control.
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "view", 1.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 8L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("q_resample_gapfill")(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("resample span exceeds")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
+  }
+
   test("k-means / semdedup: corpus smaller than the seed count still partitions fully") {
     import spark.implicits._
     // 3 vectors, 8 requested seeds: every vector is its own seed/cluster

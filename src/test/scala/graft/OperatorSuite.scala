@@ -632,6 +632,14 @@ class OperatorSuite extends SparkSpec {
       .withColumn("nxt", lead($"valid_from", 1).over(w))
       .filter($"nxt".isNotNull && !($"valid_to" <=> $"nxt")).count()
     assert(broken == 0, s"$broken non-chaining validity intervals")
+    // comparer edge (round-7 hash mismatch): every emitted timestamp must
+    // sit INSIDE int64-nanosecond range — the driver reads the INT96
+    // parquet dump via an ns-resolution path that silently wraps
+    // anything >= 2262-04-11 (the classic 9999-12-31 open-row sentinel),
+    // while the DuckDB oracle dump is µs and doesn't wrap.
+    val nsMax = lit("2262-04-10 00:00:00").cast("timestamp")
+    val oob = rows.filter($"valid_from" >= nsMax || $"valid_to" >= nsMax).count()
+    assert(oob == 0, s"$oob rows with timestamps outside int64-ns range")
   }
 
   test("L37 triangleProfile: exact counts on K4 ∪ triangle ∪ path, robust to dup/reversed edges") {
