@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   * cosine ≈ 0). Within-copy structure — the thing the operators
   * actually mine — is untouched, so true positives scale exactly K×.
   *
-  * `measure` times each probe query warm (min of 2 after a warm-up
+  * `measure` times each probe query warm (min of 3 after a warm-up
   * run) with Bench's task-metrics listener attached; `main` runs the
   * probe at 1× and K× and writes scale_probe.json:
   * per-query {t_1x, t_Kx, ratio, spill_mb_Kx, shuffle_mb_Kx}.
@@ -160,9 +160,13 @@ object ScaleProbe {
       once() // warm: codegen + JIT + shuffle files
       drain()
       val (r0, s0) = (shufRead.get, spilled.get)
-      val t = math.min(once(), once())
+      // min-of-3 (Bench's offender re-measure hygiene): at the K× scale
+      // a probed query runs 10-20 s and the first post-warm-up run still
+      // carries a multi-second JIT tail — a 2-sample min caught a 1.7×
+      // outlier for q_sim_jaccard that three clean samples do not
+      val t = Seq(once(), once(), once()).min
       drain()
-      val res = n -> (t, (shufRead.get - r0) / 2.0 / 1048576.0, (spilled.get - s0) / 1048576.0)
+      val res = n -> (t, (shufRead.get - r0) / 3.0 / 1048576.0, (spilled.get - s0) / 1048576.0)
       release()
       res
     }.toMap

@@ -168,9 +168,19 @@ object TextOps {
     val prof = jaccardProfiles(sh, t)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = jaccardCandidatesFrom(jaccardPrefix(prof), t)
+    // SHUFFLE_HASH on the profile side of both verify joins: the
+    // candidate stream is the big side (at low t it can be 1000× the
+    // true-pair count) and each row drags two full set arrays from the
+    // moment it joins — letting AQE fall back to sort-merge sorts the
+    // candidate stream TWICE with those payloads attached (measured 3×
+    // the whole pipeline's cost at a 10× corpus). Hashing the doc-count-
+    // sized profile side keeps the candidate stream unsorted and each
+    // array is attached exactly once per join, map-side.
     cand
-      .join(prof.select($"doc_id".as("d1"), $"set".as("s1"), $"n_sh".as("n1")), "d1")
-      .join(prof.select($"doc_id".as("d2"), $"set".as("s2"), $"n_sh".as("n2")), "d2")
+      .join(prof.select($"doc_id".as("d1"), $"set".as("s1"), $"n_sh".as("n1"))
+        .hint("shuffle_hash"), "d1")
+      .join(prof.select($"doc_id".as("d2"), $"set".as("s2"), $"n_sh".as("n2"))
+        .hint("shuffle_hash"), "d2")
       .withColumn("n_inter", size(array_intersect($"s1", $"s2")).cast("long"))
       .withColumn("jac", round($"n_inter".cast("double") / ($"n1" + $"n2" - $"n_inter"), 6))
       .filter($"jac" >= t)
