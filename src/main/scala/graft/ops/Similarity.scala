@@ -21,7 +21,18 @@ object Similarity {
 
   /** K2 UDAF: typed Aggregator summing int64-scaled embedding vectors —
     * a mergeable vector accumulator (the 100 TB-safe centroid: partial
-    * buffers merge associatively across partitions). */
+    * buffers merge associatively across partitions).
+    *
+    * Exactness envelope: components are 1e7-scaled (|c| ≲ 1e7), so the
+    * int64 component sums are exact below ~9·10^11 vectors PER GROUP —
+    * two orders past a 100 TB corpus under any realistic label
+    * cardinality (the same wrap bound that forced q_agg_stats' moments
+    * to Decimal(38,0) bites there at ~1e9 rows/group because its terms
+    * are 1e10). Past the envelope, widen the buffer to BigDecimal like
+    * the moment sums. Downstream floor(sum/n) quantizers stay
+    * cross-engine-identical at ANY magnitude: both engines round the
+    * sum to the same IEEE double before the floor (DuckDB's HUGEINT and
+    * the JVM's long cast to double identically below 2^63). */
   object CentroidAgg extends Aggregator[Array[Long], (Long, Array[Long]), (Long, Array[Long])] {
     def zero: (Long, Array[Long]) = (0L, Array.fill(64)(0L))
     def reduce(b: (Long, Array[Long]), v: Array[Long]): (Long, Array[Long]) = {
