@@ -419,6 +419,20 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("Window"), s"no window operator:\n$p")
   }
 
+  test("jaccard verify: profile sides join via ShuffledHashJoin — candidate stream never sorted") {
+    // The r8 fix this pins: at low thresholds the candidate stream is
+    // orders of magnitude larger than the true-pair output and each row
+    // picks up two full shingle-set arrays at the verify joins. A
+    // sort-merge fallback there sorts that stream twice with the array
+    // payloads attached (measured 3× the rest of the pipeline at a 10×
+    // corpus); the SHUFFLE_HASH hint on the doc-count-sized profile
+    // sides must keep both verify joins hash-builds on the small side.
+    val p = planOf("q_sim_jaccard")
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+      s"verify joins lost their shuffle-hash shape:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in jaccard plan:\n$p")
+  }
+
   test("resample: grid generation is generator-side — no forced rebalance") {
     val p = planOf("q_resample_gapfill")
     assert(p.contains("Generate"), s"sequence/explode not generator-side:\n$p")
