@@ -426,7 +426,8 @@ object Oracle {
       """WITH o AS (SELECT o_orderkey, CAST(FLOOR(o_totalprice*100) AS BIGINT) AS total_c
                     FROM orders)
          SELECT o_orderkey, total_c FROM o
-         WHERE total_c > (SELECT AVG(total_c) FROM o)
+         WHERE total_c * (SELECT COUNT(*) FROM o)
+               > (SELECT CAST(SUM(total_c) AS BIGINT) FROM o)
          ORDER BY o_orderkey""",
     "q_subquery_in" ->
       """SELECT c_custkey, c_name FROM customer

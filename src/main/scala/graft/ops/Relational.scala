@@ -362,16 +362,24 @@ object Relational {
     }),
 
     // ----- subqueries (Athena SQL surface, SURVEY §3.3/§4) --------------
-    // Scalar subquery: orders above the global average (exact int64 cents
-    // keep AVG deterministic: the sum fits in 2^53 so the double division
-    // is identical in both engines).
+    // Scalar subquery: orders above the global average, compared in EXACT
+    // int64 by cross-multiplying (total_c · n > Σ total_c ⟺ total_c >
+    // avg). `AVG(bigint)` itself would be the latent scale bug: Spark's
+    // Average accumulates integral input in a DOUBLE, so past 2^53
+    // cumulative cents (~2 B orders) the mean picks up merge-order-
+    // dependent rounding — two runs of the same job could disagree at the
+    // boundary — while DuckDB's 128-bit AVG stays exact. The product form
+    // is wrap-safe to ~2×10^17 orders (max total_c ≈ 5×10^7 cents ×
+    // count < 2^63) and every intermediate is an exact integer in both
+    // engines at ANY corpus size.
     "q_subquery_scalar" -> ((s, d) => {
       Tables.orders(s, d)
         .withColumn("total_c", floor(col("o_totalprice") * 100).cast("long"))
         .createOrReplaceTempView("orders_sq")
       s.sql("""
         SELECT o_orderkey, total_c FROM orders_sq
-        WHERE total_c > (SELECT AVG(total_c) FROM orders_sq)
+        WHERE total_c * (SELECT COUNT(*) FROM orders_sq)
+              > (SELECT SUM(total_c) FROM orders_sq)
         ORDER BY o_orderkey
       """)
     }),
