@@ -80,4 +80,32 @@ class ScaleProbeSuite extends SparkSpec {
     assert(heapGrowth < 1500L * 1024 * 1024,
       s"driver heap grew ${heapGrowth / 1048576}MB across the 10x probe — collect-shaped?")
   }
+
+  test("jaccard candidate volume scales ~K, not K² (clock-free structural pin)") {
+    // The r7/r8 concern, pinned on the COUNT rather than the clock: at
+    // t=0.2 the prefix keeps ~80% of each doc's shingles, so the only
+    // thing standing between the candidate join and the all-pairs cliff
+    // is the rarity order + length/positional filters. Copies are
+    // token-disjoint (proven above), so true pairs scale exactly K× —
+    // if candidate volume tracked boilerplate df² it would scale ~K²
+    // (≈100×) and this bound fails by an order of magnitude. Counting
+    // is host-noise-free, unlike the timed probe.
+    import spark.implicits._
+    ScaleProbe.generate(spark, sfDir, outDir, 10)
+    def candidates(dir: String): Long = {
+      val sh = Tables.documents(spark, dir)
+        .withColumn("toks", split($"text", " "))
+        .select($"doc_id", explode(array_distinct(expr(
+          """CASE WHEN size(toks) >= 3 THEN transform(sequence(3, size(toks)),
+               i -> concat(element_at(toks, i-2), ' ', element_at(toks, i-1), ' ', element_at(toks, i)))
+             ELSE array() END"""))).as("s"))
+        .select($"doc_id", U.h64($"s").as("sh"))
+      ops.TextOps.jaccardCandidates(sh, 0.2).count()
+    }
+    val c1 = candidates(sfDir)
+    val cK = candidates(outDir)
+    assert(c1 > 0, "no candidates at 1x — the pin would be vacuous")
+    assert(cK <= 15L * math.max(c1, 1L),
+      s"candidate volume super-linear: $c1 at 1x but $cK at 10x (bound ${15 * c1})")
+  }
 }
