@@ -114,16 +114,23 @@ object ScaleProbe {
     }
   }
 
-  /** Write a deterministic K× corpus derived from srcDir into outDir. */
-  def generate(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
-    tables.foreach { t =>
+  /** Write a deterministic K× corpus derived from srcDir into outDir.
+    * `subset` restricts which tables materialize (the second rung only
+    * needs the three tables its probed queries read). K must stay < 26:
+    * the per-copy alphabet rotation is bijective over 26 letters, so
+    * copy i and copy i+26 would carry IDENTICAL text and re-create the
+    * cross-copy near-dup explosion the rotation exists to prevent. */
+  def generate(spark: SparkSession, srcDir: String, outDir: String, k: Int,
+               subset: Seq[String] = tables): Unit = {
+    require(k < 26, s"k=$k aliases the 26-letter alphabet rotation (copy i ≡ copy i-26)")
+    subset.foreach { t =>
       val src = Tables.table(spark, srcDir, t)
       val scaled = (0 until k).map(i => copyOf(t, src, i)).reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
   }
 
-  /** Warm-up + min-of-2 timings with shuffle/spill telemetry, Bench's
+  /** Warm-up + min-of-3 timings with shuffle/spill telemetry, Bench's
     * protocol (noop sink = full distributed materialization). Returns
     * name -> (seconds, shuffleReadMb, spillMb). */
   def measure(spark: SparkSession, dir: String, names: Seq[String]): Map[String, (Double, Double, Double)] = {
@@ -172,6 +179,20 @@ object ScaleProbe {
     }.toMap
   }
 
+  /** Second measurement rung (VERDICT r8 #2): the three plans whose
+    * first-rung ratios sit furthest from flat — the inherently-
+    * densifying grid resample (9.2× at 10×, output ∝ users), the
+    * triangle wedge stream (5.3×), and the iterative-CC survivor pick
+    * (3.5×) — get a ×25 point so the growth claim rests on TWO
+    * measured rungs, not one extrapolation. 25 is the largest K the
+    * alphabet-rotation bijection admits (see generate); each query
+    * reads exactly one table, so only those three tables materialize. */
+  val rung2Queries: Map[String, String] = Map(
+    "q_resample_gapfill" -> "events",
+    "q_graph_triangles" -> "lineitem",
+    "q_dedup_survivors" -> "documents")
+  val Rung2K = 25
+
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
@@ -191,13 +212,24 @@ object ScaleProbe {
     val genSec = (System.nanoTime() - tGen0) / 1e9
     val at1 = measure(spark, srcDir, probeQueries)
     val atK = measure(spark, outDir, probeQueries)
+    // second rung: generate only the three tables the probed queries
+    // read, then measure. The interesting number is the STEP ratio
+    // t_25x/t_10x against the row-growth step 2.5 — a plan that is
+    // genuinely ~linear holds step ≲ 2.5 on a rung where fixed
+    // overheads no longer flatter it.
+    val out2 = outDir + "_r2"
+    generate(spark, srcDir, out2, Rung2K, rung2Queries.values.toSeq.distinct)
+    val atK2 = measure(spark, out2, rung2Queries.keys.toSeq)
     def r3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val rows = probeQueries.map { n =>
       val (t1, _, _) = at1(n)
       val (tk, shufK, spillK) = atK(n)
-      s""""$n":{"t_1x":${r3(t1)},"t_${k}x":${r3(tk)},"ratio":${r3(tk / math.max(t1, 0.001))},"shuffle_mb_${k}x":${r3(shufK)},"spill_mb_${k}x":${r3(spillK)}}"""
+      val rung2 = atK2.get(n).map { case (tk2, shufK2, spillK2) =>
+        s""","t_${Rung2K}x":${r3(tk2)},"ratio_${Rung2K}x":${r3(tk2 / math.max(t1, 0.001))},"step_${k}x_to_${Rung2K}x":${r3(tk2 / math.max(tk, 0.001))},"shuffle_mb_${Rung2K}x":${r3(shufK2)},"spill_mb_${Rung2K}x":${r3(spillK2)}"""
+      }.getOrElse("")
+      s""""$n":{"t_1x":${r3(t1)},"t_${k}x":${r3(tk)},"ratio":${r3(tk / math.max(t1, 0.001))},"shuffle_mb_${k}x":${r3(shufK)},"spill_mb_${k}x":${r3(spillK)}$rung2}"""
     }
-    val line = s"""{"src":"$srcDir","k":$k,"gen_sec":${r3(genSec)},"queries":{${rows.mkString(",")}}}"""
+    val line = s"""{"src":"$srcDir","k":$k,"k2":$Rung2K,"gen_sec":${r3(genSec)},"queries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("scale_probe.json"), line)
     println(line)
     spark.stop()

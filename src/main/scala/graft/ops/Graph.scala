@@ -92,22 +92,39 @@ object Graph {
     // here explicitly because the edge side has no selective predicate
     // for the optimizer to latch onto. False positives are fine: the
     // exact LEFT SEMI join after the filter is the correctness
-    // backstop. At crawl-scale |E| the single-literal bloom gives way
-    // to the same mergeable sketch built distributed
-    // (bloom_filter_agg) and broadcast — the shape is unchanged.
-    val nEdges = e.count()
-    val bloom = e.select(xxhash64($"s", $"t").as("k"))
-      .stat.bloomFilter("k", math.max(nEdges, 1L), 0.01)
-    val bloomBytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    // backstop.
+    //
+    // The sketch is built DISTRIBUTED: a bloom_filter_agg scalar
+    // subquery over the pinned oriented edge list — map-side
+    // partial_bloom_filter_agg per partition, one single-partition
+    // merge of the ~MB bitsets, and the one-row result ships to the
+    // probe side through Spark's subquery machinery (identical to the
+    // plan its own InjectRuntimeFilter rule emits). No driver-side
+    // action, no |E|-proportional driver allocation: at crawl-scale
+    // |E| the executors each fold their partition into a fixed-size
+    // bitset and the driver only ever relays the merged sketch.
+    // Sizing is CONF-DRIVEN, not data-driven (a data-driven size would
+    // need a count() action): the operator fills the same
+    // runtime.bloomFilter.maxNumItems / maxNumBits knobs that bound
+    // Spark's injected filters, so a 100 TB deployment tunes the
+    // sketch exactly where it tunes the built-in ones. Overfilling
+    // only raises the false-positive rate — the semi-join keeps the
+    // result exact.
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftshim.GraftShim.{column, expression}
+    val conf = ss.sessionState.conf
+    val numItems = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val numBits = math.min(
+      conf.getConfString(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong,
+      numItems * 8L)
+    val sketch = e.agg(column(new BloomFilterAggregate(
+        expression(xxhash64($"s", $"t")), Literal(numItems), Literal(numBits))
+      .toAggregateExpression()).as("bf")).scalar()
     val mightClose = column(BloomFilterMightContain(
-      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
-      expression(xxhash64($"a", $"c"))))
+      expression(sketch), expression(xxhash64($"a", $"c"))))
     val tri = wedges.filter(mightClose).join(
       e.select($"s".as("a"), $"t".as("c")).hint("shuffle_hash"),
       Seq("a", "c"), "left_semi")

@@ -160,8 +160,19 @@ object TextOps {
     * feeds the prefix explode AND both verify joins, and it is doc-
     * count-sized (one row per doc), so MEMORY_AND_DISK is executor-safe
     * at any corpus size — at true crawl scale you'd land it to a table
-    * once and share it across batches. The verify joins broadcast when
-    * the profile side is small; candidates stay (d1, d2) longs. */
+    * once and share it across batches. Both verify joins are pinned
+    * SHUFFLE_HASH with the profile side as build (see the inline note);
+    * candidates stay (d1, d2) longs until the arrays attach.
+    *
+    * Build-memory envelope for the shuffle_hash pin: a shuffled hash
+    * join's build side cannot spill, so each build partition —
+    * (profile rows × per-row set-array bytes) / shuffle partitions —
+    * must fit in executor memory. With bounded-length docs (set arrays
+    * ≤ a few KB) that is ~GBs per 1e6 docs per partition-count, well
+    * inside executor budgets at any partitioning you'd actually run;
+    * if per-doc payloads were unbounded, drop the hint and let AQE
+    * fall back to sort-merge, which spills (cf. CentroidAgg's
+    * exactness envelope for the same document-the-bound style). */
   def jaccardPairs(sh: org.apache.spark.sql.DataFrame, t: Double): org.apache.spark.sql.DataFrame = {
     val s = sh.sparkSession
     import s.implicits._

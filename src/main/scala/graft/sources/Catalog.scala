@@ -577,6 +577,149 @@ object Catalog {
                   FROM sc)
             SELECT cl AS cluster, CAST(rk AS BIGINT) AS rk, tok, lift_ppm, tf_c
             FROM r WHERE rk <= 3"""),
+      // D12: exact-moment outlier report — the |x−μ|>1.5σ test cleared
+      // of division/sqrt ((x·n−Σx)²·4 > 9·(n·Σx²−(Σx)²)), decimal(38,0)
+      // intermediates exactly like the Scala twin
+      "v_agg_outliers" -> ("q_agg_outliers",
+        s"""WITH ev AS (SELECT event_type,
+                  CAST(FLOOR(value * 100) AS DECIMAL(38,0)) AS x FROM $Db.events),
+            st AS (SELECT event_type, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                     SUM(x) AS sum_c, SUM(x * x) AS ssq
+                   FROM ev GROUP BY event_type),
+            f AS (SELECT ev.event_type, ev.x,
+                    CAST(CAST(4 * (ev.x * st.n - st.sum_c) * (ev.x * st.n - st.sum_c)
+                              > 9 * (st.n * st.ssq - st.sum_c * st.sum_c) AS INT) AS BIGINT) AS is_out
+                  FROM ev JOIN st ON ev.event_type = st.event_type)
+            SELECT event_type, COUNT(*) AS n_events, SUM(is_out) AS n_outliers,
+                   MAX(CASE WHEN is_out = 1 THEN CAST(x AS BIGINT) END) AS max_outlier_cents
+            FROM f GROUP BY event_type"""),
+      // D13: data-quality constraint report — planted dirt (null/orphan
+      // uids, negated values, duplicated slice) identical to the twin,
+      // tall (check_name, violations) via stack
+      "v_quality_report" -> ("q_quality_report",
+        s"""WITH ev AS (SELECT event_id,
+                    CASE WHEN event_id % 97 = 0 THEN CAST(NULL AS BIGINT)
+                         WHEN event_id % 103 = 0 THEN user_id + 1000000
+                         ELSE user_id END AS uid,
+                    CASE WHEN event_id % 89 = 0 THEN -value ELSE value END AS v
+                  FROM $Db.events),
+            dirty AS (SELECT * FROM ev
+                      UNION ALL SELECT * FROM ev WHERE event_id % 101 = 0),
+            orph AS (SELECT COUNT(*) AS fk_orphans FROM dirty
+                     WHERE uid IS NOT NULL AND NOT EXISTS (
+                       SELECT 1 FROM $Db.customer c WHERE c.c_custkey = dirty.uid)),
+            agg AS (SELECT COUNT(*) AS row_count,
+                      COUNT(*) - COUNT(DISTINCT event_id) AS pk_dupes,
+                      SUM(CASE WHEN uid IS NULL THEN CAST(1 AS BIGINT) ELSE 0 END) AS null_user_id,
+                      SUM(CASE WHEN v < 0 THEN CAST(1 AS BIGINT) ELSE 0 END) AS negative_value
+                    FROM dirty)
+            SELECT stack(5,
+              'fk_orphans', fk_orphans,
+              'negative_value', negative_value,
+              'null_user_id', null_user_id,
+              'pk_dupes', pk_dupes,
+              'row_count', row_count) AS (check_name, violations)
+            FROM agg CROSS JOIN orph"""),
+      // L29: fuzzy matching — the same q-gram blocking + short-name
+      // cross + levenshtein verify as the Scala twin (never bare n²
+      // over the long names)
+      "v_fuzzy_match" -> ("q_fuzzy_match",
+        s"""WITH nm AS (SELECT DISTINCT lower(p_name) AS nm FROM $Db.part),
+            ln AS (SELECT nm FROM nm WHERE length(nm) >= 7),
+            sn AS (SELECT nm FROM nm WHERE length(nm) < 7),
+            g AS (SELECT nm, explode(array_distinct(
+                    transform(sequence(1, length(nm) - 1),
+                      i -> substring(nm, i, 2)))) AS g FROM ln),
+            blocked AS (SELECT DISTINCT a.nm AS n1, b.nm AS n2
+                        FROM g a JOIN g b ON a.g = b.g AND a.nm < b.nm),
+            cand AS (SELECT * FROM blocked
+                     UNION ALL SELECT a.nm AS n1, b.nm AS n2
+                               FROM sn a JOIN nm b ON a.nm < b.nm
+                     UNION ALL SELECT a.nm AS n1, b.nm AS n2
+                               FROM ln a JOIN sn b ON a.nm < b.nm),
+            v AS (SELECT n1, n2, CAST(levenshtein(n1, n2) AS BIGINT) AS dist
+                  FROM cand WHERE abs(length(n1) - length(n2)) <= 2)
+            SELECT n1, n2, dist FROM v WHERE dist <= 2"""),
+      // L30: sequence packing — per-shard running token offset div the
+      // context length; shard key via the md5-based h64 twin
+      "v_pack_sequences" -> ("q_pack_sequences",
+        s"""WITH d AS (SELECT doc_id,
+                    CAST(size(split(text, ' ')) AS BIGINT) AS n_toks,
+                    ${h64("concat('pack:', CAST(doc_id AS STRING))")} % 8 AS shard
+                  FROM $Db.documents),
+            w AS (SELECT doc_id, shard, n_toks,
+                    COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off_global
+                  FROM d)
+            SELECT doc_id, shard, off_global div 64 AS pack_id,
+                   off_global % 64 AS off_in_pack, n_toks,
+                   CASE WHEN off_global % 64 + n_toks > 64 THEN 'yes' ELSE 'no' END AS split
+            FROM w"""),
+      // L33: seeded k-means + one Lloyd step — assignment CTE shared
+      // with v_cluster_terms; centroid re-collect via posexplode +
+      // ordered struct sort (the CentroidAgg floor-average, in SQL)
+      "v_cluster_kmeans" -> ("q_cluster_kmeans",
+        s"""WITH m0 AS (SELECT vec_id,
+                  transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+                  FROM $Db.embeddings),
+            m AS (SELECT vec_id, v, aggregate(v, 0L, (a, x) -> a + x * x) AS n2 FROM m0),
+            seeds AS (SELECT vec_id AS sid, v AS sv, n2 AS sn2 FROM m WHERE vec_id < 8),
+            a1 AS (SELECT vec_id, sid,
+                     CAST(aggregate(zip_with(v, sv, (x, y) -> x * y), 0L, (a, x) -> a + x) AS DOUBLE)
+                       / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(sn2 AS DOUBLE))) AS sim
+                   FROM m CROSS JOIN seeds),
+            as1 AS (SELECT vec_id, sid AS cl FROM (
+                      SELECT vec_id, sid,
+                             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, sid) AS rk
+                      FROM a1) WHERE rk = 1),
+            e AS (SELECT as1.cl, pe.i, pe.c FROM as1 JOIN m USING (vec_id)
+                  LATERAL VIEW posexplode(v) pe AS i, c),
+            cs AS (SELECT cl, i,
+                     CAST(FLOOR(CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cc
+                   FROM e GROUP BY cl, i),
+            cv AS (SELECT cl AS cl2,
+                     transform(array_sort(collect_list(struct(i, cc))), s -> s.cc) AS cvec
+                   FROM cs GROUP BY cl),
+            cn AS (SELECT cl2, cvec, aggregate(cvec, 0L, (a, x) -> a + x * x) AS cn2 FROM cv),
+            a2 AS (SELECT vec_id, cl2,
+                     CAST(aggregate(zip_with(v, cvec, (x, y) -> x * y), 0L, (a, x) -> a + x) AS DOUBLE)
+                       / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS sim
+                   FROM m CROSS JOIN cn),
+            as2 AS (SELECT vec_id, cl2, sim FROM (
+                      SELECT vec_id, cl2, sim,
+                             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cl2) AS rk
+                      FROM a2) WHERE rk = 1),
+            f AS (SELECT cl2 AS cluster, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_i FROM as2)
+            SELECT cluster, COUNT(*) AS n, SUM(sim_i) AS sim_sum,
+                   round(CAST(SUM(sim_i) AS DOUBLE) / (1000000.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS mean_sim
+            FROM f GROUP BY cluster"""),
+      // L34: SemDeDup — within-cluster exact-cosine pair sweep over the
+      // same seeded assignment; keep-lowest-id drop profile
+      "v_dedup_semantic" -> ("q_dedup_semantic",
+        s"""WITH m0 AS (SELECT vec_id,
+                  transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+                  FROM $Db.embeddings),
+            m AS (SELECT vec_id, v, aggregate(v, 0L, (a, x) -> a + x * x) AS n2 FROM m0),
+            seeds AS (SELECT vec_id AS sid, v AS sv, n2 AS sn2 FROM m WHERE vec_id < 8),
+            a1 AS (SELECT vec_id, sid,
+                     CAST(aggregate(zip_with(v, sv, (x, y) -> x * y), 0L, (a, x) -> a + x) AS DOUBLE)
+                       / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(sn2 AS DOUBLE))) AS sim
+                   FROM m CROSS JOIN seeds),
+            asg AS (SELECT t.vec_id, t.sid AS cl, m.v, m.n2 FROM (
+                      SELECT vec_id, sid,
+                             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, sid) AS rk
+                      FROM a1) t JOIN m USING (vec_id) WHERE rk = 1),
+            p AS (SELECT a.cl, b.vec_id AS ib,
+                    CAST(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0L, (acc, x) -> acc + x) AS DOUBLE)
+                      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS ps
+                  FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id),
+            dr AS (SELECT cl, COUNT(DISTINCT ib) AS n_dropped
+                   FROM p WHERE ps >= 0.4 GROUP BY cl),
+            mem AS (SELECT cl, COUNT(*) AS n_members FROM asg GROUP BY cl)
+            SELECT mem.cl AS cluster, n_members,
+                   COALESCE(dr.n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+                   n_members - COALESCE(dr.n_dropped, CAST(0 AS BIGINT)) AS n_kept
+            FROM mem LEFT JOIN dr ON mem.cl = dr.cl"""),
       "v_text_langid" -> ("q_text_langid",
         s"""WITH v AS (SELECT doc_id, lang AS labeled, explode(split(text, ' ')) AS t
                   FROM $Db.documents),

@@ -6,15 +6,34 @@ import org.scalatest.funsuite.AnyFunSuite
   * SparkSession — these must stay testable without timing anything). */
 class BenchGateSuite extends AnyFunSuite {
 
-  test("gateThreshold: 2x multiplier plus the 1.5s fixed-cost slack floor") {
-    // sub-second baseline: the floor dominates — a 3-row query timed at
-    // 1.4s under host contention (r7 driver capture) must NOT gate...
+  test("gateThreshold: 2x multiplier plus min(1.5s, 6x baseline) slack") {
+    // sub-second baseline: the slack absorbs fixed-cost contention — a
+    // 3-row query timed at 1.4s under host contention (r7 driver
+    // capture, 0.25s baseline) must NOT gate...
     assert(Bench.gateThreshold(0.25) === 2.0)
     assert(1.43 < Bench.gateThreshold(0.25))
     // ...while a genuine algorithmic cliff still fails by a wide margin
     assert(25.6 > Bench.gateThreshold(1.43))
     // multi-second baselines gate at effectively the pure 2x
     assert(Bench.gateThreshold(6.0) === 13.5)
+    // the 6x-baseline CAP (VERDICT r8 #3): the old unconditional 1.5s
+    // floor left every sub-0.75s baseline ungated in practice — an
+    // 8x-inflated sub-second query must now FAIL the gate
+    assert(8 * 0.5 > Bench.gateThreshold(0.5))   // 4.0s vs 2.5s threshold
+    assert(9 * 0.2 > Bench.gateThreshold(0.2))   // 1.8s vs 1.6s threshold
+    // by construction 2b + 6b = 8b: the gate line for the very fastest
+    // queries IS 8x — nothing beyond it can pass
+    assert(math.abs(Bench.gateThreshold(0.1) - 0.8) < 1e-12)
+    // and the cap must not re-introduce the r7 false positives: the
+    // worst benign contention multiple actually observed on a
+    // sub-second query (q_url_escape 6.4x of ~0.23s, r8 capture)
+    // stays under threshold
+    assert(6.4 * 0.23 < Bench.gateThreshold(0.23))
+  }
+
+  test("loadAvg: three non-negative values on linux") {
+    val l = Bench.loadAvg()
+    assert(l.size === 3 && l.forall(_ >= 0.0))
   }
 
   test("rerunWarnField: empty when no crashes; JSON fragment otherwise") {

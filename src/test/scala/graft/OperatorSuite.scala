@@ -224,6 +224,32 @@ class OperatorSuite extends SparkSpec {
     assert(got == want)
   }
 
+  test("connectedComponents: round-cap breach auto-falls back to star contraction (VERDICT r8 #7)") {
+    import spark.implicits._
+    // Deterministic behavior AT the cap: a 40-vertex path (diameter 39)
+    // cannot converge in maxRounds=3 hash-to-min rounds, so the loop
+    // must exit via the contraction branch — current labels contract
+    // the edge set, the log-round star engine finishes it, and the
+    // composed labels are EXACT, not partial. A second disjoint chain
+    // checks the composition doesn't cross-contaminate components, and
+    // the already-converged star 500-{501,502} contracts to self-loops
+    // that drop out without losing their (correct) labels.
+    val chainA = (0L until 40L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val chainB = (100L until 130L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val star = Seq((500L, 501L), (500L, 502L))
+    val edges = (chainA ++ chainB ++ star).toDF("u", "v")
+    val got = ops.Dedup.connectedComponents(edges, maxRounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 40L).map(_ -> 0L).toMap ++
+      (100L until 130L).map(_ -> 100L).toMap ++
+      Map(500L -> 500L, 501L -> 500L, 502L -> 500L)
+    assert(got == want)
+    // and the capped path agrees with the uncapped one label-for-label
+    val uncapped = ops.Dedup.connectedComponents(edges, maxRounds = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == uncapped)
+  }
+
   test("connectedComponents: self-loop-only and duplicate/reversed edges keep every vertex") {
     import spark.implicits._
     // vertex 30's only edge is the self-loop (30,30): canonicalization

@@ -385,6 +385,17 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     // the closing shuffle — dropping it silently re-shuffles the full
     // Σ d⁺² wedge stream
     assert(tp.contains("might_contain"), s"bloom prefilter missing from triangle plan:\n$tp")
+    // and the sketch must be built DISTRIBUTED: might_contain probes a
+    // scalar subquery (bloom_filter_agg with a map-side partial), never
+    // a driver-materialized literal — a literal here means an
+    // |E|-proportional driver allocation snuck back in
+    assert(tp.contains("might_contain(Subquery"),
+      s"bloom probe is not a scalar subquery (driver-built literal?):\n$tp")
+    val tpFull = SparkEntry.queries("q_graph_triangles")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(tpFull.contains("bloom_filter_agg") && tpFull.contains("partial_bloom_filter_agg"),
+      s"sketch not built via two-phase bloom_filter_agg:\n$tpFull")
     // split drift: the only non-equi join allowed is the broadcast of
     // the 1-row totals aggregate
     val dp = planOf("q_split_drift")

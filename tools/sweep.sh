@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-start correctness sweep (VERDICT r8 #8): ONE command that runs
+#   1. the physical-schema pin over /root/testdata (the driver silently
+#      regenerates it between rounds — a ts-encoding change broke the
+#      events queries mid-round-7),
+#   2. the full Verify → DuckDB oracle compare at ALL THREE scales
+#      (sf0.001 / sf0.01 / sf0.1 — the driver gates at sf0.01; the
+#      flanking scales catch size-dependent accidents), and
+#   3. the alternate-partitioning re-verify (7 cores, sf0.01): any
+#      query whose result depends on the 32-way layout — a
+#      merge-order-sensitive double sum, an unordered limit — fails
+#      here even though the 32-core runs agree with the oracle.
+# Each rung re-dumps into its own directory (a crashed query must not
+# inherit a previous rung's parquet — see .claude/skills/verify).
+# Exit code: 0 only if every rung is "N pass / 0 fail".
+set -e
+cd "$(dirname "$0")/.."
+sbt -batch compile >/dev/null
+
+echo "== schema pin =="
+python3 tools/schema_check.py
+
+fail=0
+for rung in sf0.001:32 sf0.01:32 sf0.1:32 sf0.01:7; do
+  sf="${rung%%:*}"; cpus="${rung##*:}"
+  out="/tmp/graft_sweep_${sf}_${cpus}"
+  echo "== verify $sf @ ${cpus} cores =="
+  rm -rf "$out"
+  SPARK_GRAFT_CPUS=$cpus bash tools/run.sh graft.Verify "/root/testdata/$sf" "$out" \
+    2>&1 | grep -E "\[verify\].*failed" || true
+  res="$(python3 tools/check_oracle.py "/root/testdata/$sf" "$out")" || fail=1
+  echo "$res" | grep -vE "^PASS " | tail -5
+  echo "$res" | grep -q " 0 fail" || fail=1
+done
+exit $fail
