@@ -220,12 +220,36 @@ object ScaleProbe {
     val out2 = outDir + "_r2"
     generate(spark, srcDir, out2, Rung2K, rung2Queries.values.toSeq.distinct)
     val atK2 = measure(spark, out2, rung2Queries.keys.toSeq)
+    // triangle sketch envelope evidence: the wedge-prune bloom is sized
+    // by the runtime.bloomFilter confs (conf-driven, action-free — see
+    // ops/Graph.scala). At the DEFAULT caps (4M items / 64 Mbit) the
+    // ×25 edge set (~30M edges at sf0.1×25) saturates the sketch, so
+    // the default-conf rung above measures the degraded-filter worst
+    // case. Re-measure with the caps raised to the deployment setting
+    // for this |E| (64M items / 512 Mbit — a 64 MB one-time broadcast)
+    // to show the knob restores the pruning, then restore the confs.
+    val tunedTriangles = {
+      val items = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val bits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val (i0, b0) = (spark.conf.getOption(items), spark.conf.getOption(bits))
+      spark.conf.set(items, "64000000")
+      spark.conf.set(bits, "536870912")
+      try measure(spark, out2, Seq("q_graph_triangles"))("q_graph_triangles")
+      finally {
+        i0.fold(spark.conf.unset(items))(spark.conf.set(items, _))
+        b0.fold(spark.conf.unset(bits))(spark.conf.set(bits, _))
+      }
+    }
     def r3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val rows = probeQueries.map { n =>
       val (t1, _, _) = at1(n)
       val (tk, shufK, spillK) = atK(n)
       val rung2 = atK2.get(n).map { case (tk2, shufK2, spillK2) =>
-        s""","t_${Rung2K}x":${r3(tk2)},"ratio_${Rung2K}x":${r3(tk2 / math.max(t1, 0.001))},"step_${k}x_to_${Rung2K}x":${r3(tk2 / math.max(tk, 0.001))},"shuffle_mb_${Rung2K}x":${r3(shufK2)},"spill_mb_${Rung2K}x":${r3(spillK2)}"""
+        val tuned = if (n == "q_graph_triangles") {
+          val (tt, ts, _) = tunedTriangles
+          s""","t_${Rung2K}x_tuned_sketch":${r3(tt)},"shuffle_mb_${Rung2K}x_tuned":${r3(ts)}"""
+        } else ""
+        s""","t_${Rung2K}x":${r3(tk2)},"ratio_${Rung2K}x":${r3(tk2 / math.max(t1, 0.001))},"step_${k}x_to_${Rung2K}x":${r3(tk2 / math.max(tk, 0.001))},"shuffle_mb_${Rung2K}x":${r3(shufK2)},"spill_mb_${Rung2K}x":${r3(spillK2)}$tuned"""
       }.getOrElse("")
       s""""$n":{"t_1x":${r3(t1)},"t_${k}x":${r3(tk)},"ratio":${r3(tk / math.max(t1, 0.001))},"shuffle_mb_${k}x":${r3(shufK)},"spill_mb_${k}x":${r3(spillK)}$rung2}"""
     }

@@ -116,10 +116,13 @@ object Graph {
     val conf = ss.sessionState.conf
     val numItems = conf.getConfString(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
-    val numBits = math.min(
-      conf.getConfString(
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong,
-      numItems * 8L)
+    // spend the FULL bit budget, not 8×items: overfill past numItems
+    // degrades the false-positive rate gracefully (more bits = slower
+    // saturation), and the sketch is a one-time fixed-size broadcast
+    // either way — at the default caps this is an 8 MB sketch whose
+    // pruning holds to ~4× overfill instead of ~1×
+    val numBits = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
     val sketch = e.agg(column(new BloomFilterAggregate(
         expression(xxhash64($"s", $"t")), Literal(numItems), Literal(numBits))
       .toAggregateExpression()).as("bf")).scalar()

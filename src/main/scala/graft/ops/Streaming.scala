@@ -231,7 +231,19 @@ object Streaming {
         .select($"user_id", explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
       val w = Window.partitionBy($"user_id").orderBy($"h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(b, Seq("user_id", "h"), "left")
+      // MERGE hint — the gap-fill join must be a SHUFFLE join at every
+      // scale. Generator amplification is invisible to AQE: it sizes
+      // the pre-explode exchange on the tiny per-user (lo, hi) roll-up
+      // and coalesces it, and if the hourly aggregate then broadcasts
+      // (it does at small SF), NOTHING downstream ever redistributes —
+      // the 100-1000× densified grid runs the join, the fill window and
+      // the output sort on a handful of starved partitions (measured
+      // 3.7× slower at sf0.1×10 than the shuffle plan). The hinted
+      // shuffle join plants an exchange AFTER the explode, sized on the
+      // real grid bytes — and at crawl scale the per-hour aggregate
+      // could never broadcast anyway, so this also pins the one plan
+      // shape that exists at 100 TB.
+      grid.join(b.hint("merge"), Seq("user_id", "h"), "left")
         .select($"user_id", $"h", coalesce($"n", lit(0L)).as("n"),
           coalesce(last($"vm", ignoreNulls = true).over(w), lit(0L)).as("vm_filled"))
         .select($"user_id", U.tsStr($"h").as("hour"), $"n", $"vm_filled")

@@ -449,5 +449,14 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("Generate"), s"sequence/explode not generator-side:\n$p")
     assert(!p.contains("RoundRobinPartitioning"),
       s"grid explode forced a rebalance:\n$p")
+    // the gap-fill join must be a SHUFFLE join: a broadcast of the
+    // hourly aggregate carries the AQE-coalesced PRE-explode
+    // partitioning through the densified grid (generator amplification
+    // is invisible to AQE's exchange sizing — measured 3.7× at 10×),
+    // and could never exist at crawl scale anyway
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"gap-fill join is not a shuffle join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"hourly aggregate broadcast onto the grid (scale-trap plan):\n$p")
   }
 }
