@@ -459,4 +459,43 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("BroadcastHashJoin"),
       s"hourly aggregate broadcast onto the grid (scale-trap plan):\n$p")
   }
+
+  test("no window rides a generator's pre-amplification partitioning (every query)") {
+    // The gapfill trap, generalized to the whole surface: a WindowExec
+    // whose distribution requirement is satisfied by partitioning
+    // established BEFORE a row-amplifying generator means the window —
+    // and everything fused with it — processes the amplified stream on
+    // partitions AQE sized from PRE-amplification bytes (it coalesced
+    // the tiny pre-explode exchange, and broadcast joins in between
+    // preserve the starved layout). Plan law: every WindowExec must
+    // have an Exchange between itself and any GenerateExec below it.
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.window.WindowExec
+    // NOTE: must audit executedPlan (post-EnsureRequirements, where
+    // exchanges exist), via the adaptive helper — sparkPlan has no
+    // Exchange nodes at all and flags everything
+    def generatorLeaksThrough(p: SparkPlan): Boolean = p match {
+      case _: GenerateExec => true
+      case _: Exchange => false // an exchange re-sizes on real bytes
+      case other => other.children.exists(generatorLeaksThrough)
+    }
+    // q_join_theta is the one legitimate exemption: its generator is
+    // the DENSE BUCKET AXIS of the histogram decomposition — sized by
+    // the value domain (range/100 buckets, a few thousand rows), not
+    // by the corpus — and the cumsum over it is a deliberately global,
+    // single-partition window whose result is then broadcast. Bounded
+    // amplification on a domain axis is not the trap; corpus-
+    // proportional amplification is.
+    val exempt = Set("q_join_theta")
+    val offenders = (SparkEntry.queries.keySet -- exempt).toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+      val bad = collect(plan) {
+        case w: WindowExec if w.children.exists(generatorLeaksThrough) => w
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"windows riding pre-generator partitioning in: ${offenders.mkString(", ")}")
+  }
 }
