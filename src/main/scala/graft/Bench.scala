@@ -193,6 +193,16 @@ object Bench {
       s""""cores":${Runtime.getRuntime.availableProcessors},""" +
       s""""capture_wall_sec":${r3((System.nanoTime() - wallStart) / 1e9)},""" +
       s""""run_spread_median":${r3(pct(0.5))},"run_spread_p90":${r3(pct(0.9))}}"""
+    // loud, human-readable flag on a degraded window (the machine-
+    // readable evidence is in the window field): a capture under heavy
+    // ambient load or with a fat run-spread tail should be re-measured
+    // before any number from it is believed (tools/bench_notes_r9.md)
+    val cores = Runtime.getRuntime.availableProcessors.toDouble
+    if (loadStart.headOption.exists(_ > 1.5 * cores) ||
+        loadEnd.headOption.exists(_ > 1.5 * cores) || pct(0.9) > 3.0)
+      System.err.println(s"BENCH WARN: degraded capture window " +
+        s"(loadavg ${loadStart.mkString("/")}→${loadEnd.mkString("/")} on $cores cores, " +
+        s"run-spread p90 ${r3(pct(0.9))}) — re-measure before trusting regressions")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"raw":$rawJson,"shuffle_mb":$shufJson,"failed":$failedJson$ratioField$gateField$probeField$windowField,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
     println(line)

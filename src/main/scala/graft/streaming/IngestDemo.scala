@@ -73,6 +73,40 @@ object IngestDemo {
     // re-drain with same checkpoint: already-processed files are skipped
     Ingest.runAvailableNow(spark, s"$base/src", s"$base/out", s"$base/ckpt")
     println("AFTER_RERUN_COUNT=" + spark.read.parquet(s"$base/out").count())
+    // ---- the composed daily run (reference src/main.py:246-277 as one
+    // chain): cursor-paged "API" → NDJSON landing (server-side query
+    // term via query.minId ≙ since_id) → quarantine split → curated
+    // serving table a SQL user queries by name. Same pieces the
+    // IngestSuite e2e asserts; here as the runnable CLI flagship.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.sources.paged.PagedApi.appendRecords(s"$base/api",
+      (0 until 40).map { i =>
+        val body =
+          if (i % 10 == 9) s"""{"id":"$i","text": BROKEN"""
+          else s"""{"id":"$i","text":"tweet $i #NBA","created_at":"2021-01-0${6 + i % 2}T18:40:${10 + i % 40}.000Z","public_metrics":{"retweet_count":$i,"reply_count":1,"like_count":${i * 2},"quote_count":0},"context_annotations":[],"entities":{"hashtags":[{"start":8,"end":12,"tag":"NBA"}],"mentions":[],"urls":[],"annotations":[]}}"""
+        (i.toLong, "2021-01-06T00:00:00Z", body)
+      })
+    val crawl = spark.readStream.format("graft-pages")
+      .option("path", s"$base/api").option("pageSize", "10")
+      .option("query.minId", "10").option("maxRecords", "100000").load()
+      .select($"text".as("value"))
+      .writeStream.format("text").option("path", s"$base/raw")
+      .option("checkpointLocation", s"$base/ckpt_crawl")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    crawl.awaitTermination()
+    val (good, bad) = Ingest.readQuarantined(spark, s"$base/raw")
+    println(s"CRAWLED good=${good.count()} quarantined=${bad.count()}")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_serve")
+    spark.sql("DROP TABLE IF EXISTS graft_serve.tweets_demo")
+    Ingest.transform(good, "Twitter", "NBA").limit(0).write
+      .partitionBy("platform", "league", "year", "month", "day")
+      .saveAsTable("graft_serve.tweets_demo")
+    val src = spark.readStream.schema(graft.model.TweetSchema.schema).json(s"$base/raw")
+    Ingest.streamToServingTable(spark, Ingest.transform(src, "Twitter", "NBA"),
+      "graft_serve.tweets_demo", s"$base/ckpt_serve")
+    println("SERVING_COUNT=" + spark.newSession()
+      .sql("SELECT COUNT(*) FROM graft_serve.tweets_demo").collect()(0).getLong(0))
     spark.stop()
   }
 }
