@@ -1348,6 +1348,22 @@ object Oracle {
                FROM d)
          SELECT doc_id, lang FROM r JOIN k USING (lang)
          WHERE rk <= k_target ORDER BY doc_id""",
+    // A-ES weighted sampling: key = ln(u)/w floored to int64 micros,
+    // u from the shared portable h64 (see ops/TextAnalysis.scala L42)
+    "q_sample_weighted" ->
+      s"""WITH d0 AS (SELECT doc_id, lang,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+                  ${h64Sql("'wsamp:' || CAST(doc_id AS VARCHAR)")} AS h
+               FROM documents),
+         kq AS (SELECT doc_id, lang, w,
+                  CAST(FLOOR(ln((CAST(h AS DOUBLE) + 1) / 1152921504606846976.0)
+                             / w * 1000000 + 0.000001) AS BIGINT) AS key_micros
+                FROM d0),
+         r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY key_micros DESC, doc_id) AS BIGINT) AS rk
+               FROM kq)
+         SELECT lang, rk, doc_id, w, key_micros
+         FROM r WHERE rk <= 5 ORDER BY lang, rk""",
     "q_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          g AS (SELECT doc_id,

@@ -608,6 +608,39 @@ object TextAnalysis {
         .filter($"rk" <= $"k_target")
         .select($"doc_id", $"lang")
         .orderBy("doc_id")
+    }),
+    // L42: deterministic weighted sampling WITHOUT replacement per
+    // group (Efraimidis–Spirakis A-ES, Inf. Process. Lett. 2006) — the
+    // quality-weighted subsample step of corpus curation ("keep the K
+    // best-weighted docs per language, where heavier docs are
+    // proportionally likelier", e.g. length- or quality-score-weighted
+    // retention). Each doc draws u ∈ (0, 1] from the shared portable
+    // h64 (so the "randomness" is identical in Spark, DuckDB and any
+    // retry — no RNG state, no seed plumbing) and scores
+    // key = ln(u)/w: taking the K LARGEST keys per group is exactly a
+    // weight-proportional draw of K without replacement. The key is
+    // floored to int64 micros (the q_text_perplexity ln-quantization
+    // scheme) so ordering is bit-stable across engines and libm
+    // implementations. Scale shape: one map-side key computation, one
+    // rank per group optimized to WindowGroupLimit (partial per-
+    // partition top-K BEFORE the group shuffle — pinned in PlanSuite),
+    // so the shuffle carries ≤ K·partitions rows per group, never the
+    // corpus. Weight here = token count (any positive int64 works).
+    "q_sample_weighted" -> ((s, d) => {
+      import s.implicits._
+      val K = 5
+      val win = Window.partitionBy($"lang").orderBy($"key_micros".desc, $"doc_id")
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("w"))
+        .withColumn("u",
+          (U.h64(concat(lit("wsamp:"), $"doc_id")).cast("double") + 1.0d) /
+            lit(1152921504606846976.0d)) // 2^60: h ∈ [0, 2^60) ⇒ u ∈ (0, 1]
+        .withColumn("key_micros",
+          floor(log($"u") / $"w" * 1000000 + 0.000001).cast("long"))
+        .withColumn("rk", row_number().over(win).cast("long"))
+        .filter($"rk" <= K)
+        .select($"lang", $"rk", $"doc_id", $"w", $"key_micros")
+        .orderBy("lang", "rk")
     })
   )
 }

@@ -331,6 +331,41 @@ class OperatorSuite extends SparkSpec {
     }
   }
 
+  test("L42 weighted sampling: A-ES invariants — dense per-group ranks, weight monotonicity, layout-independence") {
+    import spark.implicits._
+    val got = ops.TextAnalysis.qs("q_sample_weighted")(spark, sfDir).collect()
+    // exactly K=5 per language with dense ranks 1..5, keys ≤ 0 (ln u ≤ 0)
+    val byLang = got.groupBy(_.getString(0))
+    byLang.foreach { case (l, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 5L), s"$l ranks not dense")
+      assert(rows.forall(_.getLong(4) <= 0L), s"$l has a positive ln(u)/w key")
+      // within a group the emitted order IS the key order (desc, doc_id tiebreak)
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(r => (-r.getLong(4), r.getLong(2))).toSeq ==
+        sorted.map(r => (-r.getLong(4), r.getLong(2))).sortBy(identity).toSeq)
+    }
+    // A-ES weight monotonicity: for a FIXED u, a heavier doc's key is
+    // ≥ the lighter one's (ln u ≤ 0 ⇒ ln(u)/2w ≥ ln(u)/w) — doubling
+    // every weight must not decrease any doc's key
+    val keys = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("w"))
+      .withColumn("u",
+        (U.h64(concat(lit("wsamp:"), $"doc_id")).cast("double") + 1.0d) /
+          lit(1152921504606846976.0d))
+      .select($"doc_id",
+        floor(log($"u") / $"w" * 1000000 + 0.000001).cast("long").as("k1"),
+        floor(log($"u") / ($"w" * 2) * 1000000 + 0.000001).cast("long").as("k2"))
+      .collect()
+    keys.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"doc ${r.getLong(0)}: doubling weight lowered the key"))
+    // run-to-run stability: no RNG state anywhere — re-executing the
+    // query yields byte-identical rows (alternate-partitioning
+    // determinism is covered for every query by tools/sweep.sh's
+    // 7-core rung)
+    val alt = ops.TextAnalysis.qs("q_sample_weighted")(spark, sfDir).collect()
+    assert(got.map(_.toString).toSeq == alt.map(_.toString).toSeq)
+  }
+
   test("observe(): single-pass pipeline metrics ride the curation query, no second scan") {
     // the observability hook for production pipelines: data-quality
     // counters (rows kept, chars shipped, null count) attach to the

@@ -460,6 +460,17 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
       s"hourly aggregate broadcast onto the grid (scale-trap plan):\n$p")
   }
 
+  test("weighted sampling: rank-filter optimizes to WindowGroupLimit (partial top-K before the shuffle)") {
+    // the A-ES top-K per group must NOT rank the whole corpus: Spark's
+    // WindowGroupLimit pushes a per-partition partial top-K below the
+    // group exchange, so the shuffle carries ≤ K·partitions rows per
+    // group instead of every doc
+    val p = planOf("q_sample_weighted")
+    assert(p.contains("WindowGroupLimit"),
+      s"no partial group-limit before the rank shuffle:\n$p")
+    assert(p.contains("Partial"), s"group-limit not two-phase:\n$p")
+  }
+
   test("no window rides a generator's pre-amplification partitioning (every query)") {
     // The gapfill trap, generalized to the whole surface: a WindowExec
     // whose distribution requirement is satisfied by partitioning
