@@ -720,6 +720,22 @@ object Catalog {
                    COALESCE(dr.n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
                    n_members - COALESCE(dr.n_dropped, CAST(0 AS BIGINT)) AS n_kept
             FROM mem LEFT JOIN dr ON mem.cl = dr.cl"""),
+      // L42: A-ES weighted sampling — ln-quantized exponential keys
+      // over the md5-h64 uniform, top-5 per language
+      "v_sample_weighted" -> ("q_sample_weighted",
+        s"""WITH d0 AS (SELECT doc_id, lang,
+                  CAST(size(split(text, ' ')) AS BIGINT) AS w,
+                  ${h64("concat('wsamp:', CAST(doc_id AS STRING))")} AS h
+                  FROM $Db.documents),
+            kq AS (SELECT doc_id, lang, w,
+                     CAST(FLOOR(ln((CAST(h AS DOUBLE) + 1) / 1152921504606846976.0)
+                                / w * 1000000 + 0.000001) AS BIGINT) AS key_micros
+                   FROM d0),
+            r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY key_micros DESC, doc_id) AS BIGINT) AS rk
+                  FROM kq)
+            SELECT lang, rk, doc_id, w, key_micros
+            FROM r WHERE rk <= 5"""),
       "v_text_langid" -> ("q_text_langid",
         s"""WITH v AS (SELECT doc_id, lang AS labeled, explode(split(text, ' ')) AS t
                   FROM $Db.documents),
