@@ -9,7 +9,13 @@ blocks, GC pressure) and single-run jitter (codegen/JIT warm-up already
 absorbed by Bench's own min-of-2). Median over fresh-JVM runs is the
 VERDICT r5 discipline for the per-query 2x gate.
 
-Usage: python3 tools/rebaseline.py [runs] [sf_dir]
+Usage: python3 tools/rebaseline.py [runs] [sf_dir] [--merge-missing]
+
+--merge-missing: instead of REPLACING the baseline (which re-anchors the
+gate to today's load window — see tools/bench_reconcile_r8.md on why a
+fast window must never become the yardstick), only ADD entries for
+queries that have no committed baseline yet (newly built operators run
+ungated until they get one). Committed entries are left byte-identical.
 """
 import json
 import os
@@ -17,8 +23,10 @@ import statistics
 import subprocess
 import sys
 
-runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+merge_missing = "--merge-missing" in sys.argv
+args = [a for a in sys.argv[1:] if a != "--merge-missing"]
+runs = int(args[0]) if len(args) > 0 else 3
+sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 per_query = {}
@@ -35,10 +43,24 @@ for i in range(runs):
         per_query.setdefault(q, []).append(t)
     print(f"run {i + 1}/{runs}: total {out['value']}s", file=sys.stderr)
 
-baseline = {
-    "note": f"fresh-JVM median-of-{runs} of Bench min-of-2 at {sf_dir}, local[32]",
-    "queries": {q: round(statistics.median(ts), 3) for q, ts in sorted(per_query.items())},
-}
-with open(os.path.join(repo, "tools", "baseline_bench.json"), "w") as f:
-    json.dump(baseline, f, indent=1)
-print(f"wrote tools/baseline_bench.json ({len(per_query)} queries)", file=sys.stderr)
+medians = {q: round(statistics.median(ts), 3) for q, ts in sorted(per_query.items())}
+path = os.path.join(repo, "tools", "baseline_bench.json")
+if merge_missing:
+    with open(path) as f:
+        baseline = json.load(f)
+    added = {q: t for q, t in medians.items() if q not in baseline["queries"]}
+    baseline["queries"].update(added)
+    baseline["queries"] = dict(sorted(baseline["queries"].items()))
+    with open(path, "w") as f:
+        json.dump(baseline, f, indent=1)
+    print(f"merged {len(added)} new entries ({sorted(added)}); "
+          f"{len(baseline['queries']) - len(added)} committed entries untouched",
+          file=sys.stderr)
+else:
+    baseline = {
+        "note": f"fresh-JVM median-of-{runs} of Bench min-of-2 at {sf_dir}, local[32]",
+        "queries": medians,
+    }
+    with open(path, "w") as f:
+        json.dump(baseline, f, indent=1)
+    print(f"wrote tools/baseline_bench.json ({len(per_query)} queries)", file=sys.stderr)
