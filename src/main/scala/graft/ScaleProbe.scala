@@ -190,7 +190,12 @@ object ScaleProbe {
   val rung2Queries: Map[String, String] = Map(
     "q_resample_gapfill" -> "events",
     "q_graph_triangles" -> "lineitem",
-    "q_dedup_survivors" -> "documents")
+    "q_dedup_survivors" -> "documents",
+    // round 9: with gapfill fixed, the prefix-filtered Jaccard join is
+    // the steepest remaining first-rung ratio (its low-threshold
+    // contract is documented in ops/TextOps.scala) — measure its
+    // second rung so the candidates-∝-K claim rests on two points too
+    "q_sim_jaccard" -> "documents")
   val Rung2K = 25
 
   def main(args: Array[String]): Unit = {
