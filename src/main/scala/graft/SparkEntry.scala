@@ -60,7 +60,8 @@ object SparkEntry {
   def queries: Map[String, Q] =
     ops.Relational.qs ++ ops.Aggregates.qs ++ ops.Windows.qs ++ ops.Scalars.qs ++
       ops.Streaming.qs ++ ops.TextOps.qs ++ ops.Dedup.qs ++ ops.Similarity.qs ++
-      ops.TextAnalysis.qs ++ ops.Multimodal.qs ++ ops.Curate.qs ++ ops.CatalogOps.qs ++
+      ops.TextAnalysis.qs ++ ops.Multimodal.qs ++ ops.Curate.qs ++ ops.CurateIncr.qs ++
+      ops.CatalogOps.qs ++
       ops.Layout.qs ++ ops.Scd.qs ++ ops.Graph.qs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -65,14 +65,29 @@ object Aggregates {
     * every row (the r8 all-decimal version measured ~3× the r4 long
     * baseline on the bench; this restores the long path and keeps the
     * 100 TB no-wrap guarantee). */
-  private def momentSums(xy: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def momentSums(xy: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = xy.sparkSession
     import s.implicits._
     xy.groupBy($"l_returnflag", spark_partition_id().as("_pid"))
       .agg(count(lit(1)).as("n0"),
         sum($"x").as("sx0"), sum($"x" * $"x").as("sxx0"),
         sum($"y").as("sy0"), sum($"y" * $"y").as("syy0"),
-        sum($"x" * $"y").as("sxy0"))
+        sum($"x" * $"y").as("sxy0"),
+        greatest(max(abs($"x")), max(abs($"y"))).as("m0"))
+      // The exactness contract above is ENFORCED, not just documented: if
+      // a single input partition is so large (non-splittable file,
+      // upstream coalesce) that rows × max(|x|,|y|)² approaches 2^63, the
+      // int64 partials could wrap silently and still look plausible
+      // downstream. Conservative log-domain check (Σ|v²| ≤ n·max², 0.1
+      // bit of double-rounding margin) on the tiny per-(group, partition)
+      // row set; a filter over assert_true cannot be pruned away, so a
+      // breach fails the job loudly with a repartition hint.
+      .filter(assert_true(
+        log2(greatest($"n0", lit(1L)).cast("double")) +
+          lit(2.0) * log2(greatest($"m0", lit(1L)).cast("double")) < lit(62.9),
+        lit("momentSums exactness envelope breached: partition rows × max(value)² " +
+          "approaches 2^63 — split the input (smaller files / repartition) " +
+          "or reduce the value scaling")).isNull)
       .groupBy($"l_returnflag")
       .agg(sum($"n0").as("n"),
         sum($"sx0".cast("decimal(38,0)")).as("sx"),

@@ -152,4 +152,22 @@ class EdgeCaseSuite extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(asg == Map(0L -> 0L, 1L -> 1L, 2L -> 2L), s"got $asg")
   }
+
+  test("momentSums envelope guard: wrap-risk partition fails loudly, not silently") {
+    import spark.implicits._
+    // 2 rows × |y| = 2^31−1000 in ONE partition: the partials still fit
+    // int64 (Σy² ≈ 2^62.9996, no ANSI overflow yet — with ANSI disabled
+    // one more row would wrap SILENTLY), but the envelope check
+    // log2(2) + 2·log2(y) ≈ 63.0 ≥ 62.9 must fail the job loudly first
+    val big = Seq.fill(2)(("A", 1L, (1L << 31) - 1000L)).toDF("l_returnflag", "x", "y").coalesce(1)
+    val e = intercept[Throwable] { ops.Aggregates.momentSums(big).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("momentSums exactness envelope")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
+    // and a same-shape input inside the envelope still yields exact moments
+    val ok = Seq.fill(4)(("A", 2L, 3L)).toDF("l_returnflag", "x", "y").coalesce(1)
+    val r = ops.Aggregates.momentSums(ok).collect().head
+    assert(r.getAs[java.math.BigDecimal]("syy").longValueExact() == 36L)
+  }
 }
