@@ -202,6 +202,13 @@ object ScaleProbe {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
     val k = if (args.length > 2) args(2).toInt else 10
+    // diagnostic subsetting (same contract as Bench/Verify):
+    // SPARK_GRAFT_PROBE_ONLY=q_a,q_b probes just those queries; when
+    // every selected query has a known single-table input (the rung-2
+    // map), only those tables are generated — the fast loop when
+    // re-measuring one plan's scaling after a change
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -212,54 +219,59 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val selected = only.fold(probeQueries)(names => probeQueries.filter(names))
+    val rung2Selected = only.fold(rung2Queries)(names => rung2Queries.filter(kv => names(kv._1)))
+    val genSubset =
+      if (only.exists(names => names.forall(rung2Queries.contains)))
+        rung2Selected.values.toSeq.distinct
+      else tables
     val tGen0 = System.nanoTime()
-    generate(spark, srcDir, outDir, k)
+    generate(spark, srcDir, outDir, k, genSubset)
     val genSec = (System.nanoTime() - tGen0) / 1e9
-    val at1 = measure(spark, srcDir, probeQueries)
-    val atK = measure(spark, outDir, probeQueries)
+    val at1 = measure(spark, srcDir, selected)
+    val atK = measure(spark, outDir, selected)
     // second rung: generate only the three tables the probed queries
     // read, then measure. The interesting number is the STEP ratio
     // t_25x/t_10x against the row-growth step 2.5 — a plan that is
     // genuinely ~linear holds step ≲ 2.5 on a rung where fixed
     // overheads no longer flatter it.
     val out2 = outDir + "_r2"
-    generate(spark, srcDir, out2, Rung2K, rung2Queries.values.toSeq.distinct)
-    val atK2 = measure(spark, out2, rung2Queries.keys.toSeq)
-    // triangle sketch envelope evidence: the wedge-prune bloom is sized
-    // by the runtime.bloomFilter confs (conf-driven, action-free — see
-    // ops/Graph.scala). At the DEFAULT caps (4M items / 64 Mbit) the
-    // ×25 edge set (~30M edges at sf0.1×25) saturates the sketch, so
-    // the default-conf rung above measures the degraded-filter worst
-    // case. Re-measure with the caps raised to the deployment setting
-    // for this |E| (64M items / 512 Mbit — a 64 MB one-time broadcast)
-    // to show the knob restores the pruning, then restore the confs.
-    val tunedTriangles = {
-      val items = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    generate(spark, srcDir, out2, Rung2K, rung2Selected.values.toSeq.distinct)
+    val atK2 = measure(spark, out2, rung2Selected.keys.toSeq)
+    // triangle sketch envelope evidence: the wedge-prune sieve holds
+    // its pruning at the DEFAULT conf now (k=1 BitSieveAgg needs no
+    // item-count declaration and degrades gradually with fill — see
+    // ops/Graph.scala / functions/BitSieve.scala), so the rung above IS
+    // the default-conf number. Re-measure once with the bit budget
+    // raised to the deployment setting for a ~30M-edge graph (512 Mbit
+    // — a 64 MB one-time broadcast) to show the remaining knob still
+    // buys FPP headroom, then restore the conf.
+    val tunedTriangles = if (!atK2.contains("q_graph_triangles")) None else Some {
       val bits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-      val (i0, b0) = (spark.conf.getOption(items), spark.conf.getOption(bits))
-      spark.conf.set(items, "64000000")
+      val b0 = spark.conf.getOption(bits)
       spark.conf.set(bits, "536870912")
       try measure(spark, out2, Seq("q_graph_triangles"))("q_graph_triangles")
-      finally {
-        i0.fold(spark.conf.unset(items))(spark.conf.set(items, _))
-        b0.fold(spark.conf.unset(bits))(spark.conf.set(bits, _))
-      }
+      finally b0.fold(spark.conf.unset(bits))(spark.conf.set(bits, _))
     }
     def r3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val rows = probeQueries.map { n =>
+    val rows = selected.map { n =>
       val (t1, _, _) = at1(n)
       val (tk, shufK, spillK) = atK(n)
       val rung2 = atK2.get(n).map { case (tk2, shufK2, spillK2) =>
-        val tuned = if (n == "q_graph_triangles") {
-          val (tt, ts, _) = tunedTriangles
-          s""","t_${Rung2K}x_tuned_sketch":${r3(tt)},"shuffle_mb_${Rung2K}x_tuned":${r3(ts)}"""
-        } else ""
+        val tuned = tunedTriangles match {
+          case Some((tt, ts, _)) if n == "q_graph_triangles" =>
+            s""","t_${Rung2K}x_tuned_sketch":${r3(tt)},"shuffle_mb_${Rung2K}x_tuned":${r3(ts)}"""
+          case _ => ""
+        }
         s""","t_${Rung2K}x":${r3(tk2)},"ratio_${Rung2K}x":${r3(tk2 / math.max(t1, 0.001))},"step_${k}x_to_${Rung2K}x":${r3(tk2 / math.max(tk, 0.001))},"shuffle_mb_${Rung2K}x":${r3(shufK2)},"spill_mb_${Rung2K}x":${r3(spillK2)}$tuned"""
       }.getOrElse("")
       s""""$n":{"t_1x":${r3(t1)},"t_${k}x":${r3(tk)},"ratio":${r3(tk / math.max(t1, 0.001))},"shuffle_mb_${k}x":${r3(shufK)},"spill_mb_${k}x":${r3(spillK)}$rung2}"""
     }
     val line = s"""{"src":"$srcDir","k":$k,"k2":$Rung2K,"gen_sec":${r3(genSec)},"queries":{${rows.mkString(",")}}}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("scale_probe.json"), line)
+    // a subset run is a diagnostic, not evidence — never clobber the
+    // committed full-surface probe file with a partial one
+    val outFile = if (only.isEmpty) "scale_probe.json" else "scale_probe_partial.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line)
     println(line)
     spark.stop()
   }

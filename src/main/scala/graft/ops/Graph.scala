@@ -94,37 +94,32 @@ object Graph {
     // exact LEFT SEMI join after the filter is the correctness
     // backstop.
     //
-    // The sketch is built DISTRIBUTED: a bloom_filter_agg scalar
-    // subquery over the pinned oriented edge list — map-side
-    // partial_bloom_filter_agg per partition, one single-partition
-    // merge of the ~MB bitsets, and the one-row result ships to the
-    // probe side through Spark's subquery machinery (identical to the
-    // plan its own InjectRuntimeFilter rule emits). No driver-side
-    // action, no |E|-proportional driver allocation: at crawl-scale
-    // |E| the executors each fold their partition into a fixed-size
-    // bitset and the driver only ever relays the merged sketch.
-    // Sizing is CONF-DRIVEN, not data-driven (a data-driven size would
-    // need a count() action): the operator fills the same
-    // runtime.bloomFilter.maxNumItems / maxNumBits knobs that bound
-    // Spark's injected filters, so a 100 TB deployment tunes the
-    // sketch exactly where it tunes the built-in ones. Overfilling
-    // only raises the false-positive rate — the semi-join keeps the
-    // result exact.
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // The sketch is built DISTRIBUTED: a scalar-subquery aggregate over
+    // the pinned oriented edge list — map-side partials per partition,
+    // one single-partition merge of the ~MB bitsets, and the one-row
+    // result ships to the probe side through Spark's subquery machinery
+    // (identical to the plan its own InjectRuntimeFilter rule emits).
+    // No driver-side action, no |E|-proportional driver allocation.
+    // The aggregate is graft's k=1 BitSieveAgg rather than Spark's
+    // bloom_filter_agg: the builtin clamps its declared item count to
+    // runtime.bloomFilter.maxNumItems and derives k=11 from the clamp,
+    // which SATURATES once |E| passes a few× the cap (the r9 ×25-rung
+    // envelope), while a k=1 sieve at the full maxNumBits budget needs
+    // no cardinality estimate at all and degrades gracefully toward
+    // pass-through — see the BitSieveAgg scaladoc for the measured
+    // estimate-error and FPP arithmetic. The bit budget stays on the
+    // same conf knob that bounds Spark's own injected filters, and the
+    // output is the standard sketch serialization, so the probe below
+    // is still the codegen'd BloomFilterMightContain kernel. False
+    // positives are fine either way: the exact LEFT SEMI join after
+    // the filter is the correctness backstop.
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.graftshim.GraftShim.{column, expression}
     val conf = ss.sessionState.conf
-    val numItems = conf.getConfString(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
-    // spend the FULL bit budget, not 8×items: overfill past numItems
-    // degrades the false-positive rate gracefully (more bits = slower
-    // saturation), and the sketch is a one-time fixed-size broadcast
-    // either way — at the default caps this is an 8 MB sketch whose
-    // pruning holds to ~4× overfill instead of ~1×
     val numBits = conf.getConfString(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
-    val sketch = e.agg(column(new BloomFilterAggregate(
-        expression(xxhash64($"s", $"t")), Literal(numItems), Literal(numBits))
+    val sketch = e.agg(column(graft.functions.BitSieveAgg(
+        expression(xxhash64($"s", $"t")), numBits)
       .toAggregateExpression()).as("bf")).scalar()
     val mightClose = column(BloomFilterMightContain(
       expression(sketch), expression(xxhash64($"a", $"c"))))

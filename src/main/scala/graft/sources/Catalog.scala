@@ -747,8 +747,92 @@ object Catalog {
             SELECT doc_id,
               element_at($langsArr, CAST(lang_idx + 1 AS INT)) AS pred_lang, votes,
               CAST(CAST(labeled = element_at($langsArr, CAST(lang_idx + 1 AS INT)) AS INT) AS BIGINT) AS is_match
-            FROM r WHERE rn = 1"""))
+            FROM r WHERE rn = 1"""),
+      "v_dedup_cluster" -> ("q_dedup_cluster",
+        s"""WITH RECURSIVE $minhashPairCtes,
+            edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+                      UNION ALL SELECT d2, d1 FROM pairs),
+            $reachCte,
+            comp AS (SELECT vid AS doc_id, MIN(lbl) AS cluster_id
+                     FROM reach GROUP BY vid),
+            sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM comp GROUP BY cluster_id)
+            SELECT doc_id, comp.cluster_id, n_members
+            FROM comp JOIN sz ON comp.cluster_id = sz.cluster_id"""),
+      "v_dedup_survivors" -> ("q_dedup_survivors",
+        s"""WITH RECURSIVE $minhashPairCtes,
+            edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+                      UNION ALL SELECT d2, d1 FROM pairs),
+            $reachCte,
+            losers AS (SELECT vid FROM (SELECT vid, MIN(lbl) AS cluster_id
+                                        FROM reach GROUP BY vid)
+                       WHERE vid <> cluster_id)
+            SELECT doc_id, lang, source FROM $Db.documents
+            WHERE doc_id NOT IN (SELECT vid FROM losers)"""))
   }
+
+  /** MinHash candidate pairs in pure Spark SQL, ending in
+    * `pairs(d1, d2)` — the exact relational program of
+    * ops.Dedup.minhashPairs (same shared-randomness permutations, same
+    * band layout, same exact-Jaccard verify), expressed with built-ins
+    * only so a permanent view can hold it. */
+  private lazy val minhashPairCtes: String = {
+    val h64 = (e: String) => s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+    val mod = graft.ops.Dedup.PermMod
+    val minCols = (0 until graft.ops.Dedup.NumSeeds)
+      .map(j => s"MIN((${graft.ops.Dedup.permA(j)} * h + ${graft.ops.Dedup.permB(j)}) % $mod) AS m$j")
+      .mkString(", ")
+    val bandList = (0 until graft.ops.Dedup.NumBands)
+      .map(b => s"concat_ws(':', '$b', m${2 * b}, m${2 * b + 1})").mkString(", ")
+    s"""sh AS (SELECT doc_id,
+                 CASE WHEN size(split(text, ' ')) >= 3 THEN
+                   array_distinct(transform(sequence(3, size(split(text, ' '))),
+                     i -> concat(element_at(split(text, ' '), i - 2), ' ',
+                                 element_at(split(text, ' '), i - 1), ' ',
+                                 element_at(split(text, ' '), i))))
+                 ELSE array() END AS shs
+               FROM $Db.documents),
+        e AS (SELECT doc_id, ${h64("sh0")} % $mod AS h
+              FROM (SELECT doc_id, explode(shs) AS sh0 FROM sh)),
+        mins AS (SELECT doc_id, $minCols FROM e GROUP BY doc_id),
+        bands AS (SELECT doc_id, explode(array($bandList)) AS band FROM mins),
+        cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.doc_id < b.doc_id),
+        v AS (SELECT d1, d2,
+                     CAST(size(array_intersect(sa.shs, sb.shs)) AS BIGINT) AS ni,
+                     size(sa.shs) AS na, size(sb.shs) AS nb
+              FROM cand JOIN sh sa ON sa.doc_id = d1 JOIN sh sb ON sb.doc_id = d2),
+        pairs AS (SELECT d1, d2
+                  FROM (SELECT d1, d2,
+                          round(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jac FROM v)
+                  WHERE jac >= 0.2)"""
+  }
+
+  /** Min-label connected components as a depth-bounded recursive CTE
+    * (`reach(vid, lbl, d)` over `edges(u, v)`) — the pure-SQL reach of
+    * the ops.Dedup.connectedComponents fixpoint. Spark 4's recursive
+    * CTEs only admit UNION ALL, so cycle safety comes from the depth
+    * bound instead of set semantics, and the per-level DISTINCT plus
+    * the `lbl < v` monotone-propagation prune keep each level at
+    * O(Σ cluster²) rows rather than O(walks). The bound mirrors the
+    * operator's hash-to-min round cap: components of diameter ≤ 8
+    * (every near-dup cluster — they are dense) are labeled exactly;
+    * a pathological chain longer than the bound would under-merge
+    * HERE, which is precisely where the view form stops being
+    * advisable and the Scala operator (cap + star-contraction
+    * fallback, log-round) is the right tool. */
+  // `final` + literal = a compile-time constant: operatorViews (declared
+  // above) forces the lazy reachCte during object init, BEFORE a plain
+  // val declared here would be assigned — which silently interpolated
+  // depth 0 and produced a recursion that never took a step
+  private final val CcViewDepth = 8
+  private lazy val reachCte: String =
+    s"""reach(vid, lbl, d) AS (
+          SELECT DISTINCT u, u, 0 FROM edges
+          UNION ALL
+          SELECT DISTINCT e.v, r.lbl, r.d + 1
+          FROM reach r JOIN edges e ON e.u = r.vid
+          WHERE r.d < $CcViewDepth AND r.lbl < e.v)"""
 
   /** Create/refresh the durable operator views (`graft.v_*`) over the
     * external tables at `dir`. Idempotent; re-pointing at a new dir

@@ -142,7 +142,8 @@ class CatalogSuite extends SparkSpec {
     // view SQL has no access to the Scala twins' explicit broadcast()
     // and persist() hints, so these pins catch a planner regression that
     // would only bite SQL-surface users
-    Seq("v_text_tfidf", "v_quality_classify", "v_text_bpe_encode", "v_cluster_terms")
+    Seq("v_text_tfidf", "v_quality_classify", "v_text_bpe_encode", "v_cluster_terms",
+        "v_dedup_cluster", "v_dedup_survivors")
       .foreach { v =>
         val plan = fresh.sql(s"SELECT * FROM graft.$v").queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"),
