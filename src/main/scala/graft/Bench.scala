@@ -16,6 +16,28 @@ object Bench {
     // interference (GC pressure, leaked persists) when a number regresses
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // Wait-for-quiet capture start (VERDICT r9 #4): rounds 7-9 each had
+    // to re-measure 3-12 false offenders by hand because the capture
+    // BEGAN inside a contention window (ambient load amplifying the
+    // fixed cost of every sub-second query 2-6×). Gate the start
+    // instead of reconciling afterwards: poll /proc/loadavg and begin
+    // only once the 1-minute load drops under half the cores, bounded
+    // at 3 minutes of waiting — then proceed LOUDLY either way (a
+    // degraded window still shows in the window health fields; the
+    // driver's capture must never hang on a busy host). Overridable for
+    // diagnostics via SPARK_GRAFT_NO_WAIT=1.
+    val cores0 = Runtime.getRuntime.availableProcessors.toDouble
+    val preWaitLoad = loadAvg()
+    var waitedSec = 0
+    if (!sys.env.contains("SPARK_GRAFT_NO_WAIT")) {
+      val quietBar = 0.5 * cores0
+      while (waitedSec < 180 && loadAvg().headOption.exists(_ > quietBar)) {
+        Thread.sleep(5000); waitedSec += 5
+      }
+      if (loadAvg().headOption.exists(_ > quietBar))
+        System.err.println(s"BENCH WARN: starting into a busy window after ${waitedSec}s wait " +
+          s"(loadavg ${loadAvg().mkString("/")} on $cores0 cores) — expect fixed-cost inflation")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -108,7 +130,9 @@ object Bench {
     // rebaseline, see tools/rebaseline.py) are exempt until re-committed.
     val base = loadBaseline()
     val gateRatio = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val suspectWindow = scala.collection.mutable.LinkedHashMap[String, Double]()
     val rerunCrashed = scala.collection.mutable.LinkedHashSet[String]()
+    def r3b(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     results.toSeq.foreach { case (name, t) =>
       if (t >= 0 && base.contains(name) && t > gateThreshold(base(name))) {
         releaseBlocks()
@@ -124,7 +148,22 @@ object Bench {
         }
         val best = (t +: reruns.filter(_ >= 0)).min
         results(name) = best
-        if (best > gateThreshold(base(name))) gateRatio += name -> best / base(name)
+        if (best > gateThreshold(base(name))) {
+          // window-aware leniency for the one class the r7-r9 history
+          // shows flaking (ADVICE r9): a sub-0.25 s baseline whose
+          // re-measure ALSO ran under heavy ambient load (1-min load >
+          // cores) is fixed-cost amplification until a quiet window
+          // says otherwise — record it as a suspect, not an offender.
+          // Everything else (real baselines, or a quiet host) gates
+          // exactly as before.
+          val loadNow = loadAvg().headOption.getOrElse(0.0)
+          if (base(name) < 0.25 && loadNow > cores0) {
+            suspectWindow += name -> (best / base(name))
+            System.err.println(s"BENCH WARN: $name over gate (${r3b(best)}s vs " +
+              s"${r3b(base(name))}s baseline) but host is contended " +
+              s"(loadavg $loadNow on $cores0 cores) — recorded as window-suspect, re-measure quiet")
+          } else gateRatio += name -> best / base(name)
+        }
       }
     }
     val perQueryGate =
@@ -153,8 +192,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val offendersJson = gateRatio.map { case (k, r) => s"\"" + k + "\":" + r3(r) }
       .mkString("{", ",", "}")
+    val suspectJson = suspectWindow.map { case (k, r) => s"\"" + k + "\":" + r3(r) }
+      .mkString("{", ",", "}")
     val gateField =
-      s""","per_query_gate":"$perQueryGate","gate_offenders":$offendersJson${rerunWarnField(rerunCrashed.toSeq)}"""
+      s""","per_query_gate":"$perQueryGate","gate_offenders":$offendersJson""" +
+      s""","gate_suspect_window":$suspectJson${rerunWarnField(rerunCrashed.toSeq)}"""
     // surface the committed scale-probe evidence (graft.ScaleProbe at
     // sf0.1×10) alongside the sf0.1 numbers: worst growth ratio across
     // the probed plans + total spill at 10× — the scale-extrapolation
@@ -190,6 +232,7 @@ object Bench {
     def lj(l: Seq[Double]): String = l.map(r3).mkString("[", ",", "]")
     val windowField =
       s""","window":{"loadavg_start":${lj(loadStart)},"loadavg_end":${lj(loadEnd)},""" +
+      s""""loadavg_prewait":${lj(preWaitLoad)},"wait_for_quiet_sec":$waitedSec,""" +
       s""""cores":${Runtime.getRuntime.availableProcessors},""" +
       s""""capture_wall_sec":${r3((System.nanoTime() - wallStart) / 1e9)},""" +
       s""""run_spread_median":${r3(pct(0.5))},"run_spread_p90":${r3(pct(0.9))}}"""

@@ -109,6 +109,17 @@ object TextAnalysis {
     (dict, merges)
   }
 
+  /** The L42 A-ES sampling key, shared by the batch query and the
+    * streaming sampler (streaming/WeightedSample.scala) so both draw the
+    * SAME deterministic sample: u = (h64("wsamp:"+id)+1)/2^60 ∈ (0, 1],
+    * key = ln(u)/w floored to int64 micros. A pure function of
+    * (doc_id, w), which is what makes the streaming merge trivially
+    * correct — union of per-batch keys then top-K ≡ batch top-K. */
+  def aesKeyMicros(docId: org.apache.spark.sql.Column,
+                   w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(log((U.h64(concat(lit("wsamp:"), docId)).cast("double") + 1.0d) /
+      lit(1152921504606846976.0d)) / w * 1000000 + 0.000001).cast("long")
+
   val qs: Map[String, Q] = Map(
     // Language-ID: argmax of per-language token votes (ties → first lang
     // alphabetically). Shape matches a real n-gram-profile classifier:
@@ -632,11 +643,7 @@ object TextAnalysis {
       val win = Window.partitionBy($"lang").orderBy($"key_micros".desc, $"doc_id")
       Tables.documents(s, d)
         .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("w"))
-        .withColumn("u",
-          (U.h64(concat(lit("wsamp:"), $"doc_id")).cast("double") + 1.0d) /
-            lit(1152921504606846976.0d)) // 2^60: h ∈ [0, 2^60) ⇒ u ∈ (0, 1]
-        .withColumn("key_micros",
-          floor(log($"u") / $"w" * 1000000 + 0.000001).cast("long"))
+        .withColumn("key_micros", aesKeyMicros($"doc_id", $"w"))
         .withColumn("rk", row_number().over(win).cast("long"))
         .filter($"rk" <= K)
         .select($"lang", $"rk", $"doc_id", $"w", $"key_micros")

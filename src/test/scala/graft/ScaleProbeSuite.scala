@@ -88,6 +88,47 @@ class ScaleProbeSuite extends SparkSpec {
       s"driver heap grew ${heapGrowth / 1048576}MB across the 10x probe — collect-shaped?")
   }
 
+  test("rung 2 (×25): steep plans hold the step bound in time AND shuffle bytes") {
+    // VERDICT r9 #6: the ×25 rung lived only in the tool-run
+    // scale_probe.json, so a regression in a rung-2 plan shape (a
+    // reverted join pin, a re-saturating sieve) would surface only at
+    // the next manual probe. Fold it in at sf0.001 base: the four
+    // steep plans get a ×10 AND a ×25 point, and the step between them
+    // must stay inside the 2.5× row-growth envelope — in seconds with
+    // generous fixed-cost slack, and in SHUFFLE BYTES with a tighter
+    // bound (bytes are host-noise-free, and every historical rung-2
+    // failure mode — wedge-stream saturation, generator-amplification
+    // broadcast flips — moves shuffled bytes by multiples, not
+    // percents).
+    val steep = ScaleProbe.rung2Queries.keys.toSeq.sorted
+    val needed = ScaleProbe.rung2Queries.values.toSeq.distinct
+    val out10 = outDir + "_r2a"
+    val out25 = outDir + "_r2b"
+    ScaleProbe.generate(spark, sfDir, out10, 10, needed)
+    ScaleProbe.generate(spark, sfDir, out25, ScaleProbe.Rung2K, needed)
+    val at10 = ScaleProbe.measure(spark, out10, steep)
+    val at25 = ScaleProbe.measure(spark, out25, steep)
+    steep.foreach { n =>
+      val (t10, shuf10, _) = at10(n)
+      val (t25, shuf25, spill25) = at25(n)
+      assert(spill25 == 0.0, s"$n spilled ${spill25}MB at x25")
+      val timeBound = 2.5 * 2.0 * math.max(t10, 0.2)
+      assert(t25 <= timeBound,
+        s"$n: rung-2 time step broke the envelope — ${t10}s at x10, ${t25}s at x25 (bound $timeBound)")
+      // 50 MB floor: at sf0.001 base the ×10 rung can sit in the
+      // broadcast regime and the ×25 rung just past an AQE threshold
+      // (measured: survivors 3.7 MB → 86 MB, a legitimate
+      // broadcast→shuffle flip) — the byte pin exists to catch
+      // multiples-of-linear blowups (sieve saturation, generator
+      // amplification), not optimal regime changes near zero. The
+      // unfloored, binding byte evidence is the sf0.1-based tool probe
+      // (scale_probe.json).
+      val shufBound = 2.5 * 1.6 * math.max(shuf10, 50.0)
+      assert(shuf25 <= shufBound,
+        s"$n: rung-2 shuffle step super-linear — ${shuf10}MB at x10, ${shuf25}MB at x25 (bound $shufBound)")
+    }
+  }
+
   test("jaccard candidate volume scales ~K, not K² (clock-free structural pin)") {
     // The r7/r8 concern, pinned on the COUNT rather than the clock: at
     // t=0.2 the prefix keeps ~80% of each doc's shingles, so the only

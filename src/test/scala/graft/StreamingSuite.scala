@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{Ev, Stateful}
+import graft.streaming.{Ev, Stateful, WDoc, WeightedSample}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -631,5 +631,46 @@ class StreamingSuite extends SparkSpec {
     val byWindow = spark.table("wm_sink").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byWindow("00:00") == 2L) // late event 4 NOT counted
+  }
+
+  test("L42 streaming A-ES sampler: stream-accumulated top-K == batch, any split") {
+    // VERDICT r9 #7: per-batch weighted sampling with carried state —
+    // the A-ES keys are pure functions of (doc_id, w), so union of
+    // per-batch top-Ks then top-K must equal the one-shot batch draw;
+    // a re-delivered doc (at-least-once source) must change nothing.
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val all = WeightedSample.prep(Tables.documents(spark, sfDir)).collect().toSeq
+      val thirds = all.grouped(math.max(1, all.size / 3 + 1)).toSeq
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[WDoc]
+      val q = WeightedSample.topKStream(mem.toDS())
+        .writeStream.format("memory").queryName("wsamp_sink")
+        .outputMode(OutputMode.Update()).start()
+      thirds.foreach { b => mem.addData(b); q.processAllAvailable() }
+      // duplicate re-delivery of the first batch: idempotent, state unchanged
+      mem.addData(thirds.head); q.processAllAvailable()
+      q.stop()
+      // latest snapshot per lang = rows carrying that lang's max n_seen
+      val got = spark.table("wsamp_sink")
+        .withColumn("mx", max($"n_seen").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"lang")))
+        .filter($"n_seen" === $"mx")
+        .select($"lang", $"rk", $"doc_id", $"w", $"key_micros")
+        .collect().map(_.toString).sorted.toSeq
+      val want = ops.TextAnalysis.qs("q_sample_weighted")(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(want.nonEmpty && got == want,
+        s"stream sample diverged: ${got.diff(want)} vs ${want.diff(got)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 }

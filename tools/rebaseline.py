@@ -51,6 +51,15 @@ if merge_missing:
     added = {q: t for q, t in medians.items() if q not in baseline["queries"]}
     baseline["queries"].update(added)
     baseline["queries"] = dict(sorted(baseline["queries"].items()))
+    # provenance for the merged entries (ADVICE r9): the top-level note
+    # describes the ORIGINAL full capture, which tells a later reader
+    # nothing about which window/run-count produced entries added here
+    if added:
+        import datetime
+        stamp = datetime.date.today().isoformat()
+        baseline.setdefault("merge_history", []).append({
+            "date": stamp, "runs": runs, "sf_dir": sf_dir,
+            "queries": sorted(added)})
     with open(path, "w") as f:
         json.dump(baseline, f, indent=1)
     print(f"merged {len(added)} new entries ({sorted(added)}); "
