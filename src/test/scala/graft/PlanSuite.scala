@@ -381,21 +381,21 @@ class PlanSuite extends SparkSpec with AdaptiveSparkPlanHelper {
     val tp = planOf("q_graph_triangles")
     assert(!tp.contains("CartesianProduct"), s"cartesian in triangle plan:\n$tp")
     assert(!tp.contains("BroadcastNestedLoopJoin"), s"BNLJ in triangle plan:\n$tp")
-    // the wedge stream must pass the map-side bloom prefilter BEFORE
+    // the wedge stream must pass the map-side sieve prefilter BEFORE
     // the closing shuffle — dropping it silently re-shuffles the full
     // Σ d⁺² wedge stream
-    assert(tp.contains("might_contain"), s"bloom prefilter missing from triangle plan:\n$tp")
+    assert(tp.contains("might_contain"), s"sieve prefilter missing from triangle plan:\n$tp")
     // and the sketch must be built DISTRIBUTED: might_contain probes a
-    // scalar subquery (bloom_filter_agg with a map-side partial), never
-    // a driver-materialized literal — a literal here means an
+    // scalar subquery (the k=1 bit_sieve_agg with a map-side partial),
+    // never a driver-materialized literal — a literal here means an
     // |E|-proportional driver allocation snuck back in
     assert(tp.contains("might_contain(Subquery"),
-      s"bloom probe is not a scalar subquery (driver-built literal?):\n$tp")
+      s"sieve probe is not a scalar subquery (driver-built literal?):\n$tp")
     val tpFull = SparkEntry.queries("q_graph_triangles")(spark, sfDir)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(tpFull.contains("bloom_filter_agg") && tpFull.contains("partial_bloom_filter_agg"),
-      s"sketch not built via two-phase bloom_filter_agg:\n$tpFull")
+    assert(tpFull.contains("bit_sieve_agg") && tpFull.contains("partial_bit_sieve_agg"),
+      s"sketch not built via two-phase bit_sieve_agg:\n$tpFull")
     // split drift: the only non-equi join allowed is the broadcast of
     // the 1-row totals aggregate
     val dp = planOf("q_split_drift")
