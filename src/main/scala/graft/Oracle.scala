@@ -1093,6 +1093,25 @@ object Oracle {
                 round(CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE), 6) AS dup_frac
          FROM m WHERE n_dup_spans > 0 ORDER BY doc_id""",
     "q_dedup_minhash" -> minhashSql,
+    // L15b fuzzy decontamination: same shared-randomness MinHash bands,
+    // restricted to train×eval buckets, exact-Jaccard verified
+    "q_decontaminate_fuzzy" ->
+      s"""WITH $shingleCtes,
+         e0 AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+         e AS (SELECT doc_id, ${h64Sql("sh")} % $permMod AS h FROM e0),
+         mins AS (SELECT doc_id, $minCols FROM e GROUP BY 1),
+         bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM mins),
+         eb AS (SELECT DISTINCT band, doc_id AS eval_id FROM bands WHERE doc_id % 10 = 7),
+         tb AS (SELECT band, doc_id FROM bands WHERE doc_id % 10 <> 7),
+         cand AS (SELECT DISTINCT doc_id, eval_id FROM tb JOIN eb USING (band)),
+         v AS (SELECT cand.doc_id AS doc_id, eval_id,
+                      CAST(len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) AS BIGINT) AS ni,
+                      len(sa.shs) AS na, len(sb.shs) AS nb
+               FROM cand JOIN sh sa ON sa.doc_id = cand.doc_id
+                         JOIN sh sb ON sb.doc_id = eval_id),
+         j AS (SELECT doc_id, round(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jac FROM v)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches, MAX(jac) AS max_jac
+         FROM j WHERE jac >= 0.2 GROUP BY doc_id ORDER BY doc_id""",
     "q_dedup_cluster" -> dedupClusterSql,
     "q_dedup_survivors" -> dedupSurvivorsSql,
     "q_dedup_simhash" -> simhashSql,

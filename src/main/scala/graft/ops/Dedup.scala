@@ -341,6 +341,40 @@ object Dedup {
     // LSH recalls — deterministic because the hash (and therefore the
     // banding) is shared with the oracle.
     "q_dedup_minhash" -> ((s, d) => minhashPairs(s, d).orderBy("d1", "d2")),
+    // L15b: FUZZY benchmark decontamination — the near-dup form of L15
+    // (q_decontaminate's exact shared-5-gram counting misses light
+    // paraphrases; production pipelines additionally MinHash the corpus
+    // against the benchmark set). Same machinery as the dedup family:
+    // shared-randomness MinHash bands on BOTH sides, a band-equality
+    // bucket join restricted to train×eval (never train×train — the
+    // decontamination question is only "does a training doc look like
+    // an eval doc"), then the exact-Jaccard verify on the recalled
+    // candidates. Deterministic recall (banding is a pure function of
+    // the shared h64), so the DuckDB oracle reproduces the candidate
+    // set bit-for-bit. Scale shape: the eval side of a real deployment
+    // is benchmark-sized (thousands of docs) — its band table is a
+    // broadcast — while the train side streams map-side into the
+    // bucket join; flagged docs per train doc, never all-pairs.
+    "q_decontaminate_fuzzy" -> ((s, d) => {
+      import s.implicits._
+      val sh = withShingles(Tables.documents(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val bands = minhashBands(sh.select($"doc_id", explode($"shs").as("sh")), "doc_id", "sh")
+      val evalB = bands.filter($"doc_id" % 10 === 7)
+        .select($"band", $"doc_id".as("eval_id")).distinct()
+      val cand = bands.filter($"doc_id" % 10 =!= 7)
+        .join(broadcast(evalB), "band")
+        .select($"doc_id", $"eval_id").distinct()
+      cand
+        .join(sh.select($"doc_id", $"shs".as("sa")), "doc_id")
+        .join(sh.select($"doc_id".as("eval_id"), $"shs".as("sb")), "eval_id")
+        .withColumn("ni", size(array_intersect($"sa", $"sb")).cast("long"))
+        .withColumn("jac", round($"ni".cast("double") / (size($"sa") + size($"sb") - $"ni"), 6))
+        .filter($"jac" >= 0.2)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast("long").as("n_eval_matches"), max($"jac").as("max_jac"))
+        .orderBy("doc_id")
+    }),
     // Duplicate-cluster assignment — the step after pair discovery in
     // every production dedup pipeline: near-dup PAIRS become duplicate
     // GROUPS (transitively: A~B, B~C ⇒ {A,B,C}) so one canonical doc per

@@ -81,4 +81,39 @@ class CurateIncrSuite extends SparkSpec {
     assert(canon(ops.CurateIncr.report(spark, state, 2)) ==
       canon(ops.CurateIncr.incremental(spark, sfDir, 1)))
   }
+
+  test("streaming inbox drives the daily fold; restart processes only new slices") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curate_incr_stream_").toString
+    val inbox = s"$root/inbox"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+    val docs = Tables.documents(spark, sfDir)
+    def landSlice(k: Long, name: String): Unit = {
+      val tmp = s"$root/tmp_$name"
+      docs.filter(pmod($"doc_id", lit(4L)) === k).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inbox/$name.parquet"))
+    }
+    Seq(0L, 1L, 2L).foreach(k => landSlice(k, s"day$k"))
+    val state = s"$root/state"
+    val ckpt = s"$root/ckpt"
+    val v1 = streaming.CurateIncrStream.drainInbox(spark, inbox, state, ckpt)
+    assert(v1 == 2, s"expected 3 one-file micro-batches -> v2, got v$v1")
+    // report over the 3 landed slices == a one-shot fold of the same subset
+    val refState = ops.CurateIncr.newStateDir()
+    ops.CurateIncr.runDay(spark, docs.filter(pmod($"doc_id", lit(4L)) < 3), refState, 0)
+    assert(canon(ops.CurateIncr.report(spark, state, v1)) ==
+      canon(ops.CurateIncr.report(spark, refState, 0)))
+    // day 3 lands; a RESTARTED drain with the same checkpoint must fold
+    // only the new slice (batch ids continue) and reach the full corpus
+    landSlice(3L, "day3")
+    val v2 = streaming.CurateIncrStream.drainInbox(spark, inbox, state, ckpt)
+    assert(v2 == 3, s"restart should process exactly the new slice -> v3, got v$v2")
+    assert(canon(ops.CurateIncr.report(spark, state, v2)) ==
+      canon(ops.CurateIncr.incremental(spark, sfDir, 1)))
+    // a drain with NOTHING new is a no-op that still reports the current version
+    assert(streaming.CurateIncrStream.drainInbox(spark, inbox, state, ckpt) == 3)
+  }
 }
