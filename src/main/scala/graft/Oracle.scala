@@ -1777,6 +1777,12 @@ object Oracle {
       """SELECT l_returnflag,
                 CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // D14b: the incremental bitmap merge must equal the full recompute —
+    // plain COUNT(DISTINCT) over all events IS the losslessness proof
+    "q_agg_bitmap_incr" ->
+      """SELECT event_type,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_quality_report" ->
       """WITH ev AS (SELECT event_id,
                 CASE WHEN event_id % 97 = 0 THEN NULL

@@ -251,6 +251,35 @@ object Aggregates {
         .agg(sum($"c").as("n_distinct_parts"))
         .orderBy("l_returnflag")
     }),
+    // D14b: INCREMENTAL exact distinct — the D11 hist/fresh merge shape
+    // applied to the one metric additive partials cannot carry:
+    // COUNT(DISTINCT). Per-slice state is (group, bucket, bitmap) via
+    // bitmap_construct_agg; merging any set of slices is bitmap_or_agg
+    // (associative + commutative + idempotent — re-delivered slices
+    // cannot double-count, unlike a sum), so day-over-day state folds
+    // losslessly and the final count is EXACT, which is why the oracle
+    // is a plain COUNT(DISTINCT) full recompute. At 100 TB the stored
+    // per-day bitmap table answers any date-range distinct without
+    // rescanning a single event row — the cost no sketch (HLL merge
+    // loses exactness) or expand-distinct (rescan) matches.
+    "q_agg_bitmap_incr" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"event_type", $"ts", $"user_id")
+      def partial(df: org.apache.spark.sql.DataFrame) = df
+        .select($"event_type",
+          expr("bitmap_bucket_number(user_id)").as("bkt"),
+          expr("bitmap_bit_position(user_id)").as("pos"))
+        .groupBy($"event_type", $"bkt")
+        .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      val hist = partial(ev.filter($"ts" < lit("2024-01-20").cast("timestamp")))
+      val fresh = partial(ev.filter($"ts" >= lit("2024-01-20").cast("timestamp")))
+      hist.unionByName(fresh)
+        .groupBy($"event_type", $"bkt")
+        .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("c"))
+        .groupBy($"event_type")
+        .agg(sum($"c").as("n_distinct_users"))
+        .orderBy("event_type")
+    }),
     // D3: distinct aggregation (expand + two-phase plan).
     "q_agg_distinct" -> ((s, d) => {
       import s.implicits._

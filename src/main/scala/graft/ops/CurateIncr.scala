@@ -127,7 +127,17 @@ object CurateIncr {
           mergeTf(s.read.parquet(s"$prev/tf"), tfD))
       }
     val v = s"$stateDir/v$day"
-    write(md5M, s"$v/md5"); write(lineM, s"$v/line"); write(tfM, s"$v/tf")
+    // the three state writes are independent jobs — run them
+    // concurrently so the day's wall time is the largest table's write,
+    // not the sum (Spark schedules concurrent actions fine; each job's
+    // lineage reads the same slice/prev-state inputs independently)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(write(md5M, s"$v/md5")),
+      Future(write(lineM, s"$v/line")),
+      Future(write(tfM, s"$v/tf")))), Duration.Inf)
   }
 
   /** Path-based twin: the suite's input-bytes test uses this so the

@@ -40,7 +40,8 @@ class EdgeCaseSuite extends SparkSpec {
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram", "q_dedup_cluster",
     "q_sample_hash", "q_sample_mixture", "q_pipeline_curate", "q_text_sentiment",
     "q_split_train", "q_text_pii", "q_url_domains", "q_text_perplexity",
-    "q_dedup_lines", "q_pipeline_curate2")
+    "q_dedup_lines", "q_pipeline_curate2", "q_pipeline_curate_incr",
+    "q_decontaminate_fuzzy")
 
   test("every documents-table query survives a corpus of 0–6-token docs") {
     documentQueries.foreach { key =>
