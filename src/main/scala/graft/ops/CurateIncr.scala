@@ -149,9 +149,11 @@ object CurateIncr {
     * scans only (keeper-sized), no document ever re-read. */
   def report(s: SparkSession, stateDir: String, day: Int): DataFrame = {
     val v = s"$stateDir/v$day"
-    val md5P = s.read.parquet(s"$v/md5")
-    val lineP = s.read.parquet(s"$v/line")
-    val tfP = s.read.parquet(s"$v/tf")
+    reportFrom(s.read.parquet(s"$v/md5"), s.read.parquet(s"$v/line"),
+      s.read.parquet(s"$v/tf"))
+  }
+
+  private def reportFrom(md5P: DataFrame, lineP: DataFrame, tfP: DataFrame): DataFrame = {
     val d1 = md5P
       .groupBy(splitOf(col("doc_id")).as("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"),
@@ -174,6 +176,83 @@ object CurateIncr {
         coalesce(col("n_tok_occ"), lit(0L)).as("n_tok_occ"))
       .orderBy("split", "lang")
   }
+
+  // ---------- bucketed-state backend ----------
+  //
+  // The parquet backend's daily merge is union + re-aggregate: correct,
+  // but it RE-SHUFFLES THE WHOLE STATE every day, and at 100 TB the
+  // line-keeper state is the largest table in the pipeline — a daily
+  // full state shuffle would dominate the whole job. This backend keeps
+  // each state table as a BUCKETED catalog table (hash-bucketed on its
+  // merge key, the BucketingSuite lever) and merges via a full-outer
+  // join instead: the bucketed state scan already satisfies the join's
+  // required partitioning, so the only exchange in the daily merge is
+  // the day slice's own partials — state bytes never cross the wire.
+  // least() on the keeper structs skips the null side of the full-outer
+  // join, which is exactly min-merge; tf adds coalesced counts. The
+  // suite pins result-equality with the parquet backend AND the
+  // single-exchange plan shape.
+
+  private def structMd5(df: DataFrame): DataFrame =
+    df.select(col("k_md5"),
+      struct(col("doc_id"), col("lang"), col("n_toks"), col("n_lines")).as("k"))
+  private def structLine(df: DataFrame): DataFrame =
+    df.select(col("line"),
+      struct(col("doc_id"), col("idx"), col("lang"), col("len")).as("k"))
+
+  private def tableName(prefix: String, kind: String, day: Int) =
+    s"${prefix}_${kind}_v$day"
+
+  /** The three day-N merged state DataFrames against the bucketed
+    * v(N−1) tables (exposed so the suite can pin the plan shape). */
+  def mergedBucketed(s: SparkSession, prefix: String, day: Int,
+                     partials: (DataFrame, DataFrame, DataFrame))
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (md5D, lineD, tfD) = partials
+    val md5M = s.table(tableName(prefix, "md5", day - 1)).as("s")
+      .join(structMd5(md5D).as("d"), Seq("k_md5"), "full_outer")
+      .select(col("k_md5"), least(col("s.k"), col("d.k")).as("k"))
+    val lineM = s.table(tableName(prefix, "line", day - 1)).as("s")
+      .join(structLine(lineD).as("d"), Seq("line"), "full_outer")
+      .select(col("line"), least(col("s.k"), col("d.k")).as("k"))
+    val tfM = s.table(tableName(prefix, "tf", day - 1)).as("s")
+      .join(tfD.as("d"), Seq("split", "lang", "tok"), "full_outer")
+      .select(col("split"), col("lang"), col("tok"),
+        (coalesce(col("s.c"), lit(0L)) + coalesce(col("d.c"), lit(0L))).as("c"))
+    (md5M, lineM, tfM)
+  }
+
+  /** Fold one day into bucketed-catalog state (tables
+    * `{prefix}_{md5,line,tf}_v{day}` under `warehouse`). */
+  def runDayBucketed(s: SparkSession, slice: DataFrame, prefix: String,
+                     warehouse: String, day: Int, nBuckets: Int = 8): Unit = {
+    val (md5D, lineD, tfD) = dayPartials(slice)
+    val (md5M, lineM, tfM) =
+      if (day == 0) (structMd5(md5D), structLine(lineD), tfD)
+      else mergedBucketed(s, prefix, day, (md5D, lineD, tfD))
+    def writeB(df: DataFrame, kind: String, cols: Seq[String]): Unit = {
+      val t = tableName(prefix, kind, day)
+      df.write.mode("overwrite")
+        .bucketBy(nBuckets, cols.head, cols.tail: _*)
+        .option("path", s"$warehouse/$t")
+        .saveAsTable(t)
+    }
+    writeB(md5M, "md5", Seq("k_md5"))
+    writeB(lineM, "line", Seq("line"))
+    writeB(tfM, "tf", Seq("split", "lang", "tok"))
+  }
+
+  def reportBucketed(s: SparkSession, prefix: String, day: Int): DataFrame =
+    reportFrom(
+      s.table(tableName(prefix, "md5", day)).select(col("k_md5"), col("k.*")),
+      s.table(tableName(prefix, "line", day)).select(col("line"), col("k.*")),
+      s.table(tableName(prefix, "tf", day)))
+
+  def dropBucketedState(s: SparkSession, prefix: String, upToDay: Int): Unit =
+    (0 to upToDay).foreach { n =>
+      Seq("md5", "line", "tf").foreach(k =>
+        s.sql(s"DROP TABLE IF EXISTS ${tableName(prefix, k, n)}"))
+    }
 
   /** Run the full daily loop over `days` slices (doc_id mod days) and
     * finalize. The day split is arbitrary — the suite proves the report

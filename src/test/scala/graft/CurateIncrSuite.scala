@@ -116,4 +116,43 @@ class CurateIncrSuite extends SparkSpec {
     // a drain with NOTHING new is a no-op that still reports the current version
     assert(streaming.CurateIncrStream.drainInbox(spark, inbox, state, ckpt) == 3)
   }
+
+  test("bucketed state backend: same report, state side never re-shuffled") {
+    import spark.implicits._
+    val prefix = "curate_b_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = java.nio.file.Files.createTempDirectory("curate_b_wh_").toString
+    val docs = Tables.documents(spark, sfDir)
+    try {
+      (0 until 3).foreach { day =>
+        ops.CurateIncr.runDayBucketed(spark,
+          docs.filter(pmod($"doc_id", lit(3L)) === day), prefix, wh, day)
+      }
+      // result parity with the parquet backend / full recompute
+      assert(canon(ops.CurateIncr.reportBucketed(spark, prefix, 2)) ==
+        canon(ops.CurateIncr.incremental(spark, sfDir, 1)))
+      // plan pin — THE point of the backend: in the day-3 merge the
+      // bucketed state scan already satisfies the join partitioning, so
+      // the ONLY hash exchange on the merge key belongs to the day
+      // slice's partials; a second one means state bytes crossed the
+      // wire (the daily full-state shuffle this backend exists to kill)
+      val dayP = ops.CurateIncr.dayPartials(
+        docs.filter(pmod($"doc_id", lit(3L)) === 0))
+      val (md5M, lineM, _) = ops.CurateIncr.mergedBucketed(spark, prefix, 3, dayP)
+      Seq("k_md5" -> md5M, "line" -> lineM).foreach { case (key, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        // the state table is the join's FIRST child: everything between
+        // the join node and its bucketed FileScan must be exchange-free
+        // (the day-partial side may shuffle — that's its own aggregation)
+        val lines = plan.linesIterator.toSeq
+        val joinIdx = lines.indexWhere(l =>
+          l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+        val scanIdx = lines.indexWhere(_.contains("Bucketed: true"))
+        assert(joinIdx >= 0 && scanIdx > joinIdx,
+          s"merge on $key lost its bucketed state scan:\n$plan")
+        assert(!lines.slice(joinIdx + 1, scanIdx).exists(_.contains("Exchange")),
+          s"state side re-shuffled on $key:\n$plan")
+      }
+    } finally ops.CurateIncr.dropBucketedState(spark, prefix, 3)
+  }
 }
