@@ -41,17 +41,23 @@ object WeightedSample {
     override def handleInputRows(lang: String, rows: Iterator[WDoc],
         tv: TimerValues): Iterator[WSample] = {
       val prev = if (st.exists()) st.get() else WTopK(Nil, 0L)
-      val incoming = rows.toSeq
-      // idempotent merge: dedup on doc_id (keys are deterministic, so a
-      // re-delivered doc is bit-identical), then the A-ES order —
-      // key desc, doc_id asc — and keep K
-      val merged = (prev.items ++ incoming)
-        .groupBy(_.doc_id).map(_._2.head).toSeq
-        .sortBy(d => (-d.key_micros, d.doc_id))
-        .take(k).toList
-      val next = WTopK(merged, prev.n_seen + incoming.size)
+      // bounded O(K) fold — never materialize the batch's group (a whale
+      // group in one micro-batch must not buffer in heap): each row
+      // either displaces into the ≤K sorted buffer or is dropped.
+      // Idempotent under re-delivery: keys are pure functions of the
+      // doc, so a duplicate already in the buffer is skipped and one
+      // outside the buffer re-loses deterministically.
+      var buf = prev.items
+      var n = prev.n_seen
+      rows.foreach { d =>
+        n += 1L
+        if (!buf.exists(_.doc_id == d.doc_id)) {
+          buf = (d :: buf).sortBy(x => (-x.key_micros, x.doc_id)).take(k)
+        }
+      }
+      val next = WTopK(buf, n)
       st.update(next)
-      merged.iterator.zipWithIndex.map { case (d, i) =>
+      buf.iterator.zipWithIndex.map { case (d, i) =>
         WSample(lang, i + 1L, d.doc_id, d.w, d.key_micros, next.n_seen)
       }
     }
