@@ -485,6 +485,23 @@ object Oracle {
                 CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
                 CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
          FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    // D8 sketch certification (VERDICT r10 #5): the Spark query emits
+    // bound_ok = |approx − exact| within the declared envelope; the
+    // oracle emits the exact value and literal TRUE, so an out-of-bound
+    // sketch fails the hash compare — the quantitative driver-side check
+    // replacing the old rows-only `no_oracle` posture.
+    "q_agg_hll" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                TRUE AS bound_ok
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "q_agg_approx_pct" ->
+      """WITH o AS (SELECT o_orderpriority, CAST(FLOOR(o_totalprice*100) AS BIGINT) AS total_c
+                    FROM orders)
+         SELECT o_orderpriority,
+                round(quantile_cont(total_c, 0.5), 6) AS exact_median_c,
+                COUNT(*) AS n,
+                TRUE AS bound_ok
+         FROM o GROUP BY 1 ORDER BY o_orderpriority""",
     "q_agg_percentile" ->
       """WITH o AS (SELECT o_orderpriority, CAST(FLOOR(o_totalprice*100) AS BIGINT) AS total_c
                     FROM orders)
@@ -1093,6 +1110,10 @@ object Oracle {
                 round(CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE), 6) AS dup_frac
          FROM m WHERE n_dup_spans > 0 ORDER BY doc_id""",
     "q_dedup_minhash" -> minhashSql,
+    // L2b incremental near-dup: the daily band-store fold's cumulative
+    // pair ledger must equal the full-corpus recompute — the lossless
+    // proof, so the oracle IS the q_dedup_minhash SQL verbatim
+    "q_dedup_incr" -> minhashSql,
     // L15b fuzzy decontamination: same shared-randomness MinHash bands,
     // restricted to train×eval buckets, exact-Jaccard verified
     "q_decontaminate_fuzzy" ->

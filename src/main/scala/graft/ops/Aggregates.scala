@@ -334,14 +334,24 @@ object Aggregates {
       """)
     }),
     // D8: HLL sketch — mergeable across partitions/days, the 100 TB-safe
-    // distinct count. Algorithm-specific ⇒ no DuckDB oracle; the ScalaTest
-    // suite asserts |approx-exact| ≤ 5·rsd·exact instead.
+    // distinct count. The sketch value itself is algorithm-specific (no
+    // DuckDB twin), so the query CERTIFIES it instead (VERDICT r10 #5):
+    // `bound_ok` is true iff the sketch landed within the declared
+    // ±5·rsd accuracy envelope of the exact count computed in the same
+    // pass — the oracle emits the exact count and literal TRUE, so a
+    // sketch outside its bound breaks the hash compare. Deterministic:
+    // HLL register merge is element-wise max (order-free), so the
+    // estimate is a fixed number for a fixed input.
     "q_agg_hll" -> ((s, d) => {
       import s.implicits._
       Tables.events(s, d)
         .groupBy($"event_type")
         .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"),
              countDistinct($"user_id").as("exact_users"))
+        .select($"event_type", $"exact_users",
+          (abs($"approx_users" - $"exact_users") <=
+            greatest(lit(1L), floor(lit(5 * 0.02) * $"exact_users").cast("long")))
+            .as("bound_ok"))
         .orderBy("event_type")
     }),
     // PIVOT: status columns per priority (groupBy().pivot() with explicit
@@ -359,8 +369,13 @@ object Aggregates {
     }),
     // Approx percentiles — the mergeable KLL-style sketch
     // (approx_percentile) that replaces the exact sort-based form at
-    // 100 TB. Algorithm-specific ⇒ no DuckDB oracle (like D8 HLL);
-    // OperatorSuite asserts the error bound against the exact values.
+    // 100 TB. The sketch value is algorithm-specific (no DuckDB twin),
+    // so the query CERTIFIES it (VERDICT r10 #5): GK guarantees rank
+    // error ≤ ε·n (ε = 1/accuracy = 0.001) under ANY merge order, so
+    // the estimate must lie inside the exact [p(0.5−10ε), p(0.5+10ε)]
+    // value window; `bound_ok` asserts that, the oracle emits the exact
+    // median and literal TRUE — a sketch outside its rank envelope
+    // breaks the hash compare.
     "q_agg_approx_pct" -> ((s, d) => {
       import s.implicits._
       Tables.orders(s, d)
@@ -369,7 +384,12 @@ object Aggregates {
         .agg(
           expr("approx_percentile(total_c, 0.5, 1000)").as("approx_median_c"),
           round(expr("percentile(total_c, 0.5)"), 6).as("exact_median_c"),
+          round(expr("percentile(total_c, 0.49)"), 6).as("p_lo"),
+          round(expr("percentile(total_c, 0.51)"), 6).as("p_hi"),
           count(lit(1)).as("n"))
+        .select($"o_orderpriority", $"exact_median_c", $"n",
+          ($"approx_median_c" >= $"p_lo" && $"approx_median_c" <= $"p_hi")
+            .as("bound_ok"))
         .orderBy("o_orderpriority")
     }),
     // Exact percentiles (linear interpolation — same formula in DuckDB's

@@ -71,8 +71,10 @@ object CurateIncr {
       .withColumn("split", splitOf(col("doc_id")))
 
   /** One day slice → the three partial tables (flattened schemas). */
-  def dayPartials(slice: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val g = gated(slice)
+  def dayPartials(slice: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    dayPartialsOf(gated(slice))
+
+  private def dayPartialsOf(g: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val md5P = g
       .groupBy(md5(col("text")).as("k_md5"))
       .agg(min(struct(col("doc_id"), col("lang"), col("n_toks"), col("n_lines"))).as("k"))
@@ -114,10 +116,35 @@ object CurateIncr {
   private def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Retention GC (VERDICT r10 #2): once v(day) is durably written,
+    * versions ≤ day−2 are dead weight — at daily cadence the un-pruned
+    * layout kept 365 full keeper-table copies a year, with the line
+    * keeper being the largest table in the pipeline. Exactly ONE prior
+    * version (v(day−1)) is kept so a replayed micro-batch N can still
+    * re-read v(N−1) (the CurateIncrStream exactly-once contract: replay
+    * deterministically rewrites v(N) from v(N−1), which GC never touches
+    * until v(N+1) commits). */
+  private def gcVersions(stateDir: String, day: Int): Unit =
+    (0 to day - 2).foreach { n =>
+      val p = java.nio.file.Paths.get(s"$stateDir/v$n")
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally s.close()
+      }
+    }
+
   /** Fold one day's slice into the state: read v{day-1} (if any), merge,
     * write v{day}. Reads ONLY the slice + previous partials. */
   def runDay(s: SparkSession, slice: DataFrame, stateDir: String, day: Int): Unit = {
-    val (md5D, lineD, tfD) = dayPartials(slice)
+    // the gate + derived columns are computed ONCE (ADVICE r10): the
+    // three merge writes below are independent jobs whose lineages would
+    // otherwise each re-scan, re-split and re-gate the day slice —
+    // tripling the per-day slice I/O this module exists to bound.
+    // DISK_ONLY, matching the Dedup convention for corpus-sized reuse.
+    val g = gated(slice).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val (md5D, lineD, tfD) = dayPartialsOf(g)
     val (md5M, lineM, tfM) =
       if (day == 0) (md5D, lineD, tfD)
       else {
@@ -138,6 +165,8 @@ object CurateIncr {
       Future(write(md5M, s"$v/md5")),
       Future(write(lineM, s"$v/line")),
       Future(write(tfM, s"$v/tf")))), Duration.Inf)
+    g.unpersist(blocking = false)
+    gcVersions(stateDir, day)
   }
 
   /** Path-based twin: the suite's input-bytes test uses this so the
@@ -226,13 +255,17 @@ object CurateIncr {
     * `{prefix}_{md5,line,tf}_v{day}` under `warehouse`). */
   def runDayBucketed(s: SparkSession, slice: DataFrame, prefix: String,
                      warehouse: String, day: Int, nBuckets: Int = 8): Unit = {
-    val (md5D, lineD, tfD) = dayPartials(slice)
+    val g = gated(slice).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val (md5D, lineD, tfD) = dayPartialsOf(g)
     val (md5M, lineM, tfM) =
       if (day == 0) (structMd5(md5D), structLine(lineD), tfD)
       else mergedBucketed(s, prefix, day, (md5D, lineD, tfD))
     def writeB(df: DataFrame, kind: String, cols: Seq[String]): Unit = {
       val t = tableName(prefix, kind, day)
-      df.write.mode("overwrite")
+      // repartition on the bucket key first (same Murmur3-pmod as the
+      // bucketizer): each task then holds exactly one bucket, so the
+      // write emits nBuckets files instead of tasks × buckets tiny ones
+      df.repartition(nBuckets, cols.map(col): _*).write.mode("overwrite")
         .bucketBy(nBuckets, cols.head, cols.tail: _*)
         .option("path", s"$warehouse/$t")
         .saveAsTable(t)
@@ -240,6 +273,22 @@ object CurateIncr {
     writeB(md5M, "md5", Seq("k_md5"))
     writeB(lineM, "line", Seq("line"))
     writeB(tfM, "tf", Seq("split", "lang", "tok"))
+    g.unpersist(blocking = false)
+    // retention: drop v(≤ day−2) tables AND their external files (same
+    // replay contract as gcVersions — exactly one prior version kept)
+    (0 to day - 2).foreach { n =>
+      Seq("md5", "line", "tf").foreach { k =>
+        val t = tableName(prefix, k, n)
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val p = java.nio.file.Paths.get(s"$warehouse/$t")
+        if (java.nio.file.Files.exists(p)) {
+          val w = java.nio.file.Files.walk(p)
+          try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(q => java.nio.file.Files.deleteIfExists(q))
+          finally w.close()
+        }
+      }
+    }
   }
 
   def reportBucketed(s: SparkSession, prefix: String, day: Int): DataFrame =

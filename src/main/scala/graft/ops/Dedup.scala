@@ -46,7 +46,7 @@ object Dedup {
   // CASE guard: sequence(3, n) steps DOWNWARD when n < 3, so element_at
   // would hit index 0 and throw on a 2-token doc; empty array == the
   // oracle's empty list_slice for the same doc
-  private def withShingles(df: DataFrame) =
+  private[graft] def withShingles(df: DataFrame) =
     df.withColumn("toks", split(col("text"), " "))
       .withColumn("shs", expr(
         """CASE WHEN size(toks) >= 3 THEN
@@ -61,8 +61,8 @@ object Dedup {
     * jac≥0.2); rows=4 targets near-identical sets whose universe overlaps
     * heavily anyway (char grams) — fewer random collisions, same recall
     * on ~1.0-sim pairs. */
-  private def minhashBands(e: DataFrame, id: String, elem: String,
-                           rows: Int = 2): DataFrame = {
+  private[graft] def minhashBands(e: DataFrame, id: String, elem: String,
+                                rows: Int = 2): DataFrame = {
     val h = (U.h64(col(elem)) % PermMod).as("h")
     val withH = e.select(col(id), h)
     val mins = withH.groupBy(col(id))

@@ -767,7 +767,28 @@ object Catalog {
                                         FROM reach GROUP BY vid)
                        WHERE vid <> cluster_id)
             SELECT doc_id, lang, source FROM $Db.documents
-            WHERE doc_id NOT IN (SELECT vid FROM losers)"""))
+            WHERE doc_id NOT IN (SELECT vid FROM losers)"""),
+      // Diagnostic twin-less view (empty qKey): the reach CTE above is
+      // DEPTH-BOUNDED (d ≤ 8 — see reachCte), so a dup chain with
+      // diameter > 8 would silently under-merge at the SQL surface
+      // while the Scala operator's star-contraction fallback still
+      // converges. This view makes the truncation OBSERVABLE instead
+      // of silent: a converged min-label CC gives both endpoints of
+      // every edge the same label, so `unconverged_edges` is nonzero
+      // EXACTLY when the depth bound cut propagation short — SQL-only
+      // users check it the way Scala users trust the operator's
+      // fallback. (ADVICE r10; documented in README §SQL surface.)
+      "v_dedup_cc_residual" -> ("",
+        s"""WITH RECURSIVE $minhashPairCtes,
+            edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+                      UNION ALL SELECT d2, d1 FROM pairs),
+            $reachCte,
+            comp AS (SELECT vid AS doc_id, MIN(lbl) AS cluster_id
+                     FROM reach GROUP BY vid)
+            SELECT COUNT(*) AS unconverged_edges
+            FROM edges e JOIN comp a ON a.doc_id = e.u
+                         JOIN comp b ON b.doc_id = e.v
+            WHERE a.cluster_id <> b.cluster_id"""))
   }
 
   /** MinHash candidate pairs in pure Spark SQL, ending in

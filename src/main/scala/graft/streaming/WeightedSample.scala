@@ -9,12 +9,16 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
 case class WDoc(doc_id: Long, lang: String, w: Long, key_micros: Long)
 
 /** Per-language carried state: the running top-K plus a monotone
-  * seen-counter (the emission sequence a consumer uses to pick the
-  * latest snapshot from an Update-mode sink). */
-case class WTopK(items: List[WDoc], n_seen: Long)
+  * EMISSION SEQUENCE number — it advances once per delivered row,
+  * INCLUDING re-deliveries (an at-least-once source replaying a batch
+  * advances it), so it is a snapshot ordinal for Update-mode sinks,
+  * NOT a count of distinct documents seen. Only the sample content is
+  * re-delivery-invariant; consumers wanting "docs seen" should count
+  * upstream of the sampler. */
+case class WTopK(items: List[WDoc], emit_seq: Long)
 
 case class WSample(lang: String, rk: Long, doc_id: Long, w: Long,
-                   key_micros: Long, n_seen: Long)
+                   key_micros: Long, emit_seq: Long)
 
 /** §2.I × L42 — the STREAMING form of Efraimidis–Spirakis weighted
   * sampling without replacement (VERDICT r9 #7): the daily-cadence
@@ -44,11 +48,14 @@ object WeightedSample {
       // bounded O(K) fold — never materialize the batch's group (a whale
       // group in one micro-batch must not buffer in heap): each row
       // either displaces into the ≤K sorted buffer or is dropped.
-      // Idempotent under re-delivery: keys are pure functions of the
-      // doc, so a duplicate already in the buffer is skipped and one
-      // outside the buffer re-loses deterministically.
+      // The SAMPLE is idempotent under re-delivery: keys are pure
+      // functions of the doc, so a duplicate already in the buffer is
+      // skipped and one outside the buffer re-loses deterministically.
+      // emit_seq still advances per delivered row (see WTopK) — state
+      // and emitted rows DO change on duplicate delivery; only the
+      // sample content is invariant.
       var buf = prev.items
-      var n = prev.n_seen
+      var n = prev.emit_seq
       rows.foreach { d =>
         n += 1L
         if (!buf.exists(_.doc_id == d.doc_id)) {
@@ -58,7 +65,7 @@ object WeightedSample {
       val next = WTopK(buf, n)
       st.update(next)
       buf.iterator.zipWithIndex.map { case (d, i) =>
-        WSample(lang, i + 1L, d.doc_id, d.w, d.key_micros, next.n_seen)
+        WSample(lang, i + 1L, d.doc_id, d.w, d.key_micros, next.emit_seq)
       }
     }
   }

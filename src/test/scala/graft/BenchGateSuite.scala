@@ -31,6 +31,21 @@ class BenchGateSuite extends AnyFunSuite {
     assert(6.4 * 0.23 < Bench.gateThreshold(0.23))
   }
 
+  test("escalateSuspects: 2 consecutive suspect captures -> offender; absence resets") {
+    // first capture: suspect but no history — lenient, count starts at 1
+    val (e1, h1) = Bench.escalateSuspects(Map.empty, Set("q_a"))
+    assert(e1.isEmpty && h1 === Map("q_a" -> 1))
+    // second consecutive capture: escalates, count keeps growing (a
+    // chronically loaded host must not hide a persistent regression)
+    val (e2, h2) = Bench.escalateSuspects(h1, Set("q_a", "q_b"))
+    assert(e2 === Set("q_a") && h2 === Map("q_a" -> 2, "q_b" -> 1))
+    // a quiet capture where q_a is NOT suspect resets it; q_b escalates
+    val (e3, h3) = Bench.escalateSuspects(h2, Set("q_b"))
+    assert(e3 === Set("q_b") && h3 === Map("q_b" -> 2))
+    val (e4, h4) = Bench.escalateSuspects(h3, Set("q_a"))
+    assert(e4.isEmpty && h4 === Map("q_a" -> 1))
+  }
+
   test("loadAvg: three non-negative values on linux") {
     val l = Bench.loadAvg()
     assert(l.size === 3 && l.forall(_ >= 0.0))

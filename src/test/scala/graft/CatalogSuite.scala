@@ -128,6 +128,15 @@ class CatalogSuite extends SparkSpec {
     assert(Catalog.operatorViews.size >= 10, "pure-SQL surface shrank below 10 operators")
     Catalog.operatorViews.foreach { case (view, (qKey, _)) =>
       val viaSql = fresh.sql(s"SELECT * FROM graft.$view")
+      if (qKey.isEmpty) {
+        // twin-less diagnostic view: v_dedup_cc_residual counts edges
+        // whose endpoints got DIFFERENT labels — nonzero exactly when
+        // the recursive CTE's depth bound truncated CC propagation, so
+        // on this corpus (cluster diameters ≪ 8) it must read 0
+        assert(viaSql.columns.toSeq == Seq("unconverged_edges"), s"$view schema")
+        assert(viaSql.collect().map(_.toSeq).toSeq == Seq(Seq(0L)),
+          s"$view: depth bound truncated CC propagation on this corpus")
+      } else {
       val twin = SparkEntry.queries(qKey)(fresh, sfDir)
       assert(viaSql.columns.toSeq == twin.columns.toSeq,
         s"$view columns ${viaSql.columns.toSeq} != $qKey ${twin.columns.toSeq}")
@@ -136,6 +145,7 @@ class CatalogSuite extends SparkSpec {
       assert(got.nonEmpty, s"$view returned no rows")
       assert(got == want,
         s"$view diverged from $qKey: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+      }
     }
     // plan sanity through the view layer: corpus-count joins and 1-row
     // scalar sides must stay broadcasts, never cartesian products — the

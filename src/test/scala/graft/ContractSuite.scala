@@ -12,12 +12,13 @@ class ContractSuite extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle SQL without a query: $missing")
   }
 
-  test("every query has an oracle, except the documented sketch exceptions") {
+  test("every query has an oracle — including the sketches (bound_ok certification)") {
+    // since r11 even the algorithm-specific sketches (q_agg_hll,
+    // q_agg_approx_pct) carry an oracle: the query emits a bound_ok
+    // certification column and the oracle emits literal TRUE, so the
+    // driver's hash compare is a real quantitative accuracy check
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // algorithm-specific sketches (SURVEY §2.D8) — covered by
-    // OperatorSuite accuracy-bound tests instead
-    assert(noOracle == Set("q_agg_hll", "q_agg_approx_pct"),
-      s"unexpected oracle-less queries: $noOracle")
+    assert(noOracle.isEmpty, s"unexpected oracle-less queries: $noOracle")
   }
 
   test("query keys are well-formed q_* identifiers") {

@@ -56,8 +56,19 @@ class CurateIncrSuite extends SparkSpec {
         .mapToLong(java.nio.file.Files.size(_)).sum()
       finally s.close()
     }
-    val inputBudget = dirBytes(s"$root/slice2") + dirBytes(s"$state/v1")
-    val historyBytes = dirBytes(s"$root/slice0") + dirBytes(s"$root/slice1")
+    val sliceBytes = dirBytes(s"$root/slice2")
+    val inputBudget = sliceBytes + dirBytes(s"$state/v1")
+
+    // THE contract proof, functional and scale-independent: delete the
+    // raw day-0/1 slices before the day-2 fold — if any part of the fold
+    // lazily re-read raw history it would throw FileNotFound.
+    Seq("slice0", "slice1").foreach { d =>
+      val p = java.nio.file.Paths.get(s"$root/$d")
+      val w = java.nio.file.Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      finally w.close()
+    }
 
     val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new SparkListener {
@@ -73,13 +84,44 @@ class CurateIncrSuite extends SparkSpec {
 
     val read = bytesRead.get()
     assert(read > 0, "listener saw no input")
-    // history is never rescanned: the run's total input is bounded by its
-    // declared inputs (slice-2 + v1 partials), nowhere near inputs+history
-    assert(read <= (inputBudget * 1.5).toLong + (64 << 10),
-      s"day-2 read $read bytes; declared inputs $inputBudget (history $historyBytes)")
+    // I/O-amplification sanity bound: the slice parquet is scanned ONCE
+    // (the gated frame is persisted DISK_ONLY and its three consumers
+    // read the cache), but cache-block reads COUNT as input bytes at the
+    // serialized row size — ≤3 passes at ≤5×-of-parquet expansion for
+    // text-heavy rows — so the byte budget is declared inputs (1.5×)
+    // plus 15× the slice for the cache traffic. Still an order below any
+    // history-rescan regime at scale (history ≫ one day's slice).
+    assert(read <= (inputBudget * 1.5).toLong + 15L * sliceBytes + (64 << 10),
+      s"day-2 read $read bytes; inputs $inputBudget slice $sliceBytes")
     // and the report from v2 matches the full recompute
     assert(canon(ops.CurateIncr.report(spark, state, 2)) ==
       canon(ops.CurateIncr.incremental(spark, sfDir, 1)))
+  }
+
+  test("retention GC keeps at most 2 versions; replay still works; report unchanged") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val slices = (0L to 4L).map(k => docs.filter(pmod($"doc_id", lit(5L)) === k))
+    val state = ops.CurateIncr.newStateDir()
+    def versions(): Seq[Int] = {
+      val d = new java.io.File(state)
+      Option(d.list()).getOrElse(Array.empty[String])
+        .filter(_.startsWith("v")).flatMap(_.drop(1).toIntOption).toSeq.sorted
+    }
+    (0 until 5).foreach { day =>
+      ops.CurateIncr.runDay(spark, slices(day), state, day)
+      // after every committed day: the current version plus exactly one
+      // rollback version (none on day 0)
+      assert(versions() == (math.max(0, day - 1) to day).toSeq,
+        s"day $day left versions ${versions()}")
+    }
+    // a replayed micro-batch N re-reads v(N-1) — which GC kept — and
+    // deterministically rewrites v(N): the report must be unchanged
+    val before = canon(ops.CurateIncr.report(spark, state, 4))
+    ops.CurateIncr.runDay(spark, slices(4), state, 4)
+    assert(versions() == Seq(3, 4))
+    assert(canon(ops.CurateIncr.report(spark, state, 4)) == before)
+    assert(before == canon(ops.CurateIncr.incremental(spark, sfDir, 1)))
   }
 
   test("streaming inbox drives the daily fold; restart processes only new slices") {
@@ -115,6 +157,52 @@ class CurateIncrSuite extends SparkSpec {
       canon(ops.CurateIncr.incremental(spark, sfDir, 1)))
     // a drain with NOTHING new is a no-op that still reports the current version
     assert(streaming.CurateIncrStream.drainInbox(spark, inbox, state, ckpt) == 3)
+  }
+
+  test("streaming decontamination: inbox fold drops eval matches; contaminated replay idempotent") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    // the L15b convention: eval (benchmark) = doc_id % 10 == 7, train = rest
+    val evalDocs = docs.filter($"doc_id" % 10 === 7)
+    val train = docs.filter($"doc_id" % 10 =!= 7)
+    val ref = streaming.CurateIncrStream.decontamRef(evalDocs)
+    val root = java.nio.file.Files.createTempDirectory("curate_decontam_").toString
+    val inbox = s"$root/inbox"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+    (0L to 2L).foreach { k =>
+      val tmp = s"$root/tmp_$k"
+      train.filter(pmod($"doc_id", lit(3L)) === k).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inbox/day$k.parquet"))
+    }
+    val state = s"$root/state"
+    val v = streaming.CurateIncrStream.drainInbox(spark, inbox, state,
+      s"$root/ckpt", Some(ref))
+    assert(v == 2)
+    // the filter is really firing: survivors = train − the L15b flagged set
+    val clean = streaming.CurateIncrStream.decontaminate(train, ref)
+    val flagged = SparkEntry.queries("q_decontaminate_fuzzy")(spark, sfDir).count()
+    assert(flagged > 0, "corpus has no fuzzy eval matches — test is vacuous")
+    assert(clean.count() == train.count() - flagged)
+    // stream-folded state == one-shot batch fold of the decontaminated corpus
+    val refState = ops.CurateIncr.newStateDir()
+    ops.CurateIncr.runDay(spark, clean, refState, 0)
+    val want = canon(ops.CurateIncr.report(spark, refState, 0))
+    assert(canon(ops.CurateIncr.report(spark, state, v)) == want)
+    // a replayed CONTAMINATED micro-batch (same batch id, slice includes
+    // eval-matching docs) deterministically re-flags the same docs and
+    // rewrites v(N) unchanged — driven through foldBatch directly so the
+    // replayed slice is exactly the one batch 2 folded (the file-stream
+    // batch→file order is an implementation detail we must not assume)
+    val state2 = ops.CurateIncr.newStateDir()
+    (0 to 2).foreach(k => streaming.CurateIncrStream.foldBatch(
+      train.filter(pmod($"doc_id", lit(3L)) === k.toLong), state2, k, Some(ref)))
+    assert(canon(ops.CurateIncr.report(spark, state2, 2)) == want)
+    streaming.CurateIncrStream.foldBatch(
+      train.filter(pmod($"doc_id", lit(3L)) === 2L), state2, 2, Some(ref))
+    assert(canon(ops.CurateIncr.report(spark, state2, 2)) == want)
   }
 
   test("bucketed state backend: same report, state side never re-shuffled") {

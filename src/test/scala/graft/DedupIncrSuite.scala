@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental near-dup (q_dedup_incr): the daily band-store fold must be
+  * lossless (any slicing == the full-corpus MinHash recompute), must read
+  * only the day's slice + state (raw history parquet never re-read —
+  * asserted via task input-bytes), and the candidate join's state side
+  * must be exchange-free under the bucketed band store. */
+class DedupIncrSuite extends SparkSpec {
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).toSeq.sorted
+
+  test("incremental 3-day == full recompute (q_dedup_minhash) == 5-day") {
+    val full = canon(SparkEntry.queries("q_dedup_minhash")(spark, sfDir))
+    assert(full.nonEmpty, "test corpus has no near-dup pairs — suite is vacuous")
+    assert(canon(ops.DedupIncr.incremental(spark, sfDir, 3)) == full)
+    assert(canon(ops.DedupIncr.incremental(spark, sfDir, 5)) == full)
+    // a single-day fold is the degenerate one-shot case
+    assert(canon(ops.DedupIncr.incremental(spark, sfDir, 1)) == full)
+  }
+
+  test("day-2 fold reads only the day-2 slice + state (input-bytes bound)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("dedup_incr_bytes_").toString
+    (0 to 2).foreach { k =>
+      docs.filter(pmod($"doc_id", lit(3L)) === k)
+        .write.mode("overwrite").parquet(s"$root/slice$k")
+    }
+    val prefix = "dedup_incr_t_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = s"$root/wh"
+    try {
+      ops.DedupIncr.runDayPath(spark, s"$root/slice0", prefix, wh, 0)
+      ops.DedupIncr.runDayPath(spark, s"$root/slice1", prefix, wh, 1)
+
+      def dirBytes(p: String): Long = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+      }
+
+      // THE contract proof, functional and scale-independent: delete the
+      // raw day-0/1 slices before the day-2 fold — if any part of the
+      // fold lazily re-read raw history it would throw FileNotFound.
+      Seq("slice0", "slice1").foreach { d =>
+        val p = java.nio.file.Paths.get(s"$root/$d")
+        val w = java.nio.file.Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally w.close()
+      }
+
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        ops.DedupIncr.runDayPath(spark, s"$root/slice2", prefix, wh, 2)
+        org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark)
+      } finally spark.sparkContext.removeSparkListener(listener)
+
+      // I/O-amplification sanity bound on top: the fold's declared reads
+      // are its own slice plus a BOUNDED number of state passes — the
+      // band build reads the fresh doc partition, the candidate join
+      // reads the fresh band partition + the full store, the verify
+      // reads the full doc store: ≤ 2 passes over state by content. At
+      // test scale the 32-bucket × per-day layout makes files footer-
+      // dominated and the parquet reader touches footers twice, so the
+      // byte bound is 3× state (still far below any history re-read
+      // regime at real scale, where state ≪ cumulative raw corpus).
+      val inputBudget = 2L * dirBytes(s"$root/slice2") + 3L * dirBytes(wh)
+      val read = bytesRead.get()
+      assert(read > 0, "listener saw no input")
+      assert(read <= inputBudget + (64 << 10),
+        s"day-2 fold read $read bytes; bound $inputBudget")
+      // and the cumulative ledger equals the full recompute over the corpus
+      assert(canon(ops.DedupIncr.pairs(spark, prefix, wh)) ==
+        canon(SparkEntry.queries("q_dedup_minhash")(spark, sfDir)))
+    } finally ops.DedupIncr.dropState(spark, prefix)
+  }
+
+  test("candidate join: band-store side is exchange-free (bucketed scan)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val prefix = "dedup_incr_p_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = ops.DedupIncr.newWarehouse()
+    try {
+      ops.DedupIncr.runDay(spark,
+        docs.filter(pmod($"doc_id", lit(2L)) === 0), prefix, wh, 0)
+      // a representative day-1 candidate join against the store — the
+      // REAL band builder (private[graft]), in the 100 TB regime where
+      // the fresh side is NOT broadcast-sized (at sf0.001 the planner
+      // would otherwise broadcast it and skip the bucketed scan, which
+      // is also exchange-free on the store side but not the plan shape
+      // this test pins)
+      val fresh = docs.filter(pmod($"doc_id", lit(2L)) === 1)
+      val freshBands = ops.Dedup.minhashBands(
+        ops.Dedup.withShingles(fresh).select($"doc_id", explode($"shs").as("sh")),
+        "doc_id", "sh")
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val store = spark.table(s"${prefix}_bands")
+        val joined = store.as("h")
+          .join(freshBands.as("f"), $"f.band" === $"h.band" && $"f.doc_id" =!= $"h.doc_id")
+        val plan = joined.queryExecution.executedPlan.toString
+        val lines = plan.linesIterator.toSeq
+        val joinIdx = lines.indexWhere(l =>
+          l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+        val scanIdx = lines.indexWhere(_.contains("Bucketed: true"))
+        assert(joinIdx >= 0 && scanIdx > joinIdx,
+          s"candidate join lost its bucketed store scan:\n$plan")
+        assert(!lines.slice(joinIdx + 1, scanIdx).exists(_.contains("Exchange")),
+          s"band-store side re-shuffled:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    } finally ops.DedupIncr.dropState(spark, prefix)
+  }
+}

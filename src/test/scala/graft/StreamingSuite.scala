@@ -652,14 +652,15 @@ class StreamingSuite extends SparkSpec {
         .writeStream.format("memory").queryName("wsamp_sink")
         .outputMode(OutputMode.Update()).start()
       thirds.foreach { b => mem.addData(b); q.processAllAvailable() }
-      // duplicate re-delivery of the first batch: idempotent, state unchanged
+      // duplicate re-delivery of the first batch: the SAMPLE is unchanged
+      // (emit_seq advances — it counts deliveries, not distinct docs)
       mem.addData(thirds.head); q.processAllAvailable()
       q.stop()
-      // latest snapshot per lang = rows carrying that lang's max n_seen
+      // latest snapshot per lang = rows carrying that lang's max emit_seq
       val got = spark.table("wsamp_sink")
-        .withColumn("mx", max($"n_seen").over(
+        .withColumn("mx", max($"emit_seq").over(
           org.apache.spark.sql.expressions.Window.partitionBy($"lang")))
-        .filter($"n_seen" === $"mx")
+        .filter($"emit_seq" === $"mx")
         .select($"lang", $"rk", $"doc_id", $"w", $"key_micros")
         .collect().map(_.toString).sorted.toSeq
       val want = ops.TextAnalysis.qs("q_sample_weighted")(spark, sfDir)
