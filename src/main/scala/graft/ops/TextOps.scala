@@ -101,11 +101,22 @@ object TextOps {
     * The ε in the ceil guards FP round-up at exact multiples (t·n = k
     * must not become k+1, which would shorten the prefix and lose
     * recall; rounding down only lengthens the prefix — safe). */
+  /** Bucket-bitmap signature width for the verify prescreen: shingles
+    * hash (pmod) into SigBits buckets, one bit each, packed into
+    * SigBits/64 longs. 256 bits rejects hard at the corpus's typical
+    * 20-100-shingle docs (expected junk-pair bucket overlap n²/256 ≪ the
+    * overlap bound α) while costing only 32 bytes per candidate on the
+    * wire; very large docs saturate the bitmap and simply pass through
+    * to the exact verify — the filter degrades toward pass-through,
+    * never toward a miss. */
+  private final val SigBits = 512
+  private final val SigWords = SigBits / 64
+
   private def jaccardProfiles(sh: org.apache.spark.sql.DataFrame, t: Double): org.apache.spark.sql.DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
     val dfreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-    sh.join(dfreq, "sh")
+    val prof0 = sh.join(dfreq, "sh")
       .groupBy($"doc_id")
       .agg(sort_array(collect_list(struct($"df", $"sh"))).as("arr"))
       .select($"doc_id",
@@ -113,6 +124,18 @@ object TextOps {
         size($"arr").cast("long").as("n_sh"))
       .withColumn("plen",
         ($"n_sh" - ceil($"n_sh" * lit(t) - lit(1e-9)) + 1).cast("int"))
+    // bucket-bitmap signature (one pass per word, once per doc): bit
+    // pmod(sh, SigBits) set for every shingle; psig = popcount. Feeds
+    // the deterministic overlap upper bound in jaccardPairs.
+    val withSig = (0 until SigWords).foldLeft(prof0) { (df, i) =>
+      df.withColumn(s"sig$i", expr(
+        s"""aggregate(set, 0L, (acc, x) ->
+              acc | CASE WHEN pmod(x, $SigBits) div 64 = $i
+                    THEN shiftleft(1L, cast(pmod(x, $SigBits) % 64 AS int))
+                    ELSE 0L END)"""))
+    }
+    withSig.withColumn("psig",
+      (0 until SigWords).map(i => bit_count(col(s"sig$i"))).reduce(_ + _))
   }
 
   /** Rarity-ordered prefix of each doc: (doc_id, n_sh, i = 0-based
@@ -179,15 +202,41 @@ object TextOps {
     val prof = jaccardProfiles(sh, t)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = jaccardCandidatesFrom(jaccardPrefix(prof), t)
-    // SHUFFLE_HASH on the profile side of both verify joins: the
-    // candidate stream is the big side (at low t it can be 1000× the
-    // true-pair count) and each row drags two full set arrays from the
-    // moment it joins — letting AQE fall back to sort-merge sorts the
-    // candidate stream TWICE with those payloads attached (measured 3×
-    // the whole pipeline's cost at a 10× corpus). Hashing the doc-count-
-    // sized profile side keeps the candidate stream unsorted and each
-    // array is attached exactly once per join, map-side.
-    cand
+    // TIER 1 — signature prescreen (the r11 scale fix): the candidate
+    // stream at low t is ~1000× the true-pair count, and attaching a
+    // full shingle-set array to every candidate made the d2-side verify
+    // exchange the single fattest wire in the engine (measured 2.6 GB of
+    // 2.8 GB total at a 10× sf0.1 corpus — ExchangeAudit). Before any
+    // array travels, join only (n_sh, psig, 256-bit bucket bitmap) —
+    // 44 bytes — and apply a DETERMINISTIC overlap upper bound:
+    // every shared shingle lands in a bucket set in BOTH bitmaps, and
+    // each bucket set in b1 but not b2 holds ≥1 provably-unshared
+    // shingle of doc1, so
+    //   |x∩y| ≤ min(n1 − pop(b1) + s, n2 − pop(b2) + s),  s = pop(b1&b2).
+    // Reject when the bound < α = ⌈t/(1+t)·(n1+n2)⌉ — lossless (the
+    // bound always ≥ the true overlap), so the exact verify below sees
+    // only survivors. All of it codegen'd builtins (bit_count, &), no
+    // per-row allocation.
+    val sOverlap = (0 until SigWords)
+      .map(i => bit_count(col(s"g1_$i").bitwiseAND(col(s"g2_$i")))).reduce(_ + _)
+    def sigSide(k: String) = prof.select(
+      ($"doc_id".as(k) +: $"n_sh".as(s"n_$k") +: $"psig".as(s"q_$k") +:
+        (0 until SigWords).map(i => col(s"sig$i").as(s"g${k.last}_$i"))): _*)
+    val alphaS = ceil(($"n_d1" + $"n_d2") * lit(t / (1 + t)) - lit(1e-9))
+    val surv = cand
+      .join(sigSide("d1").hint("shuffle_hash"), "d1")
+      .join(sigSide("d2").hint("shuffle_hash"), "d2")
+      .filter(least($"n_d1" - $"q_d1" + sOverlap, $"n_d2" - $"q_d2" + sOverlap) >= alphaS)
+      .select($"d1", $"d2")
+    // TIER 2 — exact verify on the survivors. SHUFFLE_HASH on the
+    // profile side of both joins: the survivor stream is still the big
+    // side and each row drags two full set arrays from the moment it
+    // joins — letting AQE fall back to sort-merge sorts the survivor
+    // stream TWICE with those payloads attached (measured 3× the whole
+    // pipeline's cost at a 10× corpus). Hashing the doc-count-sized
+    // profile side keeps the survivor stream unsorted and each array is
+    // attached exactly once per join, map-side.
+    surv
       .join(prof.select($"doc_id".as("d1"), $"set".as("s1"), $"n_sh".as("n1"))
         .hint("shuffle_hash"), "d1")
       .join(prof.select($"doc_id".as("d2"), $"set".as("s2"), $"n_sh".as("n2"))
