@@ -187,7 +187,7 @@ object Bench {
     // write the history); a query suspect in TWO consecutive captures
     // escalates to a real offender — a contended window does not
     // plausibly explain the same sub-second query twice in a row.
-    val histFile = java.nio.file.Paths.get("tools/bench_suspect_history.json")
+    val histFile = atRoot("tools/bench_suspect_history.json")
     if (only.isEmpty) {
       val prev: Map[String, Int] =
         try {
@@ -244,7 +244,7 @@ object Bench {
     // the probed plans + total spill at 10× — the scale-extrapolation
     // summary a reviewer needs without opening the artifact
     val probeField = try {
-      val p = java.nio.file.Paths.get("scale_probe.json")
+      val p = atRoot("scale_probe.json")
       if (java.nio.file.Files.exists(p)) {
         val txt = java.nio.file.Files.readString(p)
         val ratios = """"ratio":([0-9.]+)""".r.findAllMatchIn(txt).map(_.group(1).toDouble).toSeq
@@ -292,7 +292,11 @@ object Bench {
         s"(loadavg ${loadStart.mkString("/")}→${loadEnd.mkString("/")} on $cores cores, " +
         s"run-spread p90 ${r3(pct(0.9))}) — re-measure before trusting regressions")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"raw":$rawJson,"shuffle_mb":$shufJson,"failed":$failedJson$ratioField$gateField$probeField$windowField,"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
+    // A SPARK_GRAFT_ONLY run is a diagnostic, not the capture of record —
+    // writing it to bench_out.json once clobbered the committed full-
+    // surface capture (ADVICE r11 #1); diagnostics get their own file.
+    val outName = if (only.isEmpty) "bench_out.json" else "bench_out_diag.json"
+    java.nio.file.Files.writeString(atRoot(outName), line)
     println(line)
     // The driver captures a bounded TAIL of stdout (r2 evidence: the full
     // line above lost its head to the tail buffer once sbt's [success]
@@ -337,6 +341,25 @@ object Bench {
     (suspects.filter(q => prev.getOrElse(q, 0) >= 1),
       suspects.map(q => q -> (prev.getOrElse(q, 0) + 1)).toMap)
 
+  /** Repo root, resolved from the location of the compiled classes
+    * (…/target/scala-2.13/classes → three levels up), falling back to
+    * the CWD. Bench's mutable state files (suspect history, capture
+    * output) and its committed inputs (baseline, scale probe) must not
+    * depend on WHERE the JVM was launched: a capture run from another
+    * working directory used to silently reset the suspect-escalation
+    * history and write bench_out.json into that directory (ADVICE r11). */
+  private[graft] lazy val repoRoot: java.nio.file.Path = {
+    val cwd = java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
+    try {
+      val src = Bench.getClass.getProtectionDomain.getCodeSource
+      val loc = java.nio.file.Paths.get(src.getLocation.toURI)
+      // classes dir layout: <root>/target/scala-2.13/classes
+      val root = if (java.nio.file.Files.isDirectory(loc)) loc.getParent.getParent.getParent else null
+      if (root != null && java.nio.file.Files.exists(root.resolve("build.sbt"))) root else cwd
+    } catch { case _: Throwable => cwd }
+  }
+  private def atRoot(rel: String): java.nio.file.Path = repoRoot.resolve(rel)
+
   /** Host 1/5/15-minute load averages from /proc/loadavg; empty on a
     * platform without it (the field then reads `[]` — still valid JSON). */
   def loadAvg(): Seq[Double] =
@@ -356,7 +379,7 @@ object Bench {
     * tools/rebaseline.py from disciplined fresh-JVM runs); empty when the
     * file is absent or unparseable. */
   private def loadBaseline(): Map[String, Double] = {
-    val f = java.nio.file.Paths.get("tools/baseline_bench.json")
+    val f = atRoot("tools/baseline_bench.json")
     if (!java.nio.file.Files.exists(f)) return Map.empty
     try {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -36,16 +36,29 @@ object CurateIncrStream {
     * a real deployment is benchmark-sized (thousands of docs), so both
     * frames are broadcast-sized at any corpus scale; each micro-batch
     * only ever bands its own slice. */
-  case class DecontamRef(evalBands: DataFrame, evalSh: DataFrame)
+  case class DecontamRef(evalBands: DataFrame, evalSh: DataFrame) {
+    /** Release the two persisted eval-side frames once the drain is
+      * done — without this the broadcast-sized blocks outlive the
+      * stream and compound across drains in one session (ADVICE r11). */
+    def release(): Unit = {
+      evalBands.unpersist(blocking = false)
+      evalSh.unpersist(blocking = false)
+      ()
+    }
+  }
 
   def decontamRef(evalDocs: DataFrame): DecontamRef = {
-    val sh = graft.ops.Dedup.withShingles(evalDocs)
+    // persist exactly the two frames the ref hands out, so release()
+    // frees what was cached (unpersisting a frame DERIVED from a
+    // persisted one is a no-op in the cache manager)
+    val evalSh = graft.ops.Dedup.withShingles(evalDocs)
+      .select(col("doc_id").as("eval_id"), col("shs").as("sb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = graft.ops.Dedup.minhashBands(
-      sh.select(col("doc_id"), explode(col("shs")).as("sh")), "doc_id", "sh")
+      evalSh.select(col("eval_id").as("doc_id"), explode(col("sb")).as("sh")), "doc_id", "sh")
       .select(col("band"), col("doc_id").as("eval_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    DecontamRef(bands, sh.select(col("doc_id").as("eval_id"), col("shs").as("sb")))
+    DecontamRef(bands, evalSh)
   }
 
   /** Drop every doc in `batch` that fuzzy-matches an eval doc: MinHash
@@ -53,9 +66,19 @@ object CurateIncrStream {
     * ≥ 0.2 verify (shared-randomness bands ⇒ deterministic recall, so a
     * replayed batch flags the same docs and the versioned-state replay
     * contract is untouched). */
-  def decontaminate(batch: DataFrame, ref: DecontamRef): DataFrame = {
-    val sh = graft.ops.Dedup.withShingles(batch)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+  def decontaminate(batch: DataFrame, ref: DecontamRef): DataFrame =
+    decontaminateKeepShingles(batch, ref, persistShingles = false)._1
+
+  /** As decontaminate, but optionally persists the per-batch shingle
+    * frame (used twice: band build + verify join) and returns it so the
+    * caller can unpersist AFTER the returned lazy frame has been acted
+    * on. (Unpersisting before the action — the r11 shape — meant the
+    * persist never materialized and the batch was re-shingled anyway.)
+    * The no-persist form is for callers with no release point. */
+  private def decontaminateKeepShingles(batch: DataFrame, ref: DecontamRef,
+                                        persistShingles: Boolean = true): (DataFrame, DataFrame) = {
+    val sh0 = graft.ops.Dedup.withShingles(batch)
+    val sh = if (persistShingles) sh0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY) else sh0
     val bands = graft.ops.Dedup.minhashBands(
       sh.select(col("doc_id"), explode(col("shs")).as("sh")), "doc_id", "sh")
     val flagged = bands
@@ -67,18 +90,20 @@ object CurateIncrStream {
       .filter(round(col("ni").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("ni")), 6) >= 0.2)
       .select(col("doc_id")).distinct()
-    val clean = batch.join(flagged, Seq("doc_id"), "left_anti")
-    sh.unpersist(blocking = false)
-    clean
+    (batch.join(flagged, Seq("doc_id"), "left_anti"), sh)
   }
 
   /** One micro-batch fold: optional decontamination, then the versioned
     * CurateIncr state write (state version = batch id — exposed so the
-    * suite can drive a REPLAY of a contaminated batch directly). */
+    * suite can drive a REPLAY of a contaminated batch directly). The
+    * batch's shingle persist is released only after runDay's actions. */
   def foldBatch(batch: DataFrame, stateDir: String, batchId: Int,
-                decontam: Option[DecontamRef]): Unit = {
-    val slice = decontam.fold(batch)(r => decontaminate(batch, r))
-    graft.ops.CurateIncr.runDay(batch.sparkSession, slice, stateDir, batchId)
+                decontam: Option[DecontamRef]): Unit = decontam match {
+    case None => graft.ops.CurateIncr.runDay(batch.sparkSession, batch, stateDir, batchId)
+    case Some(r) =>
+      val (slice, sh) = decontaminateKeepShingles(batch, r)
+      try graft.ops.CurateIncr.runDay(batch.sparkSession, slice, stateDir, batchId)
+      finally { sh.unpersist(blocking = false); () }
   }
 
   /** Drain every slice currently in `inboxDir` (one micro-batch per
