@@ -66,7 +66,14 @@ object ScaleProbe {
     // sequence() amplifies rows by span-hours per user; key-shifted
     // copies multiply users K×, so the densified grid (and the
     // per-user fill windows over it) is a direct K× stress
-    "q_resample_gapfill")
+    "q_resample_gapfill",
+    // round-12 addition (VERDICT r11 #3): the incremental near-dup band
+    // store — the K× corpus multiplies every daily slice AND the state
+    // the candidate join scans, so the probe stresses the bucketed
+    // write/read cycle and the band join together; the day-growth axis
+    // (cost vs history length at constant slice size) is pinned
+    // separately in DedupIncrSuite
+    "q_dedup_incr")
 
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** The incremental NEAR-DUP band-store fold DRIVEN AS A STREAM — the
+  * L44 sibling of CurateIncrStream (VERDICT r11 #6): a file-stream
+  * inbox where each arriving parquet slice is "a day" of documents
+  * (reference main.tf:217 daily schedule), `Trigger.AvailableNow` +
+  * maxFilesPerTrigger=1 so each slice is one micro-batch, and
+  * `foreachBatch` folding slice N into the band store as day N.
+  *
+  * Exactly-once without a transactional sink: the fold day IS the batch
+  * id, and `DedupIncr.runDay` is idempotent per day — every day-N write
+  * (band rows, shingle sets, ledger pairs) is a dynamic partition
+  * overwrite of exactly `day=N`, so a failed/replayed micro-batch
+  * rewrites its own partitions byte-identically (all randomness shared
+  * through U.h64) instead of appending duplicates. The checkpoint
+  * guarantees the slice→batch-id mapping is stable across restarts, so
+  * restart + replay converges to the same state, and restarting with
+  * the same checkpoint after new slices land processes ONLY the new
+  * slices.
+  *
+  * The state LIFECYCLE rides along (VERDICT r11 #4): after each fold,
+  * `DedupIncr.maybeCompact` — a metadata-only listing unless the
+  * settled-day count passes `maxDeltaDays` — folds history into the
+  * epoch partition, bounding partitions and files-per-bucket while the
+  * inbox grows without bound. Compaction after the state write is
+  * replay-safe: a replayed batch N only overwrites `day=N`, which a
+  * prior compaction has already emptied into the epoch — the rewrite
+  * re-lands the same rows under day=N and the NEXT compaction merges
+  * them; the ledger pair set is keyed (d1,d2) either way, so the
+  * recompute equality the suite pins is unaffected. */
+object DedupIncrStream {
+
+  /** Drain every slice currently in `inboxDir` (one micro-batch per
+    * file) into the DedupIncr state at `warehouse`; returns the highest
+    * day folded (-1 if the inbox was empty and no state exists).
+    * Idempotent under restart with the same `checkpointDir`. */
+  def drainInbox(spark: SparkSession, inboxDir: String, prefix: String,
+                 warehouse: String, checkpointDir: String,
+                 nBuckets: Int = 8, maxDeltaDays: Int = 8): Int = {
+    val seen = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val q = spark.readStream
+      .schema(CurateIncrStream.docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inboxDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.DedupIncr.runDay(batch.sparkSession, batch, prefix,
+          warehouse, batchId.toInt, nBuckets)
+        graft.ops.DedupIncr.maybeCompact(batch.sparkSession, prefix,
+          warehouse, nBuckets, maxDeltaDays)
+        seen.set(math.max(seen.get, batchId.toInt))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // a restart that found no new files leaves `seen` at -1: the
+    // warehouse high-water marker answers (day-partition layout cannot —
+    // compaction folds settled days into the epoch)
+    if (seen.get >= 0) seen.get
+    else graft.ops.DedupIncr.lastDay(spark, warehouse)
+  }
+}

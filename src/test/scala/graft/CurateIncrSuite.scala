@@ -203,6 +203,7 @@ class CurateIncrSuite extends SparkSpec {
     streaming.CurateIncrStream.foldBatch(
       train.filter(pmod($"doc_id", lit(3L)) === 2L), state2, 2, Some(ref))
     assert(canon(ops.CurateIncr.report(spark, state2, 2)) == want)
+    ref.release()
   }
 
   test("bucketed state backend: same report, state side never re-shuffled") {

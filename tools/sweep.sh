@@ -32,4 +32,24 @@ for rung in sf0.001:32 sf0.01:32 sf0.1:32 sf0.01:7; do
   echo "$res" | grep -vE "^PASS " | tail -5
   echo "$res" | grep -q " 0 fail" || fail=1
 done
+
+# Probe freshness (VERDICT r11 #2): scale_probe.json is the committed
+# scaling evidence of record — it must postdate the last commit that
+# touched the probed implementation. Compare its mtime against the
+# commit time of the newest change under src/main/scala; a stale probe
+# fails the sweep so a round cannot end with evidence that predates the
+# code it vouches for.
+echo "== probe freshness =="
+if [ -f scale_probe.json ]; then
+  probe_mtime=$(stat -c %Y scale_probe.json)
+  src_ctime=$(git log -1 --format=%ct -- src/main/scala 2>/dev/null || echo 0)
+  if [ "$src_ctime" -gt "$probe_mtime" ]; then
+    echo "STALE: scale_probe.json ($(date -d @"$probe_mtime" +%F\ %T)) predates the last src/main/scala commit ($(date -d @"$src_ctime" +%F\ %T)) — re-run graft.ScaleProbe"
+    fail=1
+  else
+    echo "fresh (probe $(date -d @"$probe_mtime" +%F\ %T) >= src commit $(date -d @"$src_ctime" +%F\ %T))"
+  fi
+else
+  echo "MISSING scale_probe.json"; fail=1
+fi
 exit $fail
