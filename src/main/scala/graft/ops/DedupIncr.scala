@@ -203,8 +203,8 @@ object DedupIncr {
   /** Path-based twin for the suite's input-bytes test (the day's inputs
     * are, by construction, one slice dir + the state tables). */
   def runDayPath(s: SparkSession, slicePath: String, prefix: String,
-                 warehouse: String, day: Int): Unit =
-    runDay(s, s.read.parquet(slicePath), prefix, warehouse, day)
+                 warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    runDay(s, s.read.parquet(slicePath), prefix, warehouse, day, nBuckets)
 
   /** The cumulative verified pair ledger after the last fold (the `day`
     * provenance partition is an internal detail of the replay contract). */
