@@ -162,7 +162,17 @@ object TextOps {
     val s = pfx.sparkSession
     import s.implicits._
     val alpha = ceil(($"a.n_sh" + $"b.n_sh") * lit(t / (1 + t)) - lit(1e-9))
-    pfx.as("a").join(pfx.as("b"),
+    // MERGE-pinned self-join: Catalyst's size estimate for the prefix
+    // explode (Generate over the cached profile) lands far under the
+    // broadcast threshold, so the FIRST execution plan-time-broadcasts a
+    // corpus-proportional side (measured: an 85 MB / 2.1M-row build
+    // under a <10 MB estimate at a 10x corpus; at crawl scale that is a
+    // hard `Cannot broadcast` failure, and only executions AFTER the
+    // cache materializes see honest stats). Both sides are the same
+    // corpus-sized table, so sort-merge — spillable, no build-fits
+    // assumption — is the only shape that survives every scale; the
+    // rows are 28-byte ids, so the sorts are cheap.
+    pfx.as("a").join(pfx.as("b").hint("merge"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
         $"a.n_sh" * lit(t) <= $"b.n_sh" && $"b.n_sh" * lit(t) <= $"a.n_sh" &&
         (lit(1) + least($"a.n_sh" - $"a.i" - 1, $"b.n_sh" - $"b.i" - 1)) >= alpha)
