@@ -341,21 +341,23 @@ object TextOps {
     // blocking — prefix, partition/pigeonhole, segment — degenerates
     // as t→0 because the witness any filter must preserve carries only
     // ~t/(1+t) of the pair's mass). What keeps THIS plan off the cliff
-    // is the rarity order plus the pair-tight length and positional
-    // (PPJoin) filters, which subsume the asymmetric 2t/(1+t) indexing
-    // -prefix bound: candidates track rare-key collisions (measured:
-    // sub-linear 6.7× at a 10× corpus, zero spill, scale_probe.json),
-    // not boilerplate df². The deliberately-NOT-taken shortcut is
+    // is the rarity order, the pair-tight length and positional
+    // (PPJoin) filters (which subsume the asymmetric 2t/(1+t) indexing
+    // -prefix bound), and — the r12 fix for the wire — the 512-bit
+    // bucket-bitmap prescreen in jaccardPairs, which rejects ~99.9% of
+    // candidates on a 44-byte signature with a DETERMINISTIC overlap
+    // bound before any shingle array travels (×10 sf0.1: verify
+    // exchange 2.6 GB → 130 MB total shuffle, ×25 step 1.36,
+    // scale_probe.json). The deliberately-NOT-taken shortcut is
     // routing through MinHash banding: banding recall at J≈t is
     // 1−(1−t^r)^b < 1, i.e. lossy BY CONSTRUCTION, and a blocking
     // that merely happens to find every pair on today's corpus trades
     // a correctness guarantee for speed. At crawl scale the engine
     // offers both regimes explicitly: q_sim_jaccard is the exact
-    // engine (use t ≥ ~0.5 where the prefix bound bites, or bounded
-    // corpora below it); L2 `q_dedup_minhash` (ops.Dedup minhashLsh)
-    // is the sub-linear sketch path for low-threshold crawl dedup,
-    // with its miss probability stated, tuned, and tested rather than
-    // hidden behind an "exact" label.
+    // engine; L2 `q_dedup_minhash` (ops.Dedup minhashLsh) is the
+    // sub-linear sketch path for low-threshold crawl dedup, with its
+    // miss probability stated, tuned, and tested rather than hidden
+    // behind an "exact" label.
     "q_sim_jaccard" -> ((s, d) => {
       import s.implicits._
       val sh = withToks(Tables.documents(s, d))
