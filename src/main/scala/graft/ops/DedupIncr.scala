@@ -254,51 +254,91 @@ object DedupIncr {
     if (counts.isEmpty) 0 else counts.values.max
   }
 
+  /** Epoch partitions (day < 0) currently in the band store, with their
+    * on-disk bytes — the size-tiering input (metadata-only listing). */
+  def epochSizes(s: SparkSession, prefix: String, warehouse: String): Map[Int, Long] = {
+    val root = new org.apache.hadoop.fs.Path(s"$warehouse/${bandsTable(prefix)}")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Map.empty
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("day=")) None
+        else n.drop(4).toIntOption.filter(_ < 0).map { d =>
+          var bytes = 0L
+          val it = fs.listFiles(st.getPath, true)
+          while (it.hasNext) { val f = it.next(); if (f.isFile) bytes += f.getLen }
+          d -> bytes
+        }
+      }.toMap
+  }
+
+  /** Merge the given day partitions of one state table into a NEW epoch
+    * partition, through the BUCKETED write path (the A11 `Compact.run`
+    * rewrite is a plain parquet write and would strip the bucket
+    * metadata the exchange-free candidate join stands on — only its
+    * metadata-only listing idea is reused, as the trigger). Stage →
+    * dynamic-overwrite insertInto of day=newEpoch → DROP PARTITION +
+    * dir reclaim for the merged inputs. dropDuplicates on the natural
+    * key: a day replayed AFTER an earlier compaction re-lands rows an
+    * epoch already holds; copies meet whenever their partitions merge. */
+  private def mergePartitions(s: SparkSession, warehouse: String, t: String,
+                              key: String, naturalKey: Seq[String],
+                              days: Seq[Int], newEpoch: Int, nBuckets: Int): Unit = {
+    if (days.isEmpty) return
+    val stage = s"$warehouse/_compact_stage_$t"
+    val cols = s.table(t).columns
+    s.table(t).filter(col("day").isin(days.map(Int.box): _*))
+      .withColumn("day", lit(newEpoch))
+      .dropDuplicates(naturalKey)
+      .write.mode("overwrite").parquet(stage)
+    withOverwriteMode(s, "dynamic") {
+      s.read.parquet(stage)
+        .repartition(nBuckets, col(key))
+        .select(cols.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").insertInto(t)
+    }
+    val fs = new org.apache.hadoop.fs.Path(warehouse)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    days.foreach { d =>
+      s.sql(s"ALTER TABLE $t DROP PARTITION (day=$d)")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$warehouse/$t/day=$d"), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
+  private def mergeBoth(s: SparkSession, prefix: String, warehouse: String,
+                        days: Seq[Int], newEpoch: Int, nBuckets: Int): Unit = {
+    mergePartitions(s, warehouse, bandsTable(prefix), "band",
+      Seq("band", "doc_id"), days, newEpoch, nBuckets)
+    mergePartitions(s, warehouse, docsTable(prefix), "doc_id",
+      Seq("doc_id"), days, newEpoch, nBuckets)
+  }
+
   /** STATE LIFECYCLE (VERDICT r11 #4). The state tables are append-only
     * with one partition and one file-set per bucket per day — at daily
     * cadence that is 365 partitions/year/table and unbounded file
-    * counts. `compactState` folds every settled day partition into the
-    * single epoch partition `day = EpochDay`, rewriting each table to
-    * exactly one file per bucket THROUGH THE BUCKETED WRITE PATH (the
-    * A11 `Compact.run` rewrite is a plain parquet write and would strip
-    * the bucket metadata the exchange-free candidate join stands on —
-    * only its metadata-only listing is reused here, as the trigger).
+    * counts. `compactState` is the FULL merge: every partition (settled
+    * days and prior epochs alike) folds into one epoch, one file per
+    * bucket. `maybeCompact` is the amortized daily hook and is
+    * SIZE-TIERED: settled days merge into a fresh epoch run, then
+    * epochs within a 2× size band of each other merge pairwise — the
+    * classic LSM size-tiering, so epoch count stays ≤ log₂(corpus/
+    * delta) and TOTAL compaction write traffic is O(N log N) instead of
+    * the O(N · days/K) a rewrite-everything-every-K-days scheme pays.
     * Correctness is layout-independent: the candidate join reads the
     * whole store and the fresh side prunes on the CURRENT day, which is
-    * never the epoch. Ledger compaction is the same single-partition
-    * rewrite; `retainFromDay` optionally drops pair provenance older
-    * than a rolling window (deployment knob — the default keeps all
-    * rows, preserving ledger == full-recompute).
-    *
-    * Each compaction rewrites the full store (amortized: trigger every
-    * K days ⇒ state bytes × days/K total write traffic; a size-tiered
-    * level scheme drops that to O(N log N) at the cost of multi-epoch
-    * reads — documented trade, not needed at the daily cadence the
-    * reference runs). The swap is stage-then-static-overwrite: a crash
-    * mid-overwrite loses no SOURCE data (the stage dir persists until
-    * the rewrite lands) but production object stores would wrap it in
-    * the ManifestSink commit-before-visibility pattern, like A11. */
+    * never negative. A crash mid-merge loses no source data (inputs
+    * drop only after the new epoch lands); production object stores
+    * would wrap the swap in the ManifestSink commit-before-visibility
+    * pattern, like A11. */
   def compactState(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32): Unit = {
-    def rewrite(t: String, key: String, naturalKey: Seq[String]): Unit = {
-      val stage = s"$warehouse/_compact_stage_$t"
-      val cols = s.table(t).columns
-      // dropDuplicates on the natural key: a day replayed AFTER an
-      // earlier compaction re-lands rows the epoch already holds
-      s.table(t).withColumn("day", lit(EpochDay))
-        .dropDuplicates(naturalKey)
-        .write.mode("overwrite").parquet(stage)
-      withOverwriteMode(s, "static") {
-        s.read.parquet(stage)
-          .repartition(nBuckets, col(key))
-          .select(cols.map(col).toIndexedSeq: _*)
-          .write.mode("overwrite").insertInto(t)
-      }
-      val p = new org.apache.hadoop.fs.Path(stage)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    }
-    rewrite(bandsTable(prefix), "band", Seq("band", "doc_id"))
-    rewrite(docsTable(prefix), "doc_id", Seq("doc_id"))
+    val all = deltaDays(s, prefix, warehouse) ++
+      epochSizes(s, prefix, warehouse).keys
+    val target = math.min(EpochDay, all.minOption.getOrElse(0) - 1)
+    mergeBoth(s, prefix, warehouse, all, target, nBuckets)
   }
 
   def compactLedger(s: SparkSession, prefix: String, warehouse: String,
@@ -321,16 +361,30 @@ object DedupIncr {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
-  /** Daily-cadence lifecycle hook: compact once the settled (non-epoch)
-    * day-partition count passes `maxDeltaDays`. Returns true when a
-    * compaction ran. Metadata-only when it does not trigger. */
+  /** Daily-cadence lifecycle hook: once the settled day-partition count
+    * passes `maxDeltaDays`, merge those days into a fresh epoch run,
+    * then SIZE-TIER the epochs (merge the two smallest while they sit
+    * within a 2× size band — keeps epoch count logarithmic in corpus/
+    * delta and avoids rewriting the big old epoch on every trigger).
+    * The ledger gets its single-partition rewrite alongside (pairs ≪
+    * corpus — near-dup output, not state — so a full ledger rewrite is
+    * cheap and keeps provenance queries one-partition simple). Returns
+    * true when a compaction ran; metadata-only otherwise. */
   def maybeCompact(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32, maxDeltaDays: Int = 8,
                    retainFromDay: Option[Int] = None): Boolean = {
     val days = deltaDays(s, prefix, warehouse)
     if (days.size <= maxDeltaDays) false
     else {
-      compactState(s, prefix, warehouse, nBuckets)
+      val newEpoch = math.min(EpochDay,
+        epochSizes(s, prefix, warehouse).keys.minOption.getOrElse(0) - 1)
+      mergeBoth(s, prefix, warehouse, days, newEpoch, nBuckets)
+      var es = epochSizes(s, prefix, warehouse).toSeq.sortBy(_._2)
+      while (es.size >= 2 && es(1)._2 <= 2L * math.max(es(0)._2, 1L)) {
+        val next = math.min(EpochDay, es.map(_._1).min - 1)
+        mergeBoth(s, prefix, warehouse, Seq(es(0)._1, es(1)._1), next, nBuckets)
+        es = epochSizes(s, prefix, warehouse).toSeq.sortBy(_._2)
+      }
       compactLedger(s, prefix, warehouse, retainFromDay)
       true
     }

@@ -95,19 +95,25 @@ object Graph {
     // 8 GB executor budgets); above it the joins fall to sort-merge,
     // which SPILLS instead of OOMing. SpillSuite separately proves
     // results are bit-identical under forced spill.
-    // The |E|/numShufflePartitions estimate is only valid if the build
-    // actually RUNS at that partition count — AQE's partition coalescing
-    // can merge small build partitions far past it (ADVICE r11 #5: a
-    // 64 MB advisory target would pack ~4M 16-byte edge rows = ~400 MB
-    // of UnsafeHashedRelation into one task). An explicit fixed-N
-    // repartition on the join key marks the exchange REPARTITION_BY_NUM,
-    // which the coalescer skips for the whole stage group, so the
-    // estimate the safety test was made against is the one that runs.
-    val parts = ss.sessionState.conf.numShufflePartitions
-    val shjSafe = e.count() * 100L / parts < (48L << 20)
-    def shj(df: DataFrame, keys: Seq[String]): DataFrame =
-      if (shjSafe) df.repartition(parts, keys.map(col): _*).hint("shuffle_hash") else df
-    val wedges = e.as("e1").join(shj(e.as("e2"), Seq("s")), $"e1.t" === $"e2.s")
+    // AQE-coalescing caveat on the |E|/numShufflePartitions estimate
+    // (ADVICE r11 #5): in principle the coalescer could merge small
+    // build partitions past the size the safety test assumed. The
+    // remedy of pinning the build with a fixed-N repartition was
+    // MEASURED AND REJECTED: REPARTITION_BY_NUM makes the coalescer
+    // skip the whole stage group — including its SKEW-SPLIT of the fat
+    // wedge-stream partitions, which is load-bearing at scale (×25
+    // probe rung: 52 GB of sort spill and step 4.15 with the pin vs
+    // zero spill and step 2.31 without it, scale_probe.json r11/r12).
+    // In practice coalescing merges by the COMBINED bytes of all
+    // exchanges in the group, and the wedge stream dwarfs the edge
+    // build, so build partitions never merge far — the measured ×25
+    // rung runs the hinted plan with zero spill. The margin in the
+    // 48 MB bound (vs ~150 MB/task budget) absorbs the residual
+    // 2-3× merge headroom.
+    val shjSafe =
+      e.count() * 100L / ss.sessionState.conf.numShufflePartitions < (48L << 20)
+    def shj(df: DataFrame): DataFrame = if (shjSafe) df.hint("shuffle_hash") else df
+    val wedges = e.as("e1").join(shj(e.as("e2")), $"e1.t" === $"e2.s")
       .select($"e1.s".as("a"), $"e1.t".as("b"), $"e2.t".as("c"))
     // Filter-before-shuffle: in a sparse graph almost no wedge closes
     // (sf0.1: 1.9M of 49M), yet the naive plan shuffles the ENTIRE
@@ -151,7 +157,7 @@ object Graph {
     val mightClose = column(BloomFilterMightContain(
       expression(sketch), expression(xxhash64($"a", $"c"))))
     val tri = wedges.filter(mightClose).join(
-      shj(e.select($"s".as("a"), $"t".as("c")), Seq("a", "c")),
+      shj(e.select($"s".as("a"), $"t".as("c"))),
       Seq("a", "c"), "left_semi")
     val perNode = tri
       .select(explode(array($"a", $"b", $"c")).as("x"))

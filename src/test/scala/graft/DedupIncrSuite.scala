@@ -137,6 +137,10 @@ class DedupIncrSuite extends SparkSpec {
           s"day $d: delta partitions unbounded")
         assert(ops.DedupIncr.maxFilesPerBucket(spark, prefix, wh) <= 8,
           s"day $d: files-per-bucket unbounded")
+        // size-tiering keeps the epoch-run count logarithmic, not one
+        // per trigger
+        assert(ops.DedupIncr.epochSizes(spark, prefix, wh).size <= 3,
+          s"day $d: epoch runs not tiered")
       }
       // compaction changed layout only: ledger == the full recompute
       val full = canon(SparkEntry.queries("q_dedup_minhash")(spark, sfDir))
