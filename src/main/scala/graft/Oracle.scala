@@ -1157,6 +1157,10 @@ object Oracle {
 
     // ----- similarity search / vector agg -----
     "q_ann_lsh" -> annLshSql,
+    // L45 incremental ANN: bucket codes are pure functions of the
+    // vectors, so the daily-folded index answers IDENTICALLY to the
+    // full-corpus recompute — the oracle is q_ann_lsh's SQL verbatim
+    "q_ann_incr" -> annLshSql,
     "q_ann_ivf" ->
       """WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
                   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v

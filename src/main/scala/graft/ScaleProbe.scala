@@ -73,7 +73,12 @@ object ScaleProbe {
     // write/read cycle and the band join together; the day-growth axis
     // (cost vs history length at constant slice size) is pinned
     // separately in DedupIncrSuite
-    "q_dedup_incr")
+    "q_dedup_incr",
+    // round-12 addition: the incremental ANN index (L45) — K× embeddings
+    // multiply the daily fold (two bucketed writes) and the serving
+    // path's candidate volume together; sign-flipped copies keep
+    // cross-copy collisions ≈ chance so candidates/query stay ∝ N/2^bits
+    "q_ann_incr")
 
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

@@ -1,0 +1,195 @@
+package graft.ops
+
+import graft.{Q, Tables, U}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** L45: Incremental ANN index maintenance — the LSH bucket index as
+  * daily state. The third member of the incremental family (L43
+  * curation, L44 near-dup): the reference's operating contract is one
+  * slice of new items per day (reference main.tf:217 daily schedule,
+  * src/main.py:263), and the serving-side counterpart of the L44
+  * question is "which existing vectors are near this one?" — `q_ann_lsh`
+  * answers it only by re-coding the whole corpus per run, a daily full
+  * rescan at 100 TB. This module persists the index itself:
+  *
+  *   - `{prefix}_codes` (bkt, vec_id) — the hyperplane-LSH bucket rows,
+  *     BUCKETED on `bkt` (the probe-join key) and PARTITIONED by arrival
+  *     day. The bucket code is a PURE FUNCTION of the vector (planes from
+  *     the shared `U.h64`, ops/Dedup.scala), so the union of per-day code
+  *     partitions is bit-identical to re-coding the full corpus — the
+  *     same losslessness argument as the L44 band store, and why the
+  *     DuckDB oracle for `q_ann_incr` is `q_ann_lsh`'s SQL verbatim.
+  *   - `{prefix}_vecs` (vec_id, v, n2) — the int64-scaled vectors +
+  *     cached norm², BUCKETED on `vec_id` for the rerank join and
+  *     day-partitioned likewise; raw embeddings are scaled exactly once.
+  *
+  * Both tables are APPEND-ONLY (vec_ids disjoint across days): a day's
+  * fold is two map-side projections + bucketed writes — cost ∝ slice,
+  * NO join, no history read (cheaper than L44, which must discover
+  * candidates at fold time; ANN candidates are query-time work). Writes
+  * are dynamic partition overwrites of exactly `day=N`, so replays are
+  * byte-idempotent, and the IncrState size-tiered compaction bounds
+  * partition/file growth — AnnIncrSuite pins all of it.
+  *
+  * Query path (`topK`): multiprobe the query vectors' buckets
+  * (ops/Dedup.lshProbes, radius-1 masks), equi-join the CODE STORE on
+  * `bkt` (state side exchange-free under the bucketed scan — only the
+  * Q·fanout probe rows shuffle), distinct the candidate pairs, then
+  * exact-rerank through TWO bucket-aligned joins against the vector
+  * store (c-side then q-side, each exchange-free on the state side) and
+  * keep top-k per query. At 10^9+ vectors this is the IVF/LSH serving
+  * shape: index build amortized over days, per-query cost ∝ bucket
+  * collisions, never a corpus scan.
+  */
+object AnnIncr {
+
+  private def codesTable(prefix: String) = s"${prefix}_codes"
+  private def vecsTable(prefix: String) = s"${prefix}_vecs"
+
+  private def stateTables(prefix: String): Seq[IncrState.StateTable] = Seq(
+    IncrState.StateTable(codesTable(prefix), "bkt", Seq("bkt", "vec_id")),
+    IncrState.StateTable(vecsTable(prefix), "vec_id", Seq("vec_id")))
+
+  /** Int64-scale a slice of the embeddings table (same 1e7 floor scheme
+    * as the rest of the vector family — bit-exact cross-engine). */
+  private def scaled(slice: DataFrame): DataFrame = {
+    import slice.sparkSession.implicits._
+    slice.select($"vec_id",
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000) as bigint))").as("v"))
+      .withColumn("n2", graft.functions.DotL.dot($"v", $"v"))
+  }
+
+  /** Fold one day's slice into the index. Reads ONLY the slice (once)
+    * plus the fresh day partition it just wrote (read BACK from state so
+    * the codes derive from the stored vectors, not a second scan of raw
+    * input — the same no-runtime-cache discipline as the L44 fold, and
+    * what keeps the suite's input-bytes bound slice-shaped). */
+  def runDay(s: SparkSession, slice: DataFrame, prefix: String,
+             warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
+    import s.implicits._
+    val Seq(codesT, vecsT) = stateTables(prefix)
+    IncrState.writeDay(s, scaled(slice).withColumn("day", lit(day)),
+      vecsT, warehouse, day, nBuckets)
+    val fresh = s.table(vecsTable(prefix)).filter($"day" === day)
+    IncrState.writeDay(s,
+      Dedup.lshBuckets(fresh.select($"vec_id", $"v")).withColumn("day", lit(day)),
+      codesT, warehouse, day, nBuckets)
+    IncrState.writeLastDay(s, warehouse, day)
+  }
+
+  /** Highest day ever folded into this warehouse; -1 when none. */
+  def lastDay(s: SparkSession, warehouse: String): Int =
+    IncrState.lastDay(s, warehouse)
+
+  /** Path-based twin for the suite's input-bytes test. */
+  def runDayPath(s: SparkSession, slicePath: String, prefix: String,
+                 warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    runDay(s, s.read.parquet(slicePath), prefix, warehouse, day, nBuckets)
+
+  /** Exact-reranked top-k over the persisted index for the given query
+    * vectors (`(q_id, qv, qn)` rows). Candidate recall is one bucket
+    * equi-join; rerank is two bucket-aligned joins against the vector
+    * store. Output matches `q_ann_lsh` row-for-row on the same queries. */
+  def topK(s: SparkSession, prefix: String, queries: DataFrame, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val cand = probesOf(queries)
+      .join(codeStore(s, prefix).select($"bkt", $"vec_id".as("c_id")), "bkt")
+      .filter($"q_id" =!= $"c_id")
+      .select($"q_id", $"c_id")
+      .distinct()
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id")
+    cand
+      .join(vecView(s, prefix).select($"vec_id".as("c_id"), $"v".as("cv"), $"n2".as("cn")), "c_id")
+      .join(queries.select($"q_id", $"qv", $"qn"), "q_id")
+      .withColumn("dot", graft.functions.DotL.dot($"qv", $"cv"))
+      .withColumn("sim", round($"dot".cast("double") /
+        (sqrt($"qn".cast("double")) * sqrt($"cn".cast("double"))), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"q_id", $"rk", $"c_id", $"sim")
+  }
+
+  /** Radius-1 multiprobe bucket rows for a `(q_id, qv, qn)` query set —
+    * the probe side of the candidate join (suite-pinned plan shape). */
+  private[graft] def probesOf(queries: DataFrame): DataFrame = {
+    import queries.sparkSession.implicits._
+    Dedup.lshProbes(
+        queries.select($"q_id".as("vec_id"), $"qv".as("v")), Dedup.ProbeMasks1)
+      .select($"vec_id".as("q_id"), $"bkt")
+  }
+
+  /** The code store of a fold (for the suite's plan pins). */
+  private[graft] def codeStore(s: SparkSession, prefix: String): DataFrame =
+    s.table(codesTable(prefix))
+  private[graft] def vecStore(s: SparkSession, prefix: String): DataFrame =
+    s.table(vecsTable(prefix))
+
+  /** Lifecycle accessors + hook (IncrState; codes table drives sizing). */
+  def deltaDays(s: SparkSession, prefix: String, warehouse: String): Seq[Int] =
+    IncrState.deltaDays(s, codesTable(prefix), warehouse)
+  def maxFilesPerBucket(s: SparkSession, prefix: String, warehouse: String): Int =
+    IncrState.maxFilesPerBucket(s, codesTable(prefix), warehouse)
+  def epochSizes(s: SparkSession, prefix: String, warehouse: String): Map[Int, Long] =
+    IncrState.epochSizes(s, codesTable(prefix), warehouse)
+  def maybeCompact(s: SparkSession, prefix: String, warehouse: String,
+                   nBuckets: Int = 32, maxDeltaDays: Int = 8): Boolean =
+    IncrState.sizeTieredCompact(s, warehouse, stateTables(prefix),
+      codesTable(prefix), nBuckets, maxDeltaDays)
+  def compactState(s: SparkSession, prefix: String, warehouse: String,
+                   nBuckets: Int = 32): Unit =
+    IncrState.compactAll(s, warehouse, stateTables(prefix), codesTable(prefix), nBuckets)
+
+  def dropState(s: SparkSession, prefix: String): Unit =
+    Seq(codesTable(prefix), vecsTable(prefix)).foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"))
+
+  /** Serving read-view of the vector store: a day replayed AFTER an
+    * earlier compaction folded it re-lands identical rows under `day=N`
+    * beside the epoch copy until the next compaction collapses them
+    * (the replay contract's one transient). The candidate distinct
+    * absorbs the CODE duplicates; the vector side dedups here — on the
+    * natural key, over the `vec_id`-bucketed scan, so it is one
+    * HashAggregate per bucket with NO exchange (the same read-repair
+    * choice as DedupIncr.pairs' distinct; both copies carry identical
+    * (v, n2), so the pick is deterministic). */
+  private def vecView(s: SparkSession, prefix: String): DataFrame = {
+    import s.implicits._
+    s.table(vecsTable(prefix)).select($"vec_id", $"v", $"n2")
+      .dropDuplicates("vec_id")
+  }
+
+  /** The store-resident query set of the `q_ann_lsh` contract (every
+    * 50th vector), read back from state. */
+  def storeQueries(s: SparkSession, prefix: String): DataFrame = {
+    import s.implicits._
+    vecView(s, prefix).filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n2".as("qn"))
+  }
+
+  /** Daily loop over `days` slices (vec_id mod days) + top-3 serving —
+    * the oracle is the full-corpus LSH recompute (`q_ann_lsh`'s SQL
+    * verbatim: bucket codes are pure functions of the vectors, so the
+    * folded index answers identically). The result lands in the
+    * warehouse and is read back so state tables can drop before the
+    * caller consumes the (lazy) frame. */
+  def incremental(s: SparkSession, dir: String, days: Int): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val prefix = "ann_incr_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = IncrState.newWarehouse()
+    (0 until days).foreach { day =>
+      runDay(s, emb.filter(pmod(col("vec_id"), lit(days.toLong)) === day),
+        prefix, wh, day, nBuckets = 8)
+    }
+    topK(s, prefix, storeQueries(s, prefix), 3)
+      .write.mode("overwrite").parquet(s"$wh/result")
+    dropState(s, prefix)
+    s.read.parquet(s"$wh/result").orderBy("q_id", "rk")
+  }
+
+  val qs: Map[String, Q] = Map(
+    "q_ann_incr" -> ((s, d) => incremental(s, d, 3))
+  )
+}

@@ -52,43 +52,22 @@ object DedupIncr {
 
   val JaccardThreshold = 0.2
 
-  /** Per-run state root, removed on JVM exit (same contract as
-    * CurateIncr.stateRoot: results are read lazily from parquet, so
-    * cleanup must not race the consumer). */
-  private lazy val stateRoot: java.nio.file.Path = {
-    val root = java.nio.file.Files.createTempDirectory("graft_dedup_incr_")
-    sys.addShutdownHook {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(root)) {
-        val s = Files.walk(root)
-        try s.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
-        finally s.close()
-      }
-    }
-    root
-  }
-
-  def newWarehouse(): String =
-    stateRoot.resolve(java.util.UUID.randomUUID().toString).toString
+  def newWarehouse(): String = IncrState.newWarehouse()
 
   private def bandsTable(prefix: String) = s"${prefix}_bands"
   private def docsTable(prefix: String) = s"${prefix}_docs"
   def pairsPath(warehouse: String, prefix: String) = s"$warehouse/pairs"
 
+  /** The state-table group (see IncrState, the machinery factored out of
+    * this module in round 12 when AnnIncr became the third member). */
+  private def stateTables(prefix: String): Seq[IncrState.StateTable] = Seq(
+    IncrState.StateTable(bandsTable(prefix), "band", Seq("band", "doc_id")),
+    IncrState.StateTable(docsTable(prefix), "doc_id", Seq("doc_id")))
+
   /** Epoch sentinel partition value: compaction folds all settled day
     * partitions into `day = EpochDay`, which no real fold day (≥ 0)
     * ever collides with, so fresh-side pruning is untouched. */
-  val EpochDay: Int = -1
-
-  /** Run `body` with spark.sql.sources.partitionOverwriteMode pinned,
-    * restoring the caller's setting after. */
-  private def withOverwriteMode[T](s: SparkSession, mode: String)(body: => T): T = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, mode)
-    try body finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
-  }
+  val EpochDay: Int = IncrState.EpochDay
 
   /** Fold one day's slice into the band store and land the day's
     * verified near-dup pairs in the ledger. Reads ONLY the slice plus
@@ -105,44 +84,26 @@ object DedupIncr {
     * which is equally safe under a serial driver: a batch-0 replay can
     * only happen before batch 1 ever committed. */
   def runDay(s: SparkSession, slice: DataFrame, prefix: String,
-             warehouse: String, day: Int, nBuckets: Int = 32): Unit = withOverwriteMode(s, "dynamic") {
+             warehouse: String, day: Int, nBuckets: Int = 32): Unit = IncrState.withOverwriteMode(s, "dynamic") {
     import s.implicits._
-    def writeB(df0: DataFrame, t: String, key: String,
-               partCols: Seq[String] = Nil): Unit = {
-      // repartition on the bucket key FIRST: HashPartitioning(key, n)
-      // uses the same Murmur3-pmod as the bucketizer, so each task holds
-      // exactly one bucket and the write emits n files — without it every
-      // task writes a file per bucket it touches (tasks × buckets tiny
-      // files per day: measured 15.2 s vs 0.7 s for the one-shot at
-      // sf0.1, almost all of it file open/close)
-      val df = df0.repartition(nBuckets, col(key))
-      if (day == 0) {
-        var w = df.write.mode("overwrite").format("parquet").bucketBy(nBuckets, key)
-        if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
-        w.option("path", s"$warehouse/$t").saveAsTable(t)
-      } else {
-        // dynamic overwrite of this day's partition only; align column
-        // order to the table schema (insertInto is positional)
-        df.select(s.table(t).columns.map(col).toIndexedSeq: _*)
-          .write.mode("overwrite").insertInto(t)
-      }
-    }
+    val Seq(bandsT, docsT) = stateTables(prefix)
     // one shingling pass per document, EVER: the slice is shingled once
     // into the doc store (day-partitioned so the fresh partition prunes),
     // and the band build reads the shingles back from state — never from
     // a fat runtime cache (shingle arrays are O(tokens) wide; caching
     // them and re-reading counts as corpus-order I/O, which the suite's
     // input-bytes bound exists to forbid).
-    writeB(Dedup.withShingles(slice).select($"doc_id", $"shs", lit(day).as("day")),
-      docsTable(prefix), "doc_id", Seq("day"))
+    IncrState.writeDay(s,
+      Dedup.withShingles(slice).select($"doc_id", $"shs", lit(day).as("day")),
+      docsT, warehouse, day, nBuckets)
     val freshSh = s.table(docsTable(prefix)).filter($"day" === day)
     // band rows carry the arrival day too, so the candidate join's fresh
     // side is read BACK from the store partition-pruned — no runtime
     // cache (whose block re-reads would count as undeclared input), and
     // with BOTH sides bucketed on `band` the join is fully exchange-free
-    writeB(Dedup.minhashBands(
+    IncrState.writeDay(s, Dedup.minhashBands(
       freshSh.select($"doc_id", explode($"shs").as("sh")), "doc_id", "sh")
-      .withColumn("day", lit(day)), bandsTable(prefix), "band", Seq("day"))
+      .withColumn("day", lit(day)), bandsT, warehouse, day, nBuckets)
     // candidate recall: fresh bands against the FULL store (which now
     // includes the fresh rows, so fresh×fresh pairs are found too)
     val store = s.table(bandsTable(prefix))
@@ -174,31 +135,12 @@ object DedupIncr {
     // so the partition layout alone cannot answer "what was the last
     // fold?" after a quiet restart — a one-line marker can (idempotent:
     // a replayed day N only ever rewrites the same or a lower value)
-    writeLastDay(s, warehouse, day)
-  }
-
-  private def lastDayPath(warehouse: String) = new org.apache.hadoop.fs.Path(s"$warehouse/_last_day")
-  private def writeLastDay(s: SparkSession, warehouse: String, day: Int): Unit = {
-    val p = lastDayPath(warehouse)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val cur = lastDay(s, warehouse)
-    if (day >= cur) {
-      val out = fs.create(p, true)
-      try out.write(day.toString.getBytes("UTF-8")) finally out.close()
-    }
+    IncrState.writeLastDay(s, warehouse, day)
   }
 
   /** Highest day ever folded into this warehouse; -1 when none. */
-  def lastDay(s: SparkSession, warehouse: String): Int = {
-    val p = lastDayPath(warehouse)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1
-    else {
-      val in = fs.open(p)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt
-      finally in.close()
-    }
-  }
+  def lastDay(s: SparkSession, warehouse: String): Int =
+    IncrState.lastDay(s, warehouse)
 
   /** Path-based twin for the suite's input-bytes test (the day's inputs
     * are, by construction, one slice dir + the state tables). */
@@ -221,125 +163,31 @@ object DedupIncr {
       s.sql(s"DROP TABLE IF EXISTS $t"))
 
   /** Non-epoch day partitions currently in the band store — the
-    * compaction trigger's input. A METADATA-ONLY pass (one recursive
-    * file listing through the table's own Hadoop FileSystem, the same
-    * listing the A11 compactor does): no rows are read. */
-  def deltaDays(s: SparkSession, prefix: String, warehouse: String): Seq[Int] = {
-    val root = new org.apache.hadoop.fs.Path(s"$warehouse/${bandsTable(prefix)}")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Nil
-    fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("day=") => n.drop(4).toInt }
-      .filter(_ >= 0)
-      .sorted
-  }
+    * compaction trigger's input (metadata-only, IncrState). */
+  def deltaDays(s: SparkSession, prefix: String, warehouse: String): Seq[Int] =
+    IncrState.deltaDays(s, bandsTable(prefix), warehouse)
 
   /** Max parquet files sharing one bucket id in the band store — the
     * file-growth number the lifecycle bounds (again metadata-only). */
-  def maxFilesPerBucket(s: SparkSession, prefix: String, warehouse: String): Int = {
-    val root = new org.apache.hadoop.fs.Path(s"$warehouse/${bandsTable(prefix)}")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return 0
-    val bucketId = raw"_(\d{5})\.".r
-    val counts = scala.collection.mutable.Map[String, Int]()
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
-        bucketId.findFirstMatchIn(f.getPath.getName)
-          .foreach(m => counts.updateWith(m.group(1))(c => Some(c.getOrElse(0) + 1)))
-    }
-    if (counts.isEmpty) 0 else counts.values.max
-  }
+  def maxFilesPerBucket(s: SparkSession, prefix: String, warehouse: String): Int =
+    IncrState.maxFilesPerBucket(s, bandsTable(prefix), warehouse)
 
   /** Epoch partitions (day < 0) currently in the band store, with their
     * on-disk bytes — the size-tiering input (metadata-only listing). */
-  def epochSizes(s: SparkSession, prefix: String, warehouse: String): Map[Int, Long] = {
-    val root = new org.apache.hadoop.fs.Path(s"$warehouse/${bandsTable(prefix)}")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Map.empty
-    fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .flatMap { st =>
-        val n = st.getPath.getName
-        if (!n.startsWith("day=")) None
-        else n.drop(4).toIntOption.filter(_ < 0).map { d =>
-          var bytes = 0L
-          val it = fs.listFiles(st.getPath, true)
-          while (it.hasNext) { val f = it.next(); if (f.isFile) bytes += f.getLen }
-          d -> bytes
-        }
-      }.toMap
-  }
-
-  /** Merge the given day partitions of one state table into a NEW epoch
-    * partition, through the BUCKETED write path (the A11 `Compact.run`
-    * rewrite is a plain parquet write and would strip the bucket
-    * metadata the exchange-free candidate join stands on — only its
-    * metadata-only listing idea is reused, as the trigger). Stage →
-    * dynamic-overwrite insertInto of day=newEpoch → DROP PARTITION +
-    * dir reclaim for the merged inputs. dropDuplicates on the natural
-    * key: a day replayed AFTER an earlier compaction re-lands rows an
-    * epoch already holds; copies meet whenever their partitions merge. */
-  private def mergePartitions(s: SparkSession, warehouse: String, t: String,
-                              key: String, naturalKey: Seq[String],
-                              days: Seq[Int], newEpoch: Int, nBuckets: Int): Unit = {
-    if (days.isEmpty) return
-    val stage = s"$warehouse/_compact_stage_$t"
-    val cols = s.table(t).columns
-    s.table(t).filter(col("day").isin(days.map(Int.box): _*))
-      .withColumn("day", lit(newEpoch))
-      .dropDuplicates(naturalKey)
-      .write.mode("overwrite").parquet(stage)
-    withOverwriteMode(s, "dynamic") {
-      s.read.parquet(stage)
-        .repartition(nBuckets, col(key))
-        .select(cols.map(col).toIndexedSeq: _*)
-        .write.mode("overwrite").insertInto(t)
-    }
-    val fs = new org.apache.hadoop.fs.Path(warehouse)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    days.foreach { d =>
-      s.sql(s"ALTER TABLE $t DROP PARTITION (day=$d)")
-      fs.delete(new org.apache.hadoop.fs.Path(s"$warehouse/$t/day=$d"), true)
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-  }
-
-  private def mergeBoth(s: SparkSession, prefix: String, warehouse: String,
-                        days: Seq[Int], newEpoch: Int, nBuckets: Int): Unit = {
-    mergePartitions(s, warehouse, bandsTable(prefix), "band",
-      Seq("band", "doc_id"), days, newEpoch, nBuckets)
-    mergePartitions(s, warehouse, docsTable(prefix), "doc_id",
-      Seq("doc_id"), days, newEpoch, nBuckets)
-  }
+  def epochSizes(s: SparkSession, prefix: String, warehouse: String): Map[Int, Long] =
+    IncrState.epochSizes(s, bandsTable(prefix), warehouse)
 
   /** STATE LIFECYCLE (VERDICT r11 #4). The state tables are append-only
     * with one partition and one file-set per bucket per day — at daily
     * cadence that is 365 partitions/year/table and unbounded file
     * counts. `compactState` is the FULL merge: every partition (settled
     * days and prior epochs alike) folds into one epoch, one file per
-    * bucket. `maybeCompact` is the amortized daily hook and is
-    * SIZE-TIERED: settled days merge into a fresh epoch run, then
-    * epochs within a 2× size band of each other merge pairwise — the
-    * classic LSM size-tiering, so epoch count stays ≤ log₂(corpus/
-    * delta) and TOTAL compaction write traffic is O(N log N) instead of
-    * the O(N · days/K) a rewrite-everything-every-K-days scheme pays.
-    * Correctness is layout-independent: the candidate join reads the
-    * whole store and the fresh side prunes on the CURRENT day, which is
-    * never negative. A crash mid-merge loses no source data (inputs
-    * drop only after the new epoch lands); production object stores
-    * would wrap the swap in the ManifestSink commit-before-visibility
-    * pattern, like A11. */
+    * bucket (IncrState.compactAll). Correctness is layout-independent:
+    * the candidate join reads the whole store and the fresh side prunes
+    * on the CURRENT day, which is never negative. */
   def compactState(s: SparkSession, prefix: String, warehouse: String,
-                   nBuckets: Int = 32): Unit = {
-    val all = deltaDays(s, prefix, warehouse) ++
-      epochSizes(s, prefix, warehouse).keys
-    val target = math.min(EpochDay, all.minOption.getOrElse(0) - 1)
-    mergeBoth(s, prefix, warehouse, all, target, nBuckets)
-  }
+                   nBuckets: Int = 32): Unit =
+    IncrState.compactAll(s, warehouse, stateTables(prefix), bandsTable(prefix), nBuckets)
 
   def compactLedger(s: SparkSession, prefix: String, warehouse: String,
                     retainFromDay: Option[Int] = None): Unit = {
@@ -353,7 +201,7 @@ object DedupIncr {
     // natural (bounded, ≤ shuffle-partition-count) file fan-out for the
     // epoch — a coalesce(1) here would funnel a corpus-scale ledger
     // through one task
-    withOverwriteMode(s, "static") {
+    IncrState.withOverwriteMode(s, "static") {
       s.read.parquet(stage)
         .write.mode("overwrite").partitionBy("day").parquet(path)
     }
@@ -361,33 +209,20 @@ object DedupIncr {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
-  /** Daily-cadence lifecycle hook: once the settled day-partition count
-    * passes `maxDeltaDays`, merge those days into a fresh epoch run,
-    * then SIZE-TIER the epochs (merge the two smallest while they sit
-    * within a 2× size band — keeps epoch count logarithmic in corpus/
-    * delta and avoids rewriting the big old epoch on every trigger).
-    * The ledger gets its single-partition rewrite alongside (pairs ≪
-    * corpus — near-dup output, not state — so a full ledger rewrite is
-    * cheap and keeps provenance queries one-partition simple). Returns
-    * true when a compaction ran; metadata-only otherwise. */
+  /** Daily-cadence lifecycle hook: IncrState's size-tiered compaction
+    * over the band/doc group (see IncrState.sizeTieredCompact for the
+    * LSM scheme and its O(N log N) write-traffic bound). The ledger gets
+    * its single-partition rewrite alongside (pairs ≪ corpus — near-dup
+    * output, not state — so a full ledger rewrite is cheap and keeps
+    * provenance queries one-partition simple). Returns true when a
+    * compaction ran; metadata-only otherwise. */
   def maybeCompact(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32, maxDeltaDays: Int = 8,
                    retainFromDay: Option[Int] = None): Boolean = {
-    val days = deltaDays(s, prefix, warehouse)
-    if (days.size <= maxDeltaDays) false
-    else {
-      val newEpoch = math.min(EpochDay,
-        epochSizes(s, prefix, warehouse).keys.minOption.getOrElse(0) - 1)
-      mergeBoth(s, prefix, warehouse, days, newEpoch, nBuckets)
-      var es = epochSizes(s, prefix, warehouse).toSeq.sortBy(_._2)
-      while (es.size >= 2 && es(1)._2 <= 2L * math.max(es(0)._2, 1L)) {
-        val next = math.min(EpochDay, es.map(_._1).min - 1)
-        mergeBoth(s, prefix, warehouse, Seq(es(0)._1, es(1)._1), next, nBuckets)
-        es = epochSizes(s, prefix, warehouse).toSeq.sortBy(_._2)
-      }
-      compactLedger(s, prefix, warehouse, retainFromDay)
-      true
-    }
+    val ran = IncrState.sizeTieredCompact(s, warehouse, stateTables(prefix),
+      bandsTable(prefix), nBuckets, maxDeltaDays)
+    if (ran) compactLedger(s, prefix, warehouse, retainFromDay)
+    ran
   }
 
   /** Daily loop over `days` slices (doc_id mod days) + final ledger —

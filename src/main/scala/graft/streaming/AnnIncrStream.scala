@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{FloatType, ArrayType, IntegerType, LongType, StructField, StructType}
+
+/** The incremental ANN index fold DRIVEN AS A STREAM — the L45 sibling
+  * of DedupIncrStream/CurateIncrStream (same daily contract, reference
+  * main.tf:217): a file-stream inbox where each arriving parquet slice
+  * is "a day" of embeddings, `Trigger.AvailableNow` +
+  * maxFilesPerTrigger=1 so each slice is one micro-batch, and
+  * `foreachBatch` folding slice N into the code/vector stores as day N.
+  *
+  * Exactly-once without a transactional sink: the fold day IS the batch
+  * id and `AnnIncr.runDay` is idempotent per day (dynamic partition
+  * overwrite of exactly `day=N`), so a failed/replayed micro-batch
+  * rewrites its own partitions byte-identically. The checkpoint keeps
+  * the slice→batch-id mapping stable across restarts; a restart after
+  * new slices land folds ONLY the new slices. The IncrState size-tiered
+  * compaction rides along after each fold. */
+object AnnIncrStream {
+
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Drain every slice currently in `inboxDir` (one micro-batch per
+    * file) into the AnnIncr state at `warehouse`; returns the highest
+    * day folded (-1 if the inbox was empty and no state exists).
+    * Idempotent under restart with the same `checkpointDir`. */
+  def drainInbox(spark: SparkSession, inboxDir: String, prefix: String,
+                 warehouse: String, checkpointDir: String,
+                 nBuckets: Int = 8, maxDeltaDays: Int = 8): Int = {
+    val seen = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val q = spark.readStream
+      .schema(embSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inboxDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.AnnIncr.runDay(batch.sparkSession, batch, prefix,
+          warehouse, batchId.toInt, nBuckets)
+        graft.ops.AnnIncr.maybeCompact(batch.sparkSession, prefix,
+          warehouse, nBuckets, maxDeltaDays)
+        seen.set(math.max(seen.get, batchId.toInt))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (seen.get >= 0) seen.get
+    else graft.ops.AnnIncr.lastDay(spark, warehouse)
+  }
+}

@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental ANN index (q_ann_incr): the daily code/vector-store fold
+  * must be lossless (any slicing == the full-corpus LSH recompute,
+  * q_ann_lsh), must read only the day's slice + its own fresh partition
+  * (history never re-read — deleted-slice proof + input-bytes bound),
+  * and the query path's state sides must be exchange-free under the
+  * bucketed stores. */
+class AnnIncrSuite extends SparkSpec {
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).toSeq.sorted
+
+  test("incremental 3-day == full recompute (q_ann_lsh) == 5-day == 1-day") {
+    val full = canon(SparkEntry.queries("q_ann_lsh")(spark, sfDir))
+    assert(full.nonEmpty, "test corpus yields no ANN results — suite is vacuous")
+    assert(canon(ops.AnnIncr.incremental(spark, sfDir, 3)) == full)
+    assert(canon(ops.AnnIncr.incremental(spark, sfDir, 5)) == full)
+    // a single-day fold is the degenerate one-shot case
+    assert(canon(ops.AnnIncr.incremental(spark, sfDir, 1)) == full)
+  }
+
+  test("day-2 fold reads only the day-2 slice + its fresh partition (input-bytes bound)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("ann_incr_bytes_").toString
+    (0 to 2).foreach { k =>
+      emb.filter(pmod($"vec_id", lit(3L)) === k)
+        .write.mode("overwrite").parquet(s"$root/slice$k")
+    }
+    val prefix = "ann_incr_t_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = s"$root/wh"
+    try {
+      ops.AnnIncr.runDayPath(spark, s"$root/slice0", prefix, wh, 0)
+      ops.AnnIncr.runDayPath(spark, s"$root/slice1", prefix, wh, 1)
+
+      def dirBytes(p: String): Long = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+
+      // THE contract proof, functional and scale-independent: delete the
+      // raw day-0/1 slices before the day-2 fold — if any part of the
+      // fold lazily re-read raw history it would throw FileNotFound.
+      Seq("slice0", "slice1").foreach { d =>
+        val p = java.nio.file.Paths.get(s"$root/$d")
+        val w = java.nio.file.Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally w.close()
+      }
+
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      }
+      // the fold's declared reads: its own slice ONCE (vector scaling)
+      // plus the fresh vecs partition it just wrote (the code build) —
+      // unlike the L44 fold there is no candidate join at fold time, so
+      // the budget is slice-shaped with one state pass of footer slack
+      val inputBudget = 2L * dirBytes(s"$root/slice2") + dirBytes(wh)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        ops.AnnIncr.runDayPath(spark, s"$root/slice2", prefix, wh, 2)
+        org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      val read = bytesRead.get()
+      assert(read > 0, "listener saw no input")
+      assert(read <= inputBudget + (64 << 10),
+        s"day-2 fold read $read bytes; bound $inputBudget")
+      // and the folded index serves the full-corpus answer
+      assert(canon(ops.AnnIncr.topK(spark, prefix,
+        ops.AnnIncr.storeQueries(spark, prefix), 3)) ==
+        canon(SparkEntry.queries("q_ann_lsh")(spark, sfDir)))
+    } finally ops.AnnIncr.dropState(spark, prefix)
+  }
+
+  test("lifecycle: 12 daily folds stay file-bounded; compaction + replay preserve serving") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val days = 12
+    val prefix = "ann_incr_l_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = ops.IncrState.newWarehouse()
+    def slice(d: Int) = emb.filter(pmod($"vec_id", lit(days.toLong)) === d)
+    try {
+      (0 until days).foreach { d =>
+        ops.AnnIncr.runDay(spark, slice(d), prefix, wh, d, nBuckets = 4)
+        ops.AnnIncr.maybeCompact(spark, prefix, wh, nBuckets = 4, maxDeltaDays = 5)
+        assert(ops.AnnIncr.deltaDays(spark, prefix, wh).size <= 6,
+          s"day $d: delta partitions unbounded")
+        assert(ops.AnnIncr.maxFilesPerBucket(spark, prefix, wh) <= 8,
+          s"day $d: files-per-bucket unbounded")
+        assert(ops.AnnIncr.epochSizes(spark, prefix, wh).size <= 3,
+          s"day $d: epoch runs not tiered")
+      }
+      val full = canon(SparkEntry.queries("q_ann_lsh")(spark, sfDir))
+      def serve() = canon(ops.AnnIncr.topK(spark, prefix,
+        ops.AnnIncr.storeQueries(spark, prefix), 3))
+      assert(serve() == full)
+      // replay of the last day (a failed stream commit): byte-stable
+      ops.AnnIncr.runDay(spark, slice(days - 1), prefix, wh, days - 1, nBuckets = 4)
+      assert(serve() == full)
+      // replay of a day an earlier compaction already folded into the
+      // epoch: the day partition re-lands beside the epoch copy; the
+      // next compaction's natural-key dedup collapses it
+      ops.AnnIncr.compactState(spark, prefix, wh, nBuckets = 4)
+      ops.AnnIncr.runDay(spark, slice(days - 1), prefix, wh, days - 1, nBuckets = 4)
+      ops.AnnIncr.compactState(spark, prefix, wh, nBuckets = 4)
+      assert(serve() == full)
+      assert(ops.AnnIncr.deltaDays(spark, prefix, wh).isEmpty)
+      assert(ops.AnnIncr.maxFilesPerBucket(spark, prefix, wh) <= 2)
+    } finally ops.AnnIncr.dropState(spark, prefix)
+  }
+
+  test("streaming inbox: drained index fold == batch recompute across restarts") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ann_incr_stream_").toString
+    val inbox = s"$root/inbox"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+    val emb = Tables.embeddings(spark, sfDir)
+    def landSlice(k: Long, name: String): Unit = {
+      val tmp = s"$root/tmp_$name"
+      emb.filter(pmod($"vec_id", lit(4L)) === k).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inbox/$name.parquet"))
+    }
+    val prefix = "ann_incr_s_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = s"$root/wh"
+    val ckpt = s"$root/ckpt"
+    try {
+      Seq(0L, 1L, 2L).foreach(k => landSlice(k, s"day$k"))
+      val v1 = streaming.AnnIncrStream.drainInbox(spark, inbox, prefix, wh, ckpt,
+        nBuckets = 4, maxDeltaDays = 2)
+      assert(v1 == 2, s"expected 3 one-file micro-batches -> day 2, got $v1")
+      // day 3 lands; a RESTARTED drain with the same checkpoint folds
+      // only the new slice, after which the index serves the full-corpus
+      // answer (all 4 residues landed; the tight maxDeltaDays forced at
+      // least one mid-stream compaction, so this also covers
+      // serve-over-epoch state)
+      landSlice(3L, "day3")
+      val v2 = streaming.AnnIncrStream.drainInbox(spark, inbox, prefix, wh, ckpt,
+        nBuckets = 4, maxDeltaDays = 2)
+      assert(v2 == 3, s"restart should fold exactly the new slice -> day 3, got $v2")
+      assert(canon(ops.AnnIncr.topK(spark, prefix,
+        ops.AnnIncr.storeQueries(spark, prefix), 3)) ==
+        canon(SparkEntry.queries("q_ann_lsh")(spark, sfDir)))
+      assert(ops.AnnIncr.deltaDays(spark, prefix, wh).size <= 2)
+      // a drain with NOTHING new is a no-op that still reports the day
+      assert(streaming.AnnIncrStream.drainInbox(spark, inbox, prefix, wh, ckpt,
+        nBuckets = 4, maxDeltaDays = 2) == 3)
+    } finally ops.AnnIncr.dropState(spark, prefix)
+  }
+
+  test("query path: code and vector stores are exchange-free (bucketed scans)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val prefix = "ann_incr_p_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = ops.IncrState.newWarehouse()
+    // store side LEFT (prints directly under the join), probe/cand side
+    // right — the DedupIncrSuite pin shape: the first Exchange-free span
+    // between the join line and the bucketed scan is the claim
+    def pinStoreLeft(df: DataFrame, what: String): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      val joinIdx = lines.indexWhere(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      val scanIdx = lines.indexWhere(_.contains("Bucketed: true"))
+      assert(joinIdx >= 0 && scanIdx > joinIdx,
+        s"$what lost its bucketed store scan:\n$plan")
+      assert(!lines.slice(joinIdx + 1, scanIdx).exists(_.contains("Exchange")),
+        s"$what state side re-shuffled:\n$plan")
+    }
+    try {
+      ops.AnnIncr.runDay(spark, emb, prefix, wh, 0)
+      val queries = ops.AnnIncr.storeQueries(spark, prefix)
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        // candidate join: code store bucket-aligned against the probes
+        pinStoreLeft(ops.AnnIncr.codeStore(spark, prefix)
+          .join(ops.AnnIncr.probesOf(queries), "bkt"), "candidate join")
+        // rerank join: vector store bucket-aligned against the pairs
+        val cand = ops.AnnIncr.probesOf(queries)
+          .join(ops.AnnIncr.codeStore(spark, prefix).select($"bkt", $"vec_id".as("c_id")), "bkt")
+          .select($"q_id", $"c_id").distinct()
+        pinStoreLeft(ops.AnnIncr.vecStore(spark, prefix)
+          .select($"vec_id".as("c_id"), $"v".as("cv"), $"n2".as("cn"))
+          .join(cand, "c_id"), "rerank join")
+        // and the whole serving plan shuffles only candidate-sized rows:
+        // probes→bkt, the pair distinct, and the two cand-side rerank
+        // repartitions — never a state table (≤4 Exchanges total)
+        val fullPlan = ops.AnnIncr.topK(spark, prefix, queries, 3)
+          .queryExecution.executedPlan.toString
+        val nExch = fullPlan.linesIterator.count(_.contains("Exchange"))
+        assert(nExch <= 4, s"serving plan grew a state-side shuffle ($nExch exchanges):\n$fullPlan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    } finally ops.AnnIncr.dropState(spark, prefix)
+  }
+}
