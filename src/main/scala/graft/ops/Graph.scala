@@ -102,16 +102,35 @@ object Graph {
     // MEASURED AND REJECTED: REPARTITION_BY_NUM makes the coalescer
     // skip the whole stage group — including its SKEW-SPLIT of the fat
     // wedge-stream partitions, which is load-bearing at scale (×25
-    // probe rung: 52 GB of sort spill and step 4.15 with the pin vs
-    // zero spill and step 2.31 without it, scale_probe.json r11/r12).
-    // In practice coalescing merges by the COMBINED bytes of all
-    // exchanges in the group, and the wedge stream dwarfs the edge
-    // build, so build partitions never merge far — the measured ×25
-    // rung runs the hinted plan with zero spill. The margin in the
-    // 48 MB bound (vs ~150 MB/task budget) absorbs the residual
-    // 2-3× merge headroom.
+    // probe rung: 52 GB of sort spill and step 4.15 with the pin,
+    // scale_probe r12). In practice coalescing merges by the COMBINED
+    // bytes of all exchanges in the group, and the wedge stream dwarfs
+    // the edge build, so build partitions never merge far; the ¼
+    // safety factor below absorbs the residual merge headroom.
+    //
+    // The budget is derived from the RUNTIME memory config, not a
+    // hardcoded host assumption (round 12): the original fixed 48 MB
+    // bound encoded "8 GB executor, 32 threads" and silently forced the
+    // spilling sort-merge path on ANY host once |E|/parts passed it —
+    // the ×25 probe rung paid 52 GB of sort spill and step 2.9-3.1 on a
+    // 24 GB heap where the hinted build demonstrably fits (the r10
+    // unconditional-hint capture: 48.9 s, zero spill, step 2.31; this
+    // only surfaced when the probe-freshness gate forced a regen —
+    // r11's committed probe predated the conditional). Per-executor
+    // slots × build bytes must fit the unified-memory share: budget =
+    // executor heap × 0.6 (spark.memory.fraction) × ¼ (probe-side +
+    // storage-pin headroom) / slots. On an 8 GB / 32-thread executor
+    // this yields ~38 MB — stricter than the old bound, honoring the
+    // r10 OOM — while a 24 GB heap gets ~121 MB and keeps the
+    // non-spilling hash build through the ×25 rung.
+    val slots = math.max(ss.sparkContext.getConf.getInt("spark.executor.cores",
+      ss.sparkContext.defaultParallelism), 1)
+    val heapBytes = ss.sparkContext.getConf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory)
+    val perTaskBudget = heapBytes * 15L / 100L / slots
     val shjSafe =
-      e.count() * 100L / ss.sessionState.conf.numShufflePartitions < (48L << 20)
+      e.count() * 100L / ss.sessionState.conf.numShufflePartitions < perTaskBudget
     def shj(df: DataFrame): DataFrame = if (shjSafe) df.hint("shuffle_hash") else df
     val wedges = e.as("e1").join(shj(e.as("e2")), $"e1.t" === $"e2.s")
       .select($"e1.s".as("a"), $"e1.t".as("b"), $"e2.t".as("c"))
