@@ -92,9 +92,38 @@ class AnnIncrSuite extends SparkSpec {
       U.h64Local(java.util.UUID.randomUUID().toString))
     val wh = ops.IncrState.newWarehouse()
     def slice(d: Int) = emb.filter(pmod($"vec_id", lit(days.toLong)) === d)
+    def dirBytes(p: String): Long = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try w.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally w.close()
+    }
+    val sliceRoot = java.nio.file.Files.createTempDirectory("ann_incr_l_sl_").toString
     try {
       (0 until days).foreach { d =>
-        ops.AnnIncr.runDay(spark, slice(d), prefix, wh, d, nBuckets = 4)
+        if (d < days - 1) {
+          ops.AnnIncr.runDay(spark, slice(d), prefix, wh, d, nBuckets = 4)
+        } else {
+          // day-growth rung (the DedupIncr day-23 pattern): after 11
+          // folds of history the LAST day's fold must still read only
+          // its own slice + the fresh partition it writes — per-day cost
+          // is flat in the NUMBER of days, only state size grows
+          slice(d).write.mode("overwrite").parquet(s"$sliceRoot/slice$d")
+          val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (t.taskMetrics != null)
+                bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+          }
+          val budget = 2L * dirBytes(s"$sliceRoot/slice$d") + dirBytes(wh)
+          spark.sparkContext.addSparkListener(listener)
+          try {
+            ops.AnnIncr.runDayPath(spark, s"$sliceRoot/slice$d", prefix, wh, d, nBuckets = 4)
+            org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark)
+          } finally spark.sparkContext.removeSparkListener(listener)
+          assert(bytesRead.get > 0 && bytesRead.get <= budget + (64 << 10),
+            s"day $d fold read ${bytesRead.get} bytes; bound $budget")
+        }
         ops.AnnIncr.maybeCompact(spark, prefix, wh, nBuckets = 4, maxDeltaDays = 5)
         assert(ops.AnnIncr.deltaDays(spark, prefix, wh).size <= 6,
           s"day $d: delta partitions unbounded")
@@ -119,6 +148,11 @@ class AnnIncrSuite extends SparkSpec {
       assert(serve() == full)
       assert(ops.AnnIncr.deltaDays(spark, prefix, wh).isEmpty)
       assert(ops.AnnIncr.maxFilesPerBucket(spark, prefix, wh) <= 2)
+      // an EMPTY day (a daily run with no new vectors — routine in
+      // production) must be a harmless no-op: state rows unchanged,
+      // serving unchanged
+      ops.AnnIncr.runDay(spark, emb.filter(lit(false)), prefix, wh, days, nBuckets = 4)
+      assert(serve() == full)
     } finally ops.AnnIncr.dropState(spark, prefix)
   }
 
