@@ -207,7 +207,13 @@ object ScaleProbe {
     // the steepest remaining first-rung ratio (its low-threshold
     // contract is documented in ops/TextOps.scala) — measure its
     // second rung so the candidates-∝-K claim rests on two points too
-    "q_sim_jaccard" -> "documents")
+    "q_sim_jaccard" -> "documents",
+    // round 12: the two incremental headliners get a second rung too —
+    // their claim is per-day cost ∝ slice + state, so the step ratio
+    // under a 2.5× corpus (and therefore 2.5× slices AND 2.5× state)
+    // should stay ≲ 2.5 like any linear plan
+    "q_dedup_incr" -> "documents",
+    "q_ann_incr" -> "embeddings")
   val Rung2K = 25
 
   def main(args: Array[String]): Unit = {
@@ -279,11 +285,24 @@ object ScaleProbe {
       }.getOrElse("")
       s""""$n":{"t_1x":${r3(t1)},"t_${k}x":${r3(tk)},"ratio":${r3(tk / math.max(t1, 0.001))},"shuffle_mb_${k}x":${r3(shufK)},"spill_mb_${k}x":${r3(spillK)}$rung2}"""
     }
-    val line = s"""{"src":"$srcDir","k":$k,"k2":$Rung2K,"gen_sec":${r3(genSec)},"queries":{${rows.mkString(",")}}}"""
+    // the probed commit rides in the artifact: mtime-based freshness is
+    // defeated by any clone/checkout (mtime = now), and round 12's
+    // triangles regression shipped exactly because a probe row was
+    // reasoned about without knowing WHICH code it measured — see
+    // sweep.sh's sha-ancestry gate
+    val gitHead = try {
+      val pr = new ProcessBuilder("git", "-C", Bench.repoRoot.toString,
+        "rev-parse", "HEAD").redirectErrorStream(true).start()
+      val out = new String(pr.getInputStream.readAllBytes(), "UTF-8").trim
+      if (pr.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else ""
+    } catch { case _: Throwable => "" }
+    val line = s"""{"src":"$srcDir","k":$k,"k2":$Rung2K,"git_head":"$gitHead","gen_sec":${r3(genSec)},"queries":{${rows.mkString(",")}}}"""
     // a subset run is a diagnostic, not evidence — never clobber the
-    // committed full-surface probe file with a partial one
+    // committed full-surface probe file with a partial one; both land at
+    // the REPO ROOT regardless of cwd (the Bench atRoot discipline —
+    // sweep.sh and Bench's probe summary read the root copy)
     val outFile = if (only.isEmpty) "scale_probe.json" else "scale_probe_partial.json"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line)
+    java.nio.file.Files.writeString(Bench.repoRoot.resolve(outFile), line)
     println(line)
     spark.stop()
   }

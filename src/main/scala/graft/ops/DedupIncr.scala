@@ -148,6 +148,13 @@ object DedupIncr {
                  warehouse: String, day: Int, nBuckets: Int = 32): Unit =
     runDay(s, s.read.parquet(slicePath), prefix, warehouse, day, nBuckets)
 
+  /** Ledger schema, declared explicitly on every read: a day whose fold
+    * finds NO pairs writes an empty partitioned frame — no data files,
+    * no partition dirs — and schema INFERENCE over such a ledger throws
+    * "Unable to infer schema" where an empty frame is the correct
+    * answer (a sparse corpus is not an error). */
+  private val pairsSchema = "d1 BIGINT, d2 BIGINT, jac DOUBLE, day INT"
+
   /** The cumulative verified pair ledger after the last fold (the `day`
     * provenance partition is an internal detail of the replay contract). */
   def pairs(s: SparkSession, prefix: String, warehouse: String): DataFrame =
@@ -155,7 +162,7 @@ object DedupIncr {
     // already folded into the epoch partition — the values are
     // deterministic (shared h64 randomness), so distinct collapses the
     // replay copies exactly
-    s.read.parquet(pairsPath(warehouse, prefix))
+    s.read.schema(pairsSchema).parquet(pairsPath(warehouse, prefix))
       .select("d1", "d2", "jac").distinct().orderBy("d1", "d2")
 
   def dropState(s: SparkSession, prefix: String): Unit =
@@ -193,7 +200,7 @@ object DedupIncr {
                     retainFromDay: Option[Int] = None): Unit = {
     val path = pairsPath(warehouse, prefix)
     val stage = s"$warehouse/_compact_stage_pairs"
-    val cur = s.read.parquet(path)
+    val cur = s.read.schema(pairsSchema).parquet(path)
     retainFromDay.fold(cur)(d => cur.filter(col("day") >= d || col("day") === EpochDay))
       .withColumn("day", lit(EpochDay))
       .dropDuplicates("d1", "d2")

@@ -123,11 +123,23 @@ object Graph {
     // this yields ~38 MB — stricter than the old bound, honoring the
     // r10 OOM — while a 24 GB heap gets ~121 MB and keeps the
     // non-spilling hash build through the ×25 rung.
-    val slots = math.max(ss.sparkContext.getConf.getInt("spark.executor.cores",
-      ss.sparkContext.defaultParallelism), 1)
-    val heapBytes = ss.sparkContext.getConf.getOption("spark.executor.memory")
-      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
-      .getOrElse(Runtime.getRuntime.maxMemory)
+    //
+    // The heap source must match WHERE the build runs: in local mode
+    // tasks run in this JVM, so Runtime.maxMemory is the truth and
+    // spark.executor.memory (ignored by local mode) must not be
+    // consulted; in cluster mode the build runs in executors, so only
+    // spark.executor.memory counts (Spark's 1 GB default when unset) —
+    // falling back to the DRIVER's heap there would over-grant the
+    // non-spillable hint against small executors, the exact cliff this
+    // guard exists for.
+    val local = ss.sparkContext.isLocal
+    val slots = math.max(
+      if (local) ss.sparkContext.defaultParallelism
+      else ss.sparkContext.getConf.getInt("spark.executor.cores", 1), 1)
+    val heapBytes =
+      if (local) Runtime.getRuntime.maxMemory
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        ss.sparkContext.getConf.get("spark.executor.memory", "1g"))
     val perTaskBudget = heapBytes * 15L / 100L / slots
     val shjSafe =
       e.count() * 100L / ss.sessionState.conf.numShufflePartitions < perTaskBudget

@@ -206,24 +206,35 @@ object IncrState {
   /** High-water marker: compaction folds day partitions into the epoch,
     * so the partition layout alone cannot answer "what was the last
     * fold?" after a quiet restart — a one-line marker can (idempotent: a
-    * replayed day N only ever rewrites the same or a lower value). */
+    * replayed day N only ever rewrites the same or a lower value).
+    * Written via temp-file + rename so a crash mid-write never leaves a
+    * truncated marker in place — the recovery aid must itself survive
+    * crashes; the delete→rename window can at worst make the marker
+    * briefly ABSENT, which reads as -1 and is repaired by the next
+    * fold's write (monotonicity keeps that safe). */
   def writeLastDay(s: SparkSession, warehouse: String, day: Int): Unit = {
     val p = lastDayPath(warehouse)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (day >= lastDay(s, warehouse)) {
-      val out = fs.create(p, true)
+      val tmp = new org.apache.hadoop.fs.Path(s"$warehouse/_last_day.tmp")
+      val out = fs.create(tmp, true)
       try out.write(day.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(p, false)
+      fs.rename(tmp, p)
     }
   }
 
-  /** Highest day ever folded into this warehouse; -1 when none. */
+  /** Highest day ever folded into this warehouse; -1 when none (or when
+    * the marker is unreadable — parse defensively: the marker exists to
+    * aid recovery, so a corrupt one must degrade, never throw). */
   def lastDay(s: SparkSession, warehouse: String): Int = {
     val p = lastDayPath(warehouse)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) -1
     else {
       val in = fs.open(p)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .trim.toIntOption.getOrElse(-1)
       finally in.close()
     }
   }

@@ -103,9 +103,9 @@ object TextOps {
     * recall; rounding down only lengthens the prefix — safe). */
   /** Bucket-bitmap signature width for the verify prescreen: shingles
     * hash (pmod) into SigBits buckets, one bit each, packed into
-    * SigBits/64 longs. 256 bits rejects hard at the corpus's typical
-    * 20-100-shingle docs (expected junk-pair bucket overlap n²/256 ≪ the
-    * overlap bound α) while costing only 32 bytes per candidate on the
+    * SigBits/64 longs. 512 bits rejects hard at the corpus's typical
+    * 20-100-shingle docs (expected junk-pair bucket overlap n²/512 ≪ the
+    * overlap bound α) while costing only 64 bytes per candidate on the
     * wire; very large docs saturate the bitmap and simply pass through
     * to the exact verify — the filter degrades toward pass-through,
     * never toward a miss. */
@@ -124,17 +124,22 @@ object TextOps {
         size($"arr").cast("long").as("n_sh"))
       .withColumn("plen",
         ($"n_sh" - ceil($"n_sh" * lit(t) - lit(1e-9)) + 1).cast("int"))
-    // bucket-bitmap signature (one pass per word, once per doc): bit
-    // pmod(sh, SigBits) set for every shingle; psig = popcount. Feeds
-    // the deterministic overlap upper bound in jaccardPairs.
-    val withSig = (0 until SigWords).foldLeft(prof0) { (df, i) =>
+    // bucket-bitmap signature: bit pmod(sh, SigBits) set for every
+    // shingle; psig = popcount. Feeds the deterministic overlap upper
+    // bound in jaccardPairs. The bucket position is computed ONCE per
+    // shingle into a small int array; the per-word folds then run
+    // arithmetic-free over it (the previous shape recomputed pmod twice
+    // per element per word — 16× per shingle).
+    val withSig = (0 until SigWords).foldLeft(
+      prof0.withColumn("sigpos", expr(s"transform(set, x -> cast(pmod(x, $SigBits) AS int))"))
+    ) { (df, i) =>
       df.withColumn(s"sig$i", expr(
-        s"""aggregate(set, 0L, (acc, x) ->
-              acc | CASE WHEN pmod(x, $SigBits) div 64 = $i
-                    THEN shiftleft(1L, cast(pmod(x, $SigBits) % 64 AS int))
+        s"""aggregate(sigpos, 0L, (acc, p) ->
+              acc | CASE WHEN p div 64 = $i
+                    THEN shiftleft(1L, p % 64)
                     ELSE 0L END)"""))
     }
-    withSig.withColumn("psig",
+    withSig.drop("sigpos").withColumn("psig",
       (0 until SigWords).map(i => bit_count(col(s"sig$i"))).reduce(_ + _))
   }
 
@@ -217,8 +222,8 @@ object TextOps {
     // full shingle-set array to every candidate made the d2-side verify
     // exchange the single fattest wire in the engine (measured 2.6 GB of
     // 2.8 GB total at a 10× sf0.1 corpus — ExchangeAudit). Before any
-    // array travels, join only (n_sh, psig, 256-bit bucket bitmap) —
-    // 44 bytes — and apply a DETERMINISTIC overlap upper bound:
+    // array travels, join only (n_sh, psig, 512-bit bucket bitmap) —
+    // ~80 bytes — and apply a DETERMINISTIC overlap upper bound:
     // every shared shingle lands in a bucket set in BOTH bitmaps, and
     // each bucket set in b1 but not b2 holds ≥1 provably-unshared
     // shingle of doc1, so

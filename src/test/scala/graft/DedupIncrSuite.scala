@@ -205,6 +205,37 @@ class DedupIncrSuite extends SparkSpec {
     } finally ops.DedupIncr.dropState(spark, prefix)
   }
 
+  test("a corpus with no near-dups yields an empty ledger, not a crash") {
+    import spark.implicits._
+    // pairwise-disjoint vocabularies: no shingle is shared, so exact
+    // Jaccard is 0 for every pair and the verified frame is empty EVERY
+    // day — the day-partitioned ledger write then emits no data files,
+    // and pairs() must still read it as an empty frame (sparse corpora
+    // are routine, not an error; regression for the schema-inference
+    // crash the round-12 review caught)
+    val docs = (0 until 6).map { i =>
+      (i.toLong, (0 until 12).map(j => s"tok_${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val prefix = "dedup_incr_e_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = ops.DedupIncr.newWarehouse()
+    try {
+      (0 until 2).foreach { d =>
+        ops.DedupIncr.runDay(spark, docs.filter(pmod($"doc_id", lit(2L)) === d),
+          prefix, wh, d, nBuckets = 4)
+      }
+      val ledger = ops.DedupIncr.pairs(spark, prefix, wh)
+      assert(ledger.columns.toSeq == Seq("d1", "d2", "jac"))
+      assert(ledger.count() == 0, "disjoint-vocab corpus produced pairs")
+      // the ledger compaction path must tolerate the empty ledger too
+      ops.DedupIncr.compactState(spark, prefix, wh, nBuckets = 4)
+      ops.DedupIncr.compactLedger(spark, prefix, wh)
+      assert(ops.DedupIncr.pairs(spark, prefix, wh).count() == 0)
+    } finally ops.DedupIncr.dropState(spark, prefix)
+  }
+
   test("candidate join: band-store side is exchange-free (bucketed scan)") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)

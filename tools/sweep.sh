@@ -35,19 +35,37 @@ done
 
 # Probe freshness (VERDICT r11 #2): scale_probe.json is the committed
 # scaling evidence of record — it must postdate the last commit that
-# touched the probed implementation. Compare its mtime against the
-# commit time of the newest change under src/main/scala; a stale probe
-# fails the sweep so a round cannot end with evidence that predates the
-# code it vouches for.
+# touched the probed implementation. Preferred check (round 12): the
+# probe embeds the HEAD sha it was measured at ("git_head"); fresh iff
+# the newest src/main/scala-touching commit is an ancestor of (or equal
+# to) that sha — immune to clone/checkout resetting mtimes, which made
+# the mtime check passable for arbitrarily old evidence. Fallback for
+# probes predating the field: the original mtime comparison. Either
+# way, uncommitted src/main edits are flagged (the probe cannot vouch
+# for code that is not in any commit).
 echo "== probe freshness =="
 if [ -f scale_probe.json ]; then
-  probe_mtime=$(stat -c %Y scale_probe.json)
-  src_ctime=$(git log -1 --format=%ct -- src/main/scala 2>/dev/null || echo 0)
-  if [ "$src_ctime" -gt "$probe_mtime" ]; then
-    echo "STALE: scale_probe.json ($(date -d @"$probe_mtime" +%F\ %T)) predates the last src/main/scala commit ($(date -d @"$src_ctime" +%F\ %T)) — re-run graft.ScaleProbe"
-    fail=1
+  probe_sha=$(python3 -c "import json; print(json.load(open('scale_probe.json')).get('git_head',''))" 2>/dev/null)
+  src_sha=$(git log -1 --format=%H -- src/main/scala 2>/dev/null || echo "")
+  if [ -n "$probe_sha" ] && git cat-file -e "$probe_sha" 2>/dev/null; then
+    if git merge-base --is-ancestor "$src_sha" "$probe_sha" 2>/dev/null; then
+      echo "fresh by sha (probe @ ${probe_sha:0:10} >= last src commit ${src_sha:0:10})"
+    else
+      echo "STALE: probe measured @ ${probe_sha:0:10}, but src/main/scala changed at ${src_sha:0:10} — re-run graft.ScaleProbe"
+      fail=1
+    fi
   else
-    echo "fresh (probe $(date -d @"$probe_mtime" +%F\ %T) >= src commit $(date -d @"$src_ctime" +%F\ %T))"
+    probe_mtime=$(stat -c %Y scale_probe.json)
+    src_ctime=$(git log -1 --format=%ct -- src/main/scala 2>/dev/null || echo 0)
+    if [ "$src_ctime" -gt "$probe_mtime" ]; then
+      echo "STALE: scale_probe.json ($(date -d @"$probe_mtime" +%F\ %T)) predates the last src/main/scala commit ($(date -d @"$src_ctime" +%F\ %T)) — re-run graft.ScaleProbe"
+      fail=1
+    else
+      echo "fresh by mtime (no git_head in probe; probe $(date -d @"$probe_mtime" +%F\ %T) >= src commit $(date -d @"$src_ctime" +%F\ %T))"
+    fi
+  fi
+  if [ -n "$(git status --porcelain src/main/scala 2>/dev/null)" ]; then
+    echo "WARN: uncommitted src/main/scala edits — the probe cannot vouch for them"
   fi
 else
   echo "MISSING scale_probe.json"; fail=1
