@@ -48,6 +48,50 @@ object AnnIncr {
   private def codesTable(prefix: String) = s"${prefix}_codes"
   private def vecsTable(prefix: String) = s"${prefix}_vecs"
 
+  /** LSH config — THE serving-scale knob. Candidates/query ≈ tables ·
+    * |masks| · N/2^bits, so `bits` must grow ~log₂N as the corpus does:
+    * the ×25 probe rung measured the fixed 4-bit default degenerating
+    * to near-all-pairs rerank (63 GB spill, step 7.2) where bits=8 on
+    * the same corpus restores the linear shape (tuned row in
+    * scale_probe.json). The default (4, 4) is the `q_ann_lsh`
+    * oracle-shared config the test corpora are sized for. Read from the
+    * session conf AT FOLD TIME and persisted in the warehouse
+    * (`_ann_conf`), so serving always probes with the exact config the
+    * index was built at — a conf drift between fold and serve would
+    * silently zero recall. */
+  private def confAnn(s: SparkSession): (Int, Int) = (
+    s.conf.getOption("spark.graft.ann.tables").map(_.toInt).getOrElse(Dedup.NumTables),
+    s.conf.getOption("spark.graft.ann.bits").map(_.toInt).getOrElse(4))
+
+  private def annConfPath(warehouse: String) =
+    new org.apache.hadoop.fs.Path(s"$warehouse/_ann_conf")
+
+  private def writeAnnConf(s: SparkSession, warehouse: String, tables: Int, bits: Int): Unit = {
+    val p = annConfPath(warehouse)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write(s"$tables $bits".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** The config the warehouse's index was built at (falls back to the
+    * session conf for pre-marker warehouses). */
+  def annConf(s: SparkSession, warehouse: String): (Int, Int) = {
+    val p = annConfPath(warehouse)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) confAnn(s)
+    else {
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8") finally in.close()
+      txt.trim.split(' ') match {
+        case Array(t, b) => (t.toInt, b.toInt)
+        case _ => confAnn(s)
+      }
+    }
+  }
+
   private def stateTables(prefix: String): Seq[IncrState.StateTable] = Seq(
     IncrState.StateTable(codesTable(prefix), "bkt", Seq("bkt", "vec_id")),
     IncrState.StateTable(vecsTable(prefix), "vec_id", Seq("vec_id")))
@@ -70,11 +114,16 @@ object AnnIncr {
              warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
     import s.implicits._
     val Seq(codesT, vecsT) = stateTables(prefix)
+    val (tables, bits) = confAnn(s)
+    writeAnnConf(s, warehouse, tables, bits)
+    // every fold AFTER day 0 codes with the PERSISTED config — a session
+    // conf change mid-history must not split the index across configs
+    val (ft, fb) = annConf(s, warehouse)
     IncrState.writeDay(s, scaled(slice).withColumn("day", lit(day)),
       vecsT, warehouse, day, nBuckets)
     val fresh = s.table(vecsTable(prefix)).filter($"day" === day)
     IncrState.writeDay(s,
-      Dedup.lshBuckets(fresh.select($"vec_id", $"v")).withColumn("day", lit(day)),
+      Dedup.lshBucketsN(fresh.select($"vec_id", $"v"), ft, fb).withColumn("day", lit(day)),
       codesT, warehouse, day, nBuckets)
     IncrState.writeLastDay(s, warehouse, day)
   }
@@ -92,9 +141,11 @@ object AnnIncr {
     * vectors (`(q_id, qv, qn)` rows). Candidate recall is one bucket
     * equi-join; rerank is two bucket-aligned joins against the vector
     * store. Output matches `q_ann_lsh` row-for-row on the same queries. */
-  def topK(s: SparkSession, prefix: String, queries: DataFrame, k: Int = 3): DataFrame = {
+  def topK(s: SparkSession, prefix: String, warehouse: String,
+           queries: DataFrame, k: Int = 3): DataFrame = {
     import s.implicits._
-    val cand = probesOf(queries)
+    val (tables, bits) = annConf(s, warehouse)
+    val cand = probesOf(queries, tables, bits)
       .join(codeStore(s, prefix).select($"bkt", $"vec_id".as("c_id")), "bkt")
       .filter($"q_id" =!= $"c_id")
       .select($"q_id", $"c_id")
@@ -113,10 +164,12 @@ object AnnIncr {
 
   /** Radius-1 multiprobe bucket rows for a `(q_id, qv, qn)` query set —
     * the probe side of the candidate join (suite-pinned plan shape). */
-  private[graft] def probesOf(queries: DataFrame): DataFrame = {
+  private[graft] def probesOf(queries: DataFrame,
+                              tables: Int = Dedup.NumTables, bits: Int = 4): DataFrame = {
     import queries.sparkSession.implicits._
-    Dedup.lshProbes(
-        queries.select($"q_id".as("vec_id"), $"qv".as("v")), Dedup.ProbeMasks1)
+    Dedup.lshProbesN(
+        queries.select($"q_id".as("vec_id"), $"qv".as("v")),
+        tables, bits, Dedup.probeMasks1For(bits))
       .select($"vec_id".as("q_id"), $"bkt")
   }
 
@@ -183,7 +236,7 @@ object AnnIncr {
       runDay(s, emb.filter(pmod(col("vec_id"), lit(days.toLong)) === day),
         prefix, wh, day, nBuckets = 8)
     }
-    topK(s, prefix, storeQueries(s, prefix), 3)
+    topK(s, prefix, wh, storeQueries(s, prefix), 3)
       .write.mode("overwrite").parquet(s"$wh/result")
     dropState(s, prefix)
     s.read.parquet(s"$wh/result").orderBy("q_id", "rk")

@@ -76,24 +76,40 @@ object Dedup {
     mins.select(col(id), explode(bandCols).as("band"))
   }
 
-  /** All 16 hyperplane sign bits in ONE nested-literal-array expression
+  /** Generalized hyperplane tables (round 12): the bucket bit-width is
+    * THE ANN scale knob — candidates/query ≈ tables · |masks| · N/2^bits,
+    * so bits must grow ~log₂N to hold candidate volume as the corpus
+    * grows (the ×25 probe rung measured the fixed 4-bit default
+    * degenerating to near-all-pairs: 63 GB of rerank spill). Same
+    * "$p:$i" seed scheme as `planes`, so planesFor(4, 4) IS the
+    * oracle-shared default. */
+  def planesFor(tables: Int, bits: Int): Array[Array[Long]] =
+    Array.tabulate(tables * bits, 64)((p, i) => U.h64Local(s"$p:$i") % 2001L - 1000L)
+
+  /** All hyperplane sign bits in ONE nested-literal-array expression
     * (a single codegen'd projection — 16 fold-chained projections were a
     * Janino compile hotspot). */
-  private def bitsCol: Column = {
-    val planesCol = array(planes.toIndexedSeq.map(p => array(p.toIndexedSeq.map(lit): _*)): _*)
+  private def bitsColFor(pl: Array[Array[Long]]): Column = {
+    val planesCol = array(pl.toIndexedSeq.map(p => array(p.toIndexedSeq.map(lit): _*)): _*)
     transform(planesCol, p =>
       when(graft.functions.DotL.dot(col("v"), p) > 0, 1L).otherwise(0L))
   }
 
-  /** Table t's 4-bit bucket code from the `bits` column. */
-  private def codeCol(t: Int): Column =
-    (0 until 4).map(k =>
-      element_at(col("bits"), t * 4 + k + 1) * lit(1L << k)).reduce(_ + _)
+  /** Table t's bucket code from the `bits` column. */
+  private def codeColFor(t: Int, bits: Int): Column =
+    (0 until bits).map(k =>
+      element_at(col("bits"), t * bits + k + 1) * lit(1L << k)).reduce(_ + _)
 
-  /** vec rows (vec_id, v) → (vec_id, bkt) rows: 4 bucket codes of 4 bits. */
-  def lshBuckets(scaled: DataFrame): DataFrame =
-    scaled.withColumn("bits", bitsCol).select(col("vec_id"), explode(array(
-      (0 until NumTables).map(t => concat_ws(":", lit(t), codeCol(t))): _*)).as("bkt"))
+  /** vec rows (vec_id, v) → (vec_id, bkt) rows at an explicit (tables,
+    * bits) config. */
+  def lshBucketsN(scaled: DataFrame, tables: Int, bits: Int): DataFrame =
+    scaled.withColumn("bits", bitsColFor(planesFor(tables, bits)))
+      .select(col("vec_id"), explode(array(
+        (0 until tables).map(t => concat_ws(":", lit(t), codeColFor(t, bits))): _*)).as("bkt"))
+
+  /** vec rows (vec_id, v) → (vec_id, bkt) rows: 4 bucket codes of 4 bits
+    * (the oracle-shared default config). */
+  def lshBuckets(scaled: DataFrame): DataFrame = lshBucketsN(scaled, NumTables, 4)
 
   /** Multiprobe masks: Hamming radius 1 (own bucket + 4 one-bit flips)
     * and radius 2 (+ 6 two-bit flips). Probing neighbors of the QUERY's
@@ -103,16 +119,24 @@ object Dedup {
   val ProbeMasks2: Seq[Long] = ProbeMasks1 ++
     (for { a <- 0 until 4; b <- a + 1 until 4 } yield (1L << a) | (1L << b))
 
+  /** Radius-1 multiprobe masks for an explicit bit width. */
+  def probeMasks1For(bits: Int): Seq[Long] = 0L +: (0 until bits).map(k => 1L << k)
+
+  /** Query-side multiprobe at an explicit (tables, bits) config. */
+  def lshProbesN(scaled: DataFrame, tables: Int, bits: Int, masks: Seq[Long]): DataFrame =
+    scaled.withColumn("bits", bitsColFor(planesFor(tables, bits)))
+      .select(col("vec_id"), explode(array(
+        (for { t <- 0 until tables; m <- masks }
+          yield concat_ws(":", lit(t), codeColFor(t, bits).bitwiseXOR(lit(m)))): _*)).as("bkt"))
+
   /** Query-side multiprobe: (vec_id, bkt) rows covering every bucket
     * within the mask set of the vector's own code, per table. Joined
     * against `lshBuckets` of the corpus this is a plain bucket equi-join
     * — candidates/query ≈ tables · |masks| · N/2^bits, tuned by the bit
     * width (grow bits ~ log2(N/bucket) at scale), never an all-pairs
-    * nested loop. */
+    * nested loop. Oracle-shared default config. */
   def lshProbes(scaled: DataFrame, masks: Seq[Long]): DataFrame =
-    scaled.withColumn("bits", bitsCol).select(col("vec_id"), explode(array(
-      (for { t <- 0 until NumTables; m <- masks }
-        yield concat_ws(":", lit(t), codeCol(t).bitwiseXOR(lit(m)))): _*)).as("bkt"))
+    lshProbesN(scaled, NumTables, 4, masks)
 
   /** Embeddings with int64-scaled vector + squared norm. */
   private def scaledVecs(s: org.apache.spark.sql.SparkSession, d: String) =

@@ -78,7 +78,7 @@ class AnnIncrSuite extends SparkSpec {
       assert(read <= inputBudget + (64 << 10),
         s"day-2 fold read $read bytes; bound $inputBudget")
       // and the folded index serves the full-corpus answer
-      assert(canon(ops.AnnIncr.topK(spark, prefix,
+      assert(canon(ops.AnnIncr.topK(spark, prefix, wh,
         ops.AnnIncr.storeQueries(spark, prefix), 3)) ==
         canon(SparkEntry.queries("q_ann_lsh")(spark, sfDir)))
     } finally ops.AnnIncr.dropState(spark, prefix)
@@ -133,7 +133,7 @@ class AnnIncrSuite extends SparkSpec {
           s"day $d: epoch runs not tiered")
       }
       val full = canon(SparkEntry.queries("q_ann_lsh")(spark, sfDir))
-      def serve() = canon(ops.AnnIncr.topK(spark, prefix,
+      def serve() = canon(ops.AnnIncr.topK(spark, prefix, wh,
         ops.AnnIncr.storeQueries(spark, prefix), 3))
       assert(serve() == full)
       // replay of the last day (a failed stream commit): byte-stable
@@ -188,13 +188,47 @@ class AnnIncrSuite extends SparkSpec {
       val v2 = streaming.AnnIncrStream.drainInbox(spark, inbox, prefix, wh, ckpt,
         nBuckets = 4, maxDeltaDays = 2)
       assert(v2 == 3, s"restart should fold exactly the new slice -> day 3, got $v2")
-      assert(canon(ops.AnnIncr.topK(spark, prefix,
+      assert(canon(ops.AnnIncr.topK(spark, prefix, wh,
         ops.AnnIncr.storeQueries(spark, prefix), 3)) ==
         canon(SparkEntry.queries("q_ann_lsh")(spark, sfDir)))
       assert(ops.AnnIncr.deltaDays(spark, prefix, wh).size <= 2)
       // a drain with NOTHING new is a no-op that still reports the day
       assert(streaming.AnnIncrStream.drainInbox(spark, inbox, prefix, wh, ckpt,
         nBuckets = 4, maxDeltaDays = 2) == 3)
+    } finally ops.AnnIncr.dropState(spark, prefix)
+  }
+
+  test("LSH config: fold-time (tables, bits) persists in the warehouse and governs serving") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val prefix = "ann_incr_c_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = ops.IncrState.newWarehouse()
+    try {
+      // fold at a non-default width (the 100 TB deployment move: bits
+      // grows ~log2 N to hold candidates/query); then UNSET the conf —
+      // serving must still probe at the persisted fold-time config, not
+      // the session default (a drift would zero recall silently)
+      spark.conf.set("spark.graft.ann.bits", "6")
+      try ops.AnnIncr.runDay(spark, emb, prefix, wh, 0, nBuckets = 4)
+      finally spark.conf.unset("spark.graft.ann.bits")
+      assert(ops.AnnIncr.annConf(spark, wh) == (4, 6))
+      val served = canon(ops.AnnIncr.topK(spark, prefix, wh,
+        ops.AnnIncr.storeQueries(spark, prefix), 3))
+      assert(served.nonEmpty, "bits=6 serving returned nothing at test scale")
+      // identical to serving with the conf re-set (config comes from the
+      // warehouse either way) and every result is a true vector pair
+      spark.conf.set("spark.graft.ann.bits", "6")
+      try assert(canon(ops.AnnIncr.topK(spark, prefix, wh,
+        ops.AnnIncr.storeQueries(spark, prefix), 3)) == served)
+      finally spark.conf.unset("spark.graft.ann.bits")
+      // a mid-history session-conf change must NOT split the index: the
+      // next fold codes at the persisted config
+      spark.conf.set("spark.graft.ann.bits", "3")
+      try ops.AnnIncr.runDay(spark, emb.limit(0), prefix, wh, 1, nBuckets = 4)
+      finally spark.conf.unset("spark.graft.ann.bits")
+      assert(ops.AnnIncr.annConf(spark, wh) == (4, 6),
+        "fold-time config drifted with the session conf")
     } finally ops.AnnIncr.dropState(spark, prefix)
   }
 
@@ -237,7 +271,7 @@ class AnnIncrSuite extends SparkSpec {
         // and the whole serving plan shuffles only candidate-sized rows:
         // probes→bkt, the pair distinct, and the two cand-side rerank
         // repartitions — never a state table (≤4 Exchanges total)
-        val fullPlan = ops.AnnIncr.topK(spark, prefix, queries, 3)
+        val fullPlan = ops.AnnIncr.topK(spark, prefix, wh, queries, 3)
           .queryExecution.executedPlan.toString
         val nExch = fullPlan.linesIterator.count(_.contains("Exchange"))
         assert(nExch <= 4, s"serving plan grew a state-side shuffle ($nExch exchanges):\n$fullPlan")
