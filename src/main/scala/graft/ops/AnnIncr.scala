@@ -48,32 +48,64 @@ object AnnIncr {
   private def codesTable(prefix: String) = s"${prefix}_codes"
   private def vecsTable(prefix: String) = s"${prefix}_vecs"
 
-  /** LSH config — THE serving-scale knob. Candidates/query ≈ tables ·
-    * |masks| · N/2^bits, so `bits` must grow ~log₂N as the corpus does:
-    * the ×25 probe rung measured the fixed 4-bit default degenerating
-    * to near-all-pairs rerank (63 GB spill, step 7.2) where bits=8 on
-    * the same corpus restores the linear shape (tuned row in
-    * scale_probe.json). The default (4, 4) is the `q_ann_lsh`
-    * oracle-shared config the test corpora are sized for. Read from the
-    * session conf AT FOLD TIME and persisted in the warehouse
-    * (`_ann_conf`), so serving always probes with the exact config the
-    * index was built at — a conf drift between fold and serve would
-    * silently zero recall. */
-  private def confAnn(s: SparkSession): (Int, Int) = (
-    s.conf.getOption("spark.graft.ann.tables").map(_.toInt).getOrElse(Dedup.NumTables),
-    s.conf.getOption("spark.graft.ann.bits").map(_.toInt).getOrElse(4))
+  /** LSH width policy — THE serving-scale knob, now SELF-SIZING.
+    * Candidates/query ≈ tables · |masks| · N/2^bits, so `bits` must grow
+    * ~log₂N as the corpus does: the r12 ×25 probe rung measured a fixed
+    * 4-bit width degenerating to near-all-pairs rerank (54 s, 63.5 GB of
+    * sort spill) where bits=8 on the same corpus restores the linear
+    * shape (9.2 s, zero spill). A knob a human must remember to grow is
+    * not a scale-safe design, so the fold now DERIVES the width from the
+    * corpus size it already owns:
+    *
+    *   bits = max(4, ⌈log₂(N / TargetOccupancy)⌉)
+    *
+    * which pins expected bucket occupancy ≈ TargetOccupancy rows
+    * regardless of N (candidates/query stays ≈ tables · |masks| ·
+    * occupancy — flat). The floor of 4 keeps every driver-scale corpus
+    * (500–2,000 vectors) reproducing the `q_ann_lsh` oracle config
+    * bit-for-bit; at the probe's ×25 rung (50k vectors) the derivation
+    * lands exactly on the proven bits=8 row. `spark.graft.ann.bits`
+    * remains an explicit override (it wins over the derivation), and the
+    * width the index was actually BUILT at is persisted in `_ann_conf`
+    * so serving always probes the built config — a drift between fold
+    * and serve would silently zero recall. When the derived target
+    * outgrows the built width mid-history, the fold migrates the index
+    * (see `recode`). */
+  val TargetOccupancy: Long = 200L
+
+  def derivedBits(corpusRows: Long): Int = math.max(4, math.ceil(
+    math.log(math.max(corpusRows, 1L).toDouble / TargetOccupancy) / math.log(2.0)).toInt)
+
+  private def confTables(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.ann.tables").map(_.toInt).getOrElse(Dedup.NumTables)
+  private def confBitsOverride(s: SparkSession): Option[Int] =
+    s.conf.getOption("spark.graft.ann.bits").map(_.toInt)
+
+  /** Config for a warehouse with no `_ann_conf` yet (pre-marker reads):
+    * override, else the historical default. */
+  private def confAnn(s: SparkSession): (Int, Int) =
+    (confTables(s), confBitsOverride(s).getOrElse(4))
 
   private def annConfPath(warehouse: String) =
     new org.apache.hadoop.fs.Path(s"$warehouse/_ann_conf")
 
-  private def writeAnnConf(s: SparkSession, warehouse: String, tables: Int, bits: Int): Unit = {
+  private def writeAnnConf(s: SparkSession, warehouse: String, tables: Int, bits: Int,
+                           force: Boolean = false): Unit = {
     val p = annConfPath(warehouse)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      val out = fs.create(p, true)
-      try out.write(s"$tables $bits".getBytes("UTF-8")) finally out.close()
-    }
+    if (force || !fs.exists(p))
+      IncrState.writeMarker(s, warehouse, "_ann_conf", s"$tables $bits")
   }
+
+  /** Per-day vector counts (`_vec_counts`): the corpus size the fold
+    * already knows — see IncrState.readDayCounts for the idempotence
+    * and never-a-corpus-scan argument. */
+  private def readVecCounts(s: SparkSession, warehouse: String): Map[Int, Long] =
+    IncrState.readDayCounts(s, warehouse, "_vec_counts")
+
+  private def writeVecCounts(s: SparkSession, warehouse: String,
+                             counts: Map[Int, Long]): Unit =
+    IncrState.writeDayCounts(s, warehouse, "_vec_counts", counts)
 
   /** The config the warehouse's index was built at (falls back to the
     * session conf for pre-marker warehouses). */
@@ -109,23 +141,78 @@ object AnnIncr {
     * plus the fresh day partition it just wrote (read BACK from state so
     * the codes derive from the stored vectors, not a second scan of raw
     * input — the same no-runtime-cache discipline as the L44 fold, and
-    * what keeps the suite's input-bytes bound slice-shaped). */
+    * what keeps the suite's input-bytes bound slice-shaped). The fold
+    * also maintains the `_vec_counts` marker and, when the derived width
+    * outgrows the built one, migrates the code store (`recode`) — so the
+    * index stays bucket-occupancy-flat without a human growing a conf. */
   def runDay(s: SparkSession, slice: DataFrame, prefix: String,
              warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
     import s.implicits._
     val Seq(codesT, vecsT) = stateTables(prefix)
-    val (tables, bits) = confAnn(s)
-    writeAnnConf(s, warehouse, tables, bits)
-    // every fold AFTER day 0 codes with the PERSISTED config — a session
-    // conf change mid-history must not split the index across configs
-    val (ft, fb) = annConf(s, warehouse)
     IncrState.writeDay(s, scaled(slice).withColumn("day", lit(day)),
       vecsT, warehouse, day, nBuckets)
     val fresh = s.table(vecsTable(prefix)).filter($"day" === day)
-    IncrState.writeDay(s,
-      Dedup.lshBucketsN(fresh.select($"vec_id", $"v"), ft, fb).withColumn("day", lit(day)),
-      codesT, warehouse, day, nBuckets)
+    // corpus size after this fold: count the fresh partition (an empty
+    // ReadSchema scan — footer bytes only) + the O(days) marker
+    val counts = readVecCounts(s, warehouse) + (day -> fresh.count())
+    writeVecCounts(s, warehouse, counts)
+    val target = confBitsOverride(s).getOrElse(derivedBits(counts.values.sum))
+    writeAnnConf(s, warehouse, confTables(s), target) // first fold only
+    // a re-code interrupted by a crash reruns to completion before the
+    // fold proceeds (the rebuild is a pure function of the vector store,
+    // so rerunning from any intermediate state converges)
+    IncrState.readMarker(s, warehouse, "_recode_pending").flatMap(_.trim.toIntOption)
+      .foreach(w => recode(s, prefix, warehouse, annConf(s, warehouse)._1, w, nBuckets))
+    // every fold codes with the PERSISTED config — a session conf change
+    // mid-history must not split the index across configs
+    val (ft, fb) = annConf(s, warehouse)
+    if (target > fb) {
+      // the corpus outgrew the built width: migrate, which re-codes the
+      // fresh day along with everything else
+      recode(s, prefix, warehouse, ft, target, nBuckets)
+    } else {
+      IncrState.writeDay(s,
+        Dedup.lshBucketsN(fresh.select($"vec_id", $"v"), ft, fb).withColumn("day", lit(day)),
+        codesT, warehouse, day, nBuckets)
+    }
     IncrState.writeLastDay(s, warehouse, day)
+  }
+
+  /** Width migration (the bits-boundary re-code epoch): rebuild the
+    * ENTIRE code store at `newBits` as one epoch partition. Codes are
+    * pure functions of the stored vectors (scaladoc above), so the
+    * rebuild is a single map-side projection of `{prefix}_vecs` through
+    * the bucketed write path — cost ∝ corpus, no join, and it happens
+    * O(log N) times over the index's life (widths grow logarithmically),
+    * the same amortized O(N log N) write bound as the LSM compaction.
+    *
+    * Serving stays CORRECT at every instant of the swap: rerank is
+    * exact, so stray code rows only ever add candidates — before the
+    * conf flip the old-width partitions are still complete (new-epoch
+    * rows are noise); after it the new epoch is complete (stale
+    * old-width rows are noise until dropped). A `_recode_pending` marker
+    * brackets the swap so a crash anywhere inside it reruns the re-code
+    * on the next fold. */
+  private def recode(s: SparkSession, prefix: String, warehouse: String,
+                     tables: Int, newBits: Int, nBuckets: Int): Unit = {
+    import s.implicits._
+    val codesT = stateTables(prefix).head
+    IncrState.writeMarker(s, warehouse, "_recode_pending", newBits.toString)
+    val existing = (IncrState.deltaDays(s, codesT.name, warehouse) ++
+      IncrState.epochSizes(s, codesT.name, warehouse).keys).toSeq
+    val newEpoch = math.min(IncrState.EpochDay, existing.minOption.getOrElse(0) - 1)
+    IncrState.writeDay(s,
+      Dedup.lshBucketsN(vecView(s, prefix).select($"vec_id", $"v"), tables, newBits)
+        .withColumn("day", lit(newEpoch)),
+      codesT, warehouse, newEpoch, nBuckets)
+    writeAnnConf(s, warehouse, tables, newBits, force = true)
+    val fs = new org.apache.hadoop.fs.Path(warehouse)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    existing.foreach { d =>
+      s.sql(s"ALTER TABLE ${codesT.name} DROP IF EXISTS PARTITION (day=$d)")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$warehouse/${codesT.name}/day=$d"), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$warehouse/_recode_pending"), false)
   }
 
   /** Highest day ever folded into this warehouse; -1 when none. */
@@ -144,6 +231,9 @@ object AnnIncr {
   def topK(s: SparkSession, prefix: String, warehouse: String,
            queries: DataFrame, k: Int = 3): DataFrame = {
     import s.implicits._
+    // restart contract, read side: the warehouse outlives the in-memory
+    // catalog — re-register surviving state tables before touching them
+    stateTables(prefix).foreach(IncrState.ensureRegistered(s, _, warehouse))
     val (tables, bits) = annConf(s, warehouse)
     val cand = probesOf(queries, tables, bits)
       .join(codeStore(s, prefix).select($"bkt", $"vec_id".as("c_id")), "bkt")
@@ -179,20 +269,24 @@ object AnnIncr {
   private[graft] def vecStore(s: SparkSession, prefix: String): DataFrame =
     s.table(vecsTable(prefix))
 
-  /** Lifecycle accessors + hook (IncrState; codes table drives sizing). */
+  /** Lifecycle accessors + hook (IncrState). Sizing reads the VECTOR
+    * store, not the codes: a width re-code legitimately collapses the
+    * codes table to one epoch, while the vecs layout always carries the
+    * full day history — so vecs is the honest compaction trigger. */
   def deltaDays(s: SparkSession, prefix: String, warehouse: String): Seq[Int] =
-    IncrState.deltaDays(s, codesTable(prefix), warehouse)
+    IncrState.deltaDays(s, vecsTable(prefix), warehouse)
   def maxFilesPerBucket(s: SparkSession, prefix: String, warehouse: String): Int =
-    IncrState.maxFilesPerBucket(s, codesTable(prefix), warehouse)
+    math.max(IncrState.maxFilesPerBucket(s, vecsTable(prefix), warehouse),
+      IncrState.maxFilesPerBucket(s, codesTable(prefix), warehouse))
   def epochSizes(s: SparkSession, prefix: String, warehouse: String): Map[Int, Long] =
-    IncrState.epochSizes(s, codesTable(prefix), warehouse)
+    IncrState.epochSizes(s, vecsTable(prefix), warehouse)
   def maybeCompact(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32, maxDeltaDays: Int = 8): Boolean =
     IncrState.sizeTieredCompact(s, warehouse, stateTables(prefix),
-      codesTable(prefix), nBuckets, maxDeltaDays)
+      vecsTable(prefix), nBuckets, maxDeltaDays)
   def compactState(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32): Unit =
-    IncrState.compactAll(s, warehouse, stateTables(prefix), codesTable(prefix), nBuckets)
+    IncrState.compactAll(s, warehouse, stateTables(prefix), nBuckets)
 
   def dropState(s: SparkSession, prefix: String): Unit =
     Seq(codesTable(prefix), vecsTable(prefix)).foreach(t =>
@@ -219,6 +313,14 @@ object AnnIncr {
     import s.implicits._
     vecView(s, prefix).filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"n2".as("qn"))
+  }
+
+  /** Restart-safe twin: re-registers the surviving state tables from the
+    * warehouse before reading (the in-memory catalog dies with the JVM;
+    * the warehouse does not). */
+  def storeQueries(s: SparkSession, prefix: String, warehouse: String): DataFrame = {
+    stateTables(prefix).foreach(IncrState.ensureRegistered(s, _, warehouse))
+    storeQueries(s, prefix)
   }
 
   /** Daily loop over `days` slices (vec_id mod days) + top-3 serving —

@@ -80,9 +80,12 @@ object DedupIncr {
     * replay — and the ledger via a day-partitioned path write), so a
     * replayed batch rewrites its own day byte-identically instead of
     * appending duplicates; a crash mid-write leaves a partial day=N
-    * partition that the replay replaces. Day 0 recreates the tables,
-    * which is equally safe under a serial driver: a batch-0 replay can
-    * only happen before batch 1 ever committed. */
+    * partition that the replay replaces. A day-0 replay against a
+    * warehouse that already holds later days is a dynamic overwrite of
+    * the day=0 partitions like any other day (IncrState.writeDay routes
+    * on table existence, not day id), so it can never destroy later-day
+    * or epoch state; only the FIRST write into a fresh warehouse
+    * creates the tables. */
   def runDay(s: SparkSession, slice: DataFrame, prefix: String,
              warehouse: String, day: Int, nBuckets: Int = 32): Unit = IncrState.withOverwriteMode(s, "dynamic") {
     import s.implicits._
@@ -194,26 +197,40 @@ object DedupIncr {
     * on the CURRENT day, which is never negative. */
   def compactState(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32): Unit =
-    IncrState.compactAll(s, warehouse, stateTables(prefix), bandsTable(prefix), nBuckets)
+    IncrState.compactAll(s, warehouse, stateTables(prefix), nBuckets)
 
   def compactLedger(s: SparkSession, prefix: String, warehouse: String,
                     retainFromDay: Option[Int] = None): Unit = {
     val path = pairsPath(warehouse, prefix)
     val stage = s"$warehouse/_compact_stage_pairs"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    // the partitions being superseded, listed up front (metadata-only)
+    val existing = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("day="))
+      .flatMap(_.drop(4).toIntOption)
+    if (existing.isEmpty) return
+    val newEpoch = math.min(EpochDay, existing.min - 1)
     val cur = s.read.schema(pairsSchema).parquet(path)
-    retainFromDay.fold(cur)(d => cur.filter(col("day") >= d || col("day") === EpochDay))
-      .withColumn("day", lit(EpochDay))
+    retainFromDay.fold(cur)(d => cur.filter(col("day") >= d || col("day") < 0))
+      .withColumn("day", lit(newEpoch))
       .dropDuplicates("d1", "d2")
       .write.mode("overwrite").parquet(stage)
-    // natural (bounded, ≤ shuffle-partition-count) file fan-out for the
-    // epoch — a coalesce(1) here would funnel a corpus-scale ledger
-    // through one task
-    IncrState.withOverwriteMode(s, "static") {
-      s.read.parquet(stage)
+    // land the merged epoch BESIDE its sources (dynamic overwrite of the
+    // fresh day=newEpoch only), then drop the superseded partitions — the
+    // same commit ordering as the state-table merges, so no instant of a
+    // crash leaves the ledger empty or partial (a crash mid-swap leaves a
+    // superset; pairs()' distinct absorbs the copies). Natural (bounded,
+    // ≤ shuffle-partition-count) file fan-out — a coalesce(1) here would
+    // funnel a corpus-scale ledger through one task.
+    IncrState.withOverwriteMode(s, "dynamic") {
+      s.read.schema(pairsSchema).parquet(stage)
         .write.mode("overwrite").partitionBy("day").parquet(path)
     }
-    val p = new org.apache.hadoop.fs.Path(stage)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    existing.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/day=$d"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
   /** Daily-cadence lifecycle hook: IncrState's size-tiered compaction

@@ -133,14 +133,24 @@ object Graph {
     // non-spillable hint against small executors, the exact cliff this
     // guard exists for.
     val local = ss.sparkContext.isLocal
-    val slots = math.max(
-      if (local) ss.sparkContext.defaultParallelism
-      else ss.sparkContext.getConf.getInt("spark.executor.cores", 1), 1)
+    // cluster mode trusts the derived budget ONLY when executor cores
+    // are explicitly configured: an unset spark.executor.cores means 1
+    // on YARN/K8s but ALL worker cores in standalone mode, so assuming
+    // 1 slot there over-grants the non-spillable hint by the real core
+    // count — the exact OOM cliff this guard exists to prevent. With
+    // cores unknown, fall back to the conservative fixed bound the
+    // derivation replaced (48 MB — safe on every host it ever ran on).
+    val coresConf =
+      if (local) Some(math.max(ss.sparkContext.defaultParallelism, 1))
+      else ss.sparkContext.getConf.getOption("spark.executor.cores")
+        .flatMap(_.toIntOption).map(math.max(_, 1))
     val heapBytes =
       if (local) Runtime.getRuntime.maxMemory
       else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         ss.sparkContext.getConf.get("spark.executor.memory", "1g"))
-    val perTaskBudget = heapBytes * 15L / 100L / slots
+    val perTaskBudget = coresConf
+      .map(slots => heapBytes * 15L / 100L / slots)
+      .getOrElse(48L << 20)
     val shjSafe =
       e.count() * 100L / ss.sessionState.conf.numShufflePartitions < perTaskBudget
     def shj(df: DataFrame): DataFrame = if (shjSafe) df.hint("shuffle_hash") else df

@@ -49,9 +49,66 @@ object IncrState {
     try body finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
   }
 
-  /** Write one day's rows of `t` (day 0 creates the table; day > 0 is a
-    * dynamic overwrite of exactly the `day=N` partitions). The input must
-    * already carry the `day` column. */
+  /** Re-register a state table whose files survived a JVM restart but
+    * whose catalog entry (in-memory only — no Hive metastore anywhere in
+    * this engine) did not: rebuild the CREATE TABLE from the on-disk
+    * parquet schema with the original bucket spec + partitioning, point
+    * it at the surviving warehouse dir, and MSCK the partitions back in.
+    * This is what makes the streaming drives' restart contract real
+    * across processes, not just across queries in one session. */
+  private def registerExisting(s: SparkSession, t: StateTable, warehouse: String,
+                               nBuckets: Int): Unit = {
+    val path = s"$warehouse/${t.name}"
+    val dataCols = s.read.parquet(path).schema.fields
+      .filterNot(_.name == "day")
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    s.sql(
+      s"""CREATE TABLE ${t.name} ($dataCols, day INT)
+         |USING PARQUET
+         |PARTITIONED BY (day)
+         |CLUSTERED BY (${t.bucketKey}) INTO $nBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    s.sql(s"MSCK REPAIR TABLE ${t.name}")
+  }
+
+  private def bucketsMarker(warehouse: String, table: String) =
+    new org.apache.hadoop.fs.Path(s"$warehouse/$table/_graft_buckets")
+
+  /** The bucket count a surviving table was WRITTEN at (recorded beside
+    * the data on create — an underscore file, invisible to Spark's
+    * listing). Re-registration must reuse it exactly: a CLUSTERED BY
+    * spec that disagrees with the physical file placement would satisfy
+    * the exchange-free joins with wrongly-colocated rows. */
+  private def writtenBuckets(s: SparkSession, warehouse: String, table: String): Option[Int] = {
+    val p = bucketsMarker(warehouse, table)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .trim.toIntOption
+      finally in.close()
+    }
+  }
+
+  /** Read-path half of the restart contract: the in-memory catalog dies
+    * with the JVM, but the warehouse dirs (and checkpoints) survive — a
+    * consumer (serving join, fold merge) touching `s.table` after a
+    * restart re-registers from disk here, at the recorded bucket count. */
+  def ensureRegistered(s: SparkSession, t: StateTable, warehouse: String): Unit =
+    if (!s.catalog.tableExists(t.name)) {
+      val dir = new org.apache.hadoop.fs.Path(s"$warehouse/${t.name}")
+      if (dir.getFileSystem(s.sparkContext.hadoopConfiguration).exists(dir))
+        writtenBuckets(s, warehouse, t.name)
+          .foreach(n => registerExisting(s, t, warehouse, n))
+    }
+
+  /** Write one day's rows of `t` (the first write into a fresh warehouse
+    * creates the table; every later write — INCLUDING a replayed day 0 —
+    * is a dynamic overwrite of exactly the `day=N` partitions, so a
+    * replay can never destroy later-day or epoch state). A table whose
+    * files exist but whose catalog entry was lost to a JVM restart is
+    * re-registered first. The input must already carry the `day` column. */
   def writeDay(s: SparkSession, df0: DataFrame, t: StateTable, warehouse: String,
                day: Int, nBuckets: Int): Unit = withOverwriteMode(s, "dynamic") {
     // repartition on the bucket key FIRST: HashPartitioning(key, n) uses
@@ -61,10 +118,20 @@ object IncrState {
     // day: measured 15.2 s vs 0.7 s for the one-shot at sf0.1, almost all
     // of it file open/close)
     val df = df0.repartition(nBuckets, col(t.bucketKey))
-    if (day == 0) {
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/${t.name}")
+    val onDisk = dir.getFileSystem(s.sparkContext.hadoopConfiguration).exists(dir)
+    val inCatalog = s.catalog.tableExists(t.name)
+    if (!inCatalog && onDisk) registerExisting(s, t, warehouse,
+      writtenBuckets(s, warehouse, t.name).getOrElse(nBuckets))
+    if (!inCatalog && !onDisk) {
       df.write.mode("overwrite").format("parquet").bucketBy(nBuckets, t.bucketKey)
         .partitionBy("day")
         .option("path", s"$warehouse/${t.name}").saveAsTable(t.name)
+      // record the physical bucket count beside the data: restart
+      // re-registration must reuse it exactly (ensureRegistered)
+      val m = bucketsMarker(warehouse, t.name)
+      val out = m.getFileSystem(s.sparkContext.hadoopConfiguration).create(m, true)
+      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
     } else {
       // dynamic overwrite of this day's partition only; align column
       // order to the table schema (insertInto is positional)
@@ -84,7 +151,11 @@ object IncrState {
     fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("day=") => n.drop(4).toInt }
+      .collect { case n if n.startsWith("day=") => n.drop(4) }
+      // defensive parse (matches epochSizes): an unexpected day= dir —
+      // e.g. __HIVE_DEFAULT_PARTITION__ from a stray null — must not
+      // throw out of every maybeCompact trigger
+      .flatMap(_.toIntOption)
       .filter(_ >= 0)
       .sorted
   }
@@ -136,7 +207,14 @@ object IncrState {
     * stores would wrap the swap in the ManifestSink
     * commit-before-visibility pattern, like A11. */
   private def mergePartitions(s: SparkSession, warehouse: String, t: StateTable,
-                              days: Seq[Int], newEpoch: Int, nBuckets: Int): Unit = {
+                              days0: Seq[Int], newEpoch: Int, nBuckets: Int): Unit = {
+    // group members usually share one partition layout, but a codes
+    // re-code (AnnIncr width migration) can legitimately leave a member
+    // with fewer partitions than the sizing table — merge only what THIS
+    // table actually holds, and never stage/read an empty frame
+    val present = (deltaDays(s, t.name, warehouse) ++
+      epochSizes(s, t.name, warehouse).keys).toSet
+    val days = days0.filter(present)
     if (days.isEmpty) return
     val stage = s"$warehouse/_compact_stage_${t.name}"
     val cols = s.table(t.name).columns
@@ -153,7 +231,7 @@ object IncrState {
     val fs = new org.apache.hadoop.fs.Path(warehouse)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     days.foreach { d =>
-      s.sql(s"ALTER TABLE ${t.name} DROP PARTITION (day=$d)")
+      s.sql(s"ALTER TABLE ${t.name} DROP IF EXISTS PARTITION (day=$d)")
       fs.delete(new org.apache.hadoop.fs.Path(s"$warehouse/${t.name}/day=$d"), true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
@@ -166,15 +244,18 @@ object IncrState {
     tables.foreach(t => mergePartitions(s, warehouse, t, days, newEpoch, nBuckets))
 
   /** FULL merge: every partition (settled days and prior epochs alike)
-    * folds into one epoch, one file per bucket. `sizingTable` drives the
-    * listings (the group's partitions are aligned by construction). */
+    * folds into one epoch, one file per bucket. Listings are PER TABLE:
+    * the members' partitions are aligned by construction on the fold
+    * path, but an AnnIncr re-code leaves the codes table holding only
+    * its own epoch — each table must fold what it actually has. */
   def compactAll(s: SparkSession, warehouse: String, tables: Seq[StateTable],
-                 sizingTable: String, nBuckets: Int): Unit = {
-    val all = deltaDays(s, sizingTable, warehouse) ++
-      epochSizes(s, sizingTable, warehouse).keys
-    val target = math.min(EpochDay, all.minOption.getOrElse(0) - 1)
-    mergeAll(s, warehouse, tables, all, target, nBuckets)
-  }
+                 nBuckets: Int): Unit =
+    tables.foreach { t =>
+      val all = deltaDays(s, t.name, warehouse) ++
+        epochSizes(s, t.name, warehouse).keys
+      val target = math.min(EpochDay, all.minOption.getOrElse(0) - 1)
+      mergePartitions(s, warehouse, t, all, target, nBuckets)
+    }
 
   /** Daily-cadence lifecycle hook: once the settled day-partition count
     * passes `maxDeltaDays`, merge those days into a fresh epoch run, then
@@ -199,6 +280,52 @@ object IncrState {
       true
     }
   }
+
+  /** Tiny warehouse marker, written via temp + rename so a crash
+    * mid-write never leaves a truncated marker in place (same
+    * discipline as `_last_day`). */
+  def writeMarker(s: SparkSession, warehouse: String, name: String,
+                  body: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$warehouse/$name")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$warehouse/$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  def readMarker(s: SparkSession, warehouse: String, name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$warehouse/$name")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  /** Per-day row-count marker (lines of "day count"): the corpus size a
+    * fold already knows, maintained in O(days) marker bytes + one count
+    * of the fresh partition — never a corpus-wide listing or scan, so
+    * size-derived policies (ANN width, TF-IDF n_docs) stay slice-shaped
+    * at 100 TB. Keyed by day, so a replayed day overwrites its own entry
+    * (idempotent) and compaction — which only moves rows between
+    * partitions — never touches it. */
+  def readDayCounts(s: SparkSession, warehouse: String, name: String): Map[Int, Long] =
+    readMarker(s, warehouse, name).map(_.linesIterator.flatMap { l =>
+      l.trim.split(' ') match {
+        case Array(d, c) => for (di <- d.toIntOption; ci <- c.toLongOption) yield di -> ci
+        case _ => None
+      }
+    }.toMap).getOrElse(Map.empty)
+
+  def writeDayCounts(s: SparkSession, warehouse: String, name: String,
+                     counts: Map[Int, Long]): Unit =
+    writeMarker(s, warehouse, name,
+      counts.toSeq.sorted.map { case (d, c) => s"$d $c" }.mkString("\n"))
 
   private def lastDayPath(warehouse: String) =
     new org.apache.hadoop.fs.Path(s"$warehouse/_last_day")

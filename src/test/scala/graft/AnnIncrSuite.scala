@@ -232,6 +232,101 @@ class AnnIncrSuite extends SparkSpec {
     } finally ops.AnnIncr.dropState(spark, prefix)
   }
 
+  test("restart: fold and serving re-register surviving state after the catalog dies") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val prefix = "ann_incr_r_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = ops.IncrState.newWarehouse()
+    try {
+      (0 to 1).foreach(d => ops.AnnIncr.runDay(spark,
+        emb.filter(pmod($"vec_id", lit(3L)) === d), prefix, wh, d, nBuckets = 4))
+      // simulate a JVM restart: the in-memory catalog entries are gone,
+      // the warehouse dirs and markers survive
+      Seq(s"${prefix}_codes", s"${prefix}_vecs").foreach(t =>
+        spark.sql(s"DROP TABLE $t"))
+      // the day-2 fold must re-register from disk and keep going
+      ops.AnnIncr.runDay(spark,
+        emb.filter(pmod($"vec_id", lit(3L)) === 2), prefix, wh, 2, nBuckets = 4)
+      // and after a second "restart", the serving path must too
+      Seq(s"${prefix}_codes", s"${prefix}_vecs").foreach(t =>
+        spark.sql(s"DROP TABLE $t"))
+      assert(canon(ops.AnnIncr.topK(spark, prefix, wh,
+        ops.AnnIncr.storeQueries(spark, prefix, wh), 3)) ==
+        canon(SparkEntry.queries("q_ann_lsh")(spark, sfDir)))
+      // the re-registered store kept its bucketed layout AT THE WRITTEN
+      // COUNT (the serving exchange-free contract survives a restart,
+      // not just the data — a drifted bucket spec would colocate rows
+      // wrongly and silently corrupt the joins)
+      val ddl = spark.sql(s"DESCRIBE FORMATTED ${prefix}_codes")
+        .collect().map(r => s"${r.get(0)}=${r.get(1)}").mkString("\n")
+      assert(ddl.contains("Num Buckets=4") && ddl.contains("Bucket Columns=[`bkt`]"),
+        s"re-registered table lost its bucket spec:\n$ddl")
+    } finally ops.AnnIncr.dropState(spark, prefix)
+  }
+
+  test("width self-scales with the corpus: derivation, boundary migration, recovery") {
+    import spark.implicits._
+    // deterministic synthetic 64-dim corpus (integer arithmetic only),
+    // sized to cross the 4→5 width boundary at N = 200·2^4 = 3,200
+    def synth(n: Int): DataFrame =
+      spark.range(1, n + 1L).select($"id".as("vec_id"),
+        expr("transform(sequence(1, 64), j -> " +
+          "cast((pmod(id * 31 + j * 17, 1001) - 500) / 250.0 as float))").as("embedding"))
+    assert(ops.AnnIncr.derivedBits(2000) == 4 && ops.AnnIncr.derivedBits(6000) == 5 &&
+      ops.AnnIncr.derivedBits(50000) == 8, // the r12 probe's proven zero-spill ×25 width
+      "derivation drifted from the documented policy")
+    def mk() = ("ann_incr_w_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString)), ops.IncrState.newWarehouse())
+    val (prefix, wh) = mk(); val (p2, wh2) = mk(); val (p3, wh3) = mk()
+    def serve(p: String, w: String) = canon(ops.AnnIncr.topK(spark, p, w,
+      ops.AnnIncr.storeQueries(spark, p), 3))
+    try {
+      // day 0: 2,000 vectors → derived 4 (the oracle floor config)
+      ops.AnnIncr.runDay(spark, synth(2000), prefix, wh, 0, nBuckets = 4)
+      assert(ops.AnnIncr.annConf(spark, wh) == (4, 4))
+      // day 1: +4,000 → corpus 6,000 → derived 5 → the fold must migrate
+      ops.AnnIncr.runDay(spark, synth(6000).filter($"vec_id" > 2000),
+        prefix, wh, 1, nBuckets = 4)
+      assert(ops.AnnIncr.annConf(spark, wh) == (4, 5),
+        "fold did not widen with the corpus")
+      // the code store collapsed to one re-code epoch (vec days intact)
+      assert(ops.IncrState.deltaDays(spark, s"${prefix}_codes", wh).isEmpty,
+        "stale-width code partitions survived the migration")
+      assert(ops.IncrState.deltaDays(spark, s"${prefix}_vecs", wh) == Seq(0, 1))
+      // serving parity with a from-scratch rebuild of the same corpus
+      // (codes are pure functions of the vectors at the built width)
+      ops.AnnIncr.runDay(spark, synth(6000), p2, wh2, 0, nBuckets = 4)
+      assert(ops.AnnIncr.annConf(spark, wh2) == (4, 5))
+      val migrated = serve(prefix, wh)
+      assert(migrated.nonEmpty)
+      assert(migrated == serve(p2, wh2),
+        "migrated index diverged from a from-scratch rebuild")
+      // replay of the boundary day after the migration: byte-stable
+      ops.AnnIncr.runDay(spark, synth(6000).filter($"vec_id" > 2000),
+        prefix, wh, 1, nBuckets = 4)
+      assert(serve(prefix, wh) == migrated)
+      // compaction across the migrated layout stays sound
+      ops.AnnIncr.compactState(spark, prefix, wh, nBuckets = 4)
+      assert(serve(prefix, wh) == migrated)
+      // crash recovery: a dangling _recode_pending (crash anywhere inside
+      // a re-code) reruns to completion on the next fold, and the result
+      // matches a fresh build at the pending width
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$wh/_recode_pending"), "6".getBytes("UTF-8"))
+      ops.AnnIncr.runDay(spark, synth(6000).limit(0), prefix, wh, 2, nBuckets = 4)
+      assert(ops.AnnIncr.annConf(spark, wh) == (4, 6),
+        "pending re-code was not recovered")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$wh/_recode_pending")))
+      spark.conf.set("spark.graft.ann.bits", "6")
+      try ops.AnnIncr.runDay(spark, synth(6000), p3, wh3, 0, nBuckets = 4)
+      finally spark.conf.unset("spark.graft.ann.bits")
+      assert(serve(prefix, wh) == serve(p3, wh3),
+        "recovered re-code diverged from a fresh width-6 build")
+    } finally Seq(prefix, p2, p3).foreach(ops.AnnIncr.dropState(spark, _))
+  }
+
   test("query path: code and vector stores are exchange-free (bucketed scans)") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
