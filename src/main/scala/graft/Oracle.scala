@@ -169,6 +169,23 @@ object Oracle {
         SELECT d1, d2, sim FROM r WHERE sim >= 0.4 ORDER BY d1, d2"""
   }
 
+  /** Shared by q_text_tfidf (batch) and q_tfidf_incr (the incremental
+    * fold is lossless, so the batch recompute IS its oracle). */
+  private val tfidfSql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       sc AS (SELECT doc_id, tf.tok AS tok,
+                     round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+              FROM tf JOIN df USING (tok) CROSS JOIN n),
+       r AS (SELECT doc_id, tok, score,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, tok) AS BIGINT) AS rk
+             FROM sc)
+       SELECT doc_id, rk, tok, score FROM r WHERE rk <= 3
+       ORDER BY doc_id, rk"""
+
   private val annLshSql: String = {
     val bitCols = (0 until ops.Dedup.NumPlanes).map { p =>
       val lits = ops.Dedup.planes(p).mkString("[", ", ", "]")
@@ -1489,20 +1506,12 @@ object Oracle {
                 FROM sc)
          SELECT doc_id, rk, phrase, score FROM rk WHERE rk <= 3
          ORDER BY doc_id, rk""",
-    "q_text_tfidf" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
-         df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
-         n AS (SELECT COUNT(*) AS n_docs FROM documents),
-         sc AS (SELECT doc_id, tf.tok AS tok,
-                       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
-                FROM tf JOIN df USING (tok) CROSS JOIN n),
-         r AS (SELECT doc_id, tok, score,
-                      CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
-                        ORDER BY score DESC, tok) AS BIGINT) AS rk
-               FROM sc)
-         SELECT doc_id, rk, tok, score FROM r WHERE rk <= 3
-         ORDER BY doc_id, rk""",
+    "q_text_tfidf" -> tfidfSql,
+    // the incremental fold is LOSSLESS (summed per-day df partials ==
+    // full-corpus df because doc sets are disjoint across days), so the
+    // oracle is the batch recompute verbatim — same contract as
+    // q_dedup_incr/q_ann_incr
+    "q_tfidf_incr" -> tfidfSql,
 
     // ----- composed curation pipeline -----
     "q_pipeline_curate" ->

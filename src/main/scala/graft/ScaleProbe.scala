@@ -77,8 +77,17 @@ object ScaleProbe {
     // round-12 addition: the incremental ANN index (L45) — K× embeddings
     // multiply the daily fold (two bucketed writes) and the serving
     // path's candidate volume together; sign-flipped copies keep
-    // cross-copy collisions ≈ chance so candidates/query stay ∝ N/2^bits
-    "q_ann_incr")
+    // cross-copy collisions ≈ chance so candidates/query stay ∝ N/2^bits.
+    // Round 13: the fold now derives the bit width from the corpus size,
+    // so the rungs here exercise the derivation (×10 folds at 6→7 bits,
+    // ×25 at 7→8 incl. one mid-history re-code epoch) — the committed
+    // default-config row IS the deployment shape now
+    "q_ann_incr",
+    // round-13 addition (VERDICT r12 #6): the incremental TF-IDF — K×
+    // documents multiply the daily tf/df folds and the report's
+    // bucket-aligned join + output-inherent window together; the
+    // alphabet rotation grows the vocab ~K× so the df state scales too
+    "q_tfidf_incr")
 
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -144,8 +153,13 @@ object ScaleProbe {
 
   /** Warm-up + min-of-3 timings with shuffle/spill telemetry, Bench's
     * protocol (noop sink = full distributed materialization). Returns
-    * name -> (seconds, shuffleReadMb, spillMb). */
-  def measure(spark: SparkSession, dir: String, names: Seq[String]): Map[String, (Double, Double, Double)] = {
+    * name -> (seconds, shuffleReadMb, spillMb, rowsOut). rowsOut is a
+    * separate post-timing count() pass (the noop write reports no
+    * record counts): it lets a ratio verdict separate output-inherent
+    * growth (rows_out grows with the rung — e.g. the gapfill grid or
+    * the dedup pair emitters) from genuine plan degradation (time grows,
+    * rows_out does not) — VERDICT r12 #5. */
+  def measure(spark: SparkSession, dir: String, names: Seq[String]): Map[String, (Double, Double, Double, Long)] = {
     val shufRead = new java.util.concurrent.atomic.AtomicLong()
     val spilled = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -185,7 +199,12 @@ object ScaleProbe {
       // outlier for q_sim_jaccard that three clean samples do not
       val t = Seq(once(), once(), once()).min
       drain()
-      val res = n -> (t, (shufRead.get - r0) / 3.0 / 1048576.0, (spilled.get - s0) / 1048576.0)
+      // snapshot the timed runs' telemetry BEFORE the rows-out count —
+      // the count is bookkeeping, not part of the measured plan
+      val (shufMb, spillMb) =
+        ((shufRead.get - r0) / 3.0 / 1048576.0, (spilled.get - s0) / 1048576.0)
+      val rowsOut = fn(spark, dir).count()
+      val res = n -> (t, shufMb, spillMb, rowsOut)
       release()
       res
     }.toMap
@@ -213,7 +232,10 @@ object ScaleProbe {
     // under a 2.5× corpus (and therefore 2.5× slices AND 2.5× state)
     // should stay ≲ 2.5 like any linear plan
     "q_dedup_incr" -> "documents",
-    "q_ann_incr" -> "embeddings")
+    "q_ann_incr" -> "embeddings",
+    // round 13: the third incremental headliner — same per-day-cost-∝-
+    // slice-plus-state claim, so same two-rung evidence bar
+    "q_tfidf_incr" -> "documents")
   val Rung2K = 25
 
   def main(args: Array[String]): Unit = {
@@ -271,38 +293,26 @@ object ScaleProbe {
       try measure(spark, out2, Seq("q_graph_triangles"))("q_graph_triangles")
       finally b0.fold(spark.conf.unset(bits))(spark.conf.set(bits, _))
     }
-    // ANN bucket-width envelope evidence (round 12): the default 4-bit
-    // config is the oracle-shared test-scale setting; at the ×25 rung
-    // its candidate set degenerates toward all-pairs (candidates/query
-    // ∝ N/2^bits — the measured default row IS that degeneration, kept
-    // as the demonstration). Re-measure once at the deployment setting
-    // for this rung (bits=8 → 256 buckets/table, candidates/query back
-    // to the ×1 regime) to show the knob restores the linear shape,
-    // then restore the conf. AnnIncr persists the fold-time config, so
-    // the tuned run folds AND serves at bits=8 (no oracle claim — the
-    // oracle covers only the default config).
-    val tunedAnn = if (!atK2.contains("q_ann_incr")) None else Some {
-      val key = "spark.graft.ann.bits"
-      val b0 = spark.conf.getOption(key)
-      spark.conf.set(key, "8")
-      try measure(spark, out2, Seq("q_ann_incr"))("q_ann_incr")
-      finally b0.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-    }
+    // Round 13: the r12 tuned-bits8 ANN re-measure is GONE because the
+    // knob is gone from the critical path — AnnIncr now derives the
+    // width from the corpus size at fold time (bits = max(4,
+    // ceil(log2(N/200))); ops/AnnIncr.scala), so the DEFAULT-config row
+    // below folds the ×25 corpus at the derived width and is itself the
+    // deployment shape. The r12 probe (git d218a5c) preserves the
+    // fixed-width degeneration row (54 s / 63.5 GB spill) for history.
     def r3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val rows = selected.map { n =>
-      val (t1, _, _) = at1(n)
-      val (tk, shufK, spillK) = atK(n)
-      val rung2 = atK2.get(n).map { case (tk2, shufK2, spillK2) =>
-        val tuned = (n, tunedTriangles, tunedAnn) match {
-          case ("q_graph_triangles", Some((tt, ts, _)), _) =>
+      val (t1, _, _, rows1) = at1(n)
+      val (tk, shufK, spillK, rowsK) = atK(n)
+      val rung2 = atK2.get(n).map { case (tk2, shufK2, spillK2, rowsK2) =>
+        val tuned = (n, tunedTriangles) match {
+          case ("q_graph_triangles", Some((tt, ts, _, _))) =>
             s""","t_${Rung2K}x_tuned_sketch":${r3(tt)},"shuffle_mb_${Rung2K}x_tuned":${r3(ts)}"""
-          case ("q_ann_incr", _, Some((tt, ts, tsp))) =>
-            s""","t_${Rung2K}x_tuned_bits8":${r3(tt)},"shuffle_mb_${Rung2K}x_tuned":${r3(ts)},"spill_mb_${Rung2K}x_tuned":${r3(tsp)}"""
           case _ => ""
         }
-        s""","t_${Rung2K}x":${r3(tk2)},"ratio_${Rung2K}x":${r3(tk2 / math.max(t1, 0.001))},"step_${k}x_to_${Rung2K}x":${r3(tk2 / math.max(tk, 0.001))},"shuffle_mb_${Rung2K}x":${r3(shufK2)},"spill_mb_${Rung2K}x":${r3(spillK2)}$tuned"""
+        s""","t_${Rung2K}x":${r3(tk2)},"ratio_${Rung2K}x":${r3(tk2 / math.max(t1, 0.001))},"step_${k}x_to_${Rung2K}x":${r3(tk2 / math.max(tk, 0.001))},"shuffle_mb_${Rung2K}x":${r3(shufK2)},"spill_mb_${Rung2K}x":${r3(spillK2)},"rows_out_${Rung2K}x":$rowsK2$tuned"""
       }.getOrElse("")
-      s""""$n":{"t_1x":${r3(t1)},"t_${k}x":${r3(tk)},"ratio":${r3(tk / math.max(t1, 0.001))},"shuffle_mb_${k}x":${r3(shufK)},"spill_mb_${k}x":${r3(spillK)}$rung2}"""
+      s""""$n":{"t_1x":${r3(t1)},"t_${k}x":${r3(tk)},"ratio":${r3(tk / math.max(t1, 0.001))},"shuffle_mb_${k}x":${r3(shufK)},"spill_mb_${k}x":${r3(spillK)},"rows_out_1x":$rows1,"rows_out_${k}x":$rowsK$rung2}"""
     }
     // the probed commit rides in the artifact: mtime-based freshness is
     // defeated by any clone/checkout (mtime = now), and round 12's

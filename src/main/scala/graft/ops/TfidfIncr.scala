@@ -1,0 +1,166 @@
+package graft.ops
+
+import graft.{Q, Tables, U}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** L46: Incremental TF-IDF — the corpus-statistics family joins the
+  * incremental-state lifecycle (L43 curation, L44 near-dup, L45 ANN).
+  * `q_text_tfidf` re-tokenizes and re-aggregates the ENTIRE corpus every
+  * run to refresh two corpus-wide statistics — per-term document
+  * frequency and the document count — yet both are exactly the mergeable
+  * int64 partials the D11/D14b aggregates already demonstrate: a day's
+  * df contribution never changes once computed (documents are
+  * append-only, reference src/main.py:263 daily landing), so the daily
+  * full rescan is pure waste at 100 TB. This module persists:
+  *
+  *   - `{prefix}_tf` (doc_id, tok, tf) — per-document term frequencies,
+  *     BUCKETED on `tok` (the serving join key) and partitioned by
+  *     arrival day. Append-only: doc_ids are disjoint across days, so
+  *     rows are unique on (doc_id, tok) and each document is tokenized
+  *     ONCE, ever.
+  *   - `{prefix}_df` (tok, src_day, df_part) — the day's document-
+  *     frequency partials, bucketed on `tok` likewise. `src_day` is a
+  *     PROVENANCE column distinct from the physical `day` partition:
+  *     epoch compaction rewrites `day` but must keep partials from
+  *     different days additive, while a replayed day re-landing beside
+  *     its epoch copy must still collapse — dedup on (tok, src_day)
+  *     does both (partial values are deterministic functions of the
+  *     slice, so the copies are byte-identical).
+  *   - `_doc_counts` — the per-day document counts (IncrState day-count
+  *     marker, O(days) bytes), so n_docs is a driver-side literal at
+  *     serving time: no scan at all for the global count.
+  *
+  * A day's fold is tokenize → two map-side-combinable aggregates →
+  * bucketed writes: cost ∝ slice, no join, no history read. Serving
+  * reads the state exchange-free on every side — the tf·df join and
+  * both dedup/sum aggregates are satisfied by the shared `tok`
+  * bucketing (HashPartitioning(tok) satisfies any clustering that
+  * CONTAINS tok) — so the only shuffle in the whole report is the
+  * output-inherent per-document top-k window, identical to the batch
+  * query's last stage. The DuckDB oracle is `q_text_tfidf`'s SQL
+  * verbatim: summed per-day df partials equal the full-corpus df
+  * because doc sets are disjoint across days.
+  */
+object TfidfIncr {
+
+  private def tfTable(prefix: String) = s"${prefix}_tf"
+  private def dfTable(prefix: String) = s"${prefix}_df"
+
+  private def stateTables(prefix: String): Seq[IncrState.StateTable] = Seq(
+    IncrState.StateTable(tfTable(prefix), "tok", Seq("doc_id", "tok")),
+    IncrState.StateTable(dfTable(prefix), "tok", Seq("tok", "src_day")))
+
+  /** Fold one day's documents into the statistics state. Reads ONLY the
+    * slice (once, for the tf build) plus the fresh tf partition it just
+    * wrote (the df partials derive from stored tf rows, not a second
+    * scan of raw text — the family's no-runtime-cache discipline). */
+  def runDay(s: SparkSession, slice: DataFrame, prefix: String,
+             warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
+    import s.implicits._
+    val Seq(tfT, dfT) = stateTables(prefix)
+    val tf = slice
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    IncrState.writeDay(s, tf.withColumn("day", lit(day)), tfT, warehouse, day, nBuckets)
+    val freshTf = s.table(tfTable(prefix)).filter($"day" === day)
+    // df partial: one row per distinct token of the slice — vocab-sized,
+    // partial-aggregable (tf rows are already distinct on (doc_id, tok))
+    IncrState.writeDay(s,
+      freshTf.groupBy($"tok").agg(count(lit(1)).as("df_part"))
+        .withColumn("src_day", lit(day)).withColumn("day", lit(day)),
+      dfT, warehouse, day, nBuckets)
+    // the day's document count, read off the fresh partition (empty
+    // ReadSchema scan) into the O(days) marker — serving never scans
+    // for n_docs
+    val nDay = freshTf.select($"doc_id").distinct().count()
+    IncrState.writeDayCounts(s, warehouse, "_doc_counts",
+      IncrState.readDayCounts(s, warehouse, "_doc_counts") + (day -> nDay))
+    IncrState.writeLastDay(s, warehouse, day)
+  }
+
+  /** Path-based twin for the suite's input-bytes test. */
+  def runDayPath(s: SparkSession, slicePath: String, prefix: String,
+                 warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    runDay(s, s.read.parquet(slicePath), prefix, warehouse, day, nBuckets)
+
+  /** Serving read-views: dedup on the natural key over the tok-bucketed
+    * scans (a day replayed after a compaction re-lands identical rows
+    * beside its epoch copy until the next compaction collapses them) —
+    * one HashAggregate per bucket, NO exchange, because the bucketing on
+    * `tok` satisfies any grouping that contains `tok`. */
+  private def tfView(s: SparkSession, prefix: String): DataFrame = {
+    import s.implicits._
+    s.table(tfTable(prefix)).select($"doc_id", $"tok", $"tf")
+      .dropDuplicates("doc_id", "tok")
+  }
+
+  private def dfTotals(s: SparkSession, prefix: String): DataFrame = {
+    import s.implicits._
+    s.table(dfTable(prefix)).select($"tok", $"src_day", $"df_part")
+      .dropDuplicates("tok", "src_day")
+      .groupBy($"tok").agg(sum($"df_part").as("df"))
+  }
+
+  /** The full TF-IDF report off the persisted state — output identical
+    * to `q_text_tfidf` (same expression, same tie-break). n_docs comes
+    * from the `_doc_counts` marker as a LITERAL; tf→df is a
+    * bucket-aligned join; the per-document top-k window is the one
+    * shuffle, exactly as in the batch plan (output-inherent). */
+  def report(s: SparkSession, prefix: String, warehouse: String): DataFrame = {
+    import s.implicits._
+    stateTables(prefix).foreach(IncrState.ensureRegistered(s, _, warehouse))
+    val nDocs = IncrState.readDayCounts(s, warehouse, "_doc_counts").values.sum
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok")
+    tfView(s, prefix).join(dfTotals(s, prefix), "tok")
+      .withColumn("score",
+        round($"tf" * log(lit(nDocs).cast("double") / $"df"), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"tok", $"score")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Lifecycle accessors + hooks (IncrState; tf table drives sizing). */
+  def deltaDays(s: SparkSession, prefix: String, warehouse: String): Seq[Int] =
+    IncrState.deltaDays(s, tfTable(prefix), warehouse)
+  def maxFilesPerBucket(s: SparkSession, prefix: String, warehouse: String): Int =
+    IncrState.maxFilesPerBucket(s, tfTable(prefix), warehouse)
+  def epochSizes(s: SparkSession, prefix: String, warehouse: String): Map[Int, Long] =
+    IncrState.epochSizes(s, tfTable(prefix), warehouse)
+  def maybeCompact(s: SparkSession, prefix: String, warehouse: String,
+                   nBuckets: Int = 32, maxDeltaDays: Int = 8): Boolean =
+    IncrState.sizeTieredCompact(s, warehouse, stateTables(prefix),
+      tfTable(prefix), nBuckets, maxDeltaDays)
+  def compactState(s: SparkSession, prefix: String, warehouse: String,
+                   nBuckets: Int = 32): Unit =
+    IncrState.compactAll(s, warehouse, stateTables(prefix), nBuckets)
+
+  def dropState(s: SparkSession, prefix: String): Unit =
+    Seq(tfTable(prefix), dfTable(prefix)).foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"))
+
+  /** Daily loop over `days` slices (doc_id mod days) + report — the
+    * oracle is the full-corpus recompute (`q_text_tfidf`'s SQL
+    * verbatim). The result lands in the warehouse and is read back so
+    * state tables can drop before the caller consumes the lazy frame. */
+  def incremental(s: SparkSession, dir: String, days: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val prefix = "tfidf_incr_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = IncrState.newWarehouse()
+    (0 until days).foreach { day =>
+      runDay(s, docs.filter(pmod(col("doc_id"), lit(days.toLong)) === day),
+        prefix, wh, day, nBuckets = 8)
+    }
+    report(s, prefix, wh)
+      .write.mode("overwrite").parquet(s"$wh/result")
+    dropState(s, prefix)
+    s.read.parquet(s"$wh/result").orderBy("doc_id", "rk")
+  }
+
+  val qs: Map[String, Q] = Map(
+    "q_tfidf_incr" -> ((s, d) => incremental(s, d, 3))
+  )
+}

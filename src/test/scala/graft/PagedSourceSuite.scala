@@ -364,4 +364,42 @@ class PagedSourceSuite extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("A1 ingest throughput: many-page drains stay page-parallel (pages/s at two sizes)") {
+    // VERDICT r12 #7: at crawl scale the source's first bottleneck is
+    // ingest parallelism — one InputPartition per page, fetched across
+    // all executor slots. Time a full materialization (NOT count(),
+    // which rides the zero-fetch pushdown) at two page counts and pin
+    // that per-page cost stays ~flat: a serial-fetch regression scales
+    // time ∝ pages and fails the factor bound long before the absolute
+    // numbers get host-sensitive. The absolute pages/s lands in the
+    // build log (PAGED_THROUGHPUT line) and tools/bench_notes_r13.md.
+    val pageSize = 50
+    def timeDrain(nRecords: Int): (Double, Long) = {
+      val root = mkApi(nRecords)
+      val t0 = System.nanoTime()
+      spark.read.format("graft-pages").option("path", root)
+        .option("pageSize", pageSize.toString)
+        .option("maxRecords", nRecords.toString) // lift the MAX_RESULTS default
+        .load()
+        .write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (cursors, unique) = fetchedCursors(root)
+      assert(unique, "a page was fetched twice in a single batch scan")
+      assert(cursors.size == (nRecords + pageSize - 1) / pageSize,
+        s"expected ${(nRecords + pageSize - 1) / pageSize} page fetches, saw ${cursors.size}")
+      (secs, cursors.size.toLong)
+    }
+    timeDrain(500) // warm-up: codegen, source classes, noop sink
+    val (tSmall, pSmall) = timeDrain(5000)  // 100 pages
+    val (tBig, pBig) = timeDrain(40000)     // 800 pages
+    val (rateSmall, rateBig) = (pSmall / tSmall, pBig / tBig)
+    println(f"PAGED_THROUGHPUT pages_small=$pSmall t_small=$tSmall%.3f rate_small=$rateSmall%.1f " +
+      f"pages_big=$pBig t_big=$tBig%.3f rate_big=$rateBig%.1f pages_per_sec")
+    // 8× the pages must not cost ~8× per page: with per-page partitions
+    // the parallel fill keeps the rate flat-or-better; 3× slack absorbs
+    // host noise before we'd call it serial
+    assert(rateBig >= rateSmall / 3.0,
+      f"page throughput collapsed with page count: $rateSmall%.1f -> $rateBig%.1f pages/s")
+  }
 }

@@ -72,8 +72,8 @@ class ScaleProbeSuite extends SparkSpec {
     val atK = ScaleProbe.measure(spark, outDir, suiteQueries)
     val heapGrowth = usedHeap() - heap0
     suiteQueries.foreach { n =>
-      val (t1, _, _) = at1(n)
-      val (tk, _, spillK) = atK(n)
+      val (t1, _, _, _) = at1(n)
+      val (tk, _, spillK, _) = atK(n)
       assert(spillK == 0.0, s"$n spilled ${spillK}MB at 10x")
       // linear-with-slack: 10× data may cost up to ~2× the linear
       // extrapolation (shuffle partitions, codegen reuse, constant
@@ -109,8 +109,8 @@ class ScaleProbeSuite extends SparkSpec {
     val at10 = ScaleProbe.measure(spark, out10, steep)
     val at25 = ScaleProbe.measure(spark, out25, steep)
     steep.foreach { n =>
-      val (t10, shuf10, _) = at10(n)
-      val (t25, shuf25, spill25) = at25(n)
+      val (t10, shuf10, _, _) = at10(n)
+      val (t25, shuf25, spill25, _) = at25(n)
       assert(spill25 == 0.0, s"$n spilled ${spill25}MB at x25")
       val timeBound = 2.5 * 2.0 * math.max(t10, 0.2)
       assert(t25 <= timeBound,

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental TF-IDF (q_tfidf_incr): the daily statistics fold must be
+  * lossless (any slicing == the full-corpus recompute, q_text_tfidf),
+  * must read only the day's slice + its own fresh partition (history
+  * never re-tokenized — deleted-slice proof + input-bytes bound), and
+  * the report's state sides must be exchange-free under the shared
+  * `tok` bucketing (the only shuffles are the output-inherent
+  * per-document window and the final presentation sort). */
+class TfidfIncrSuite extends SparkSpec {
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).toSeq.sorted
+
+  test("incremental 3-day == full recompute (q_text_tfidf) == 5-day == 1-day") {
+    val full = canon(SparkEntry.queries("q_text_tfidf")(spark, sfDir))
+    assert(full.nonEmpty, "test corpus yields no TF-IDF rows — suite is vacuous")
+    assert(canon(ops.TfidfIncr.incremental(spark, sfDir, 3)) == full)
+    assert(canon(ops.TfidfIncr.incremental(spark, sfDir, 5)) == full)
+    assert(canon(ops.TfidfIncr.incremental(spark, sfDir, 1)) == full)
+  }
+
+  test("day-2 fold reads only the day-2 slice + its fresh partition (input-bytes bound)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("tfidf_incr_bytes_").toString
+    (0 to 2).foreach { k =>
+      docs.filter(pmod($"doc_id", lit(3L)) === k)
+        .write.mode("overwrite").parquet(s"$root/slice$k")
+    }
+    val prefix = "tfidf_incr_t_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = s"$root/wh"
+    try {
+      ops.TfidfIncr.runDayPath(spark, s"$root/slice0", prefix, wh, 0)
+      ops.TfidfIncr.runDayPath(spark, s"$root/slice1", prefix, wh, 1)
+
+      def dirBytes(p: String): Long = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+
+      // the contract proof, functional and scale-independent: delete the
+      // raw day-0/1 slices before the day-2 fold — any lazy re-read of
+      // raw history would throw FileNotFound
+      Seq("slice0", "slice1").foreach { d =>
+        val p = java.nio.file.Paths.get(s"$root/$d")
+        val w = java.nio.file.Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally w.close()
+      }
+
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      }
+      // declared reads: the slice once (tf build) + the fresh tf
+      // partition twice (df partial + doc-count, both state read-backs
+      // covered by the warehouse term) — never days 0/1
+      val inputBudget = 2L * dirBytes(s"$root/slice2") + dirBytes(wh)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        ops.TfidfIncr.runDayPath(spark, s"$root/slice2", prefix, wh, 2)
+        org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      val read = bytesRead.get()
+      assert(read > 0, "listener saw no input")
+      assert(read <= inputBudget + (64 << 10),
+        s"day-2 fold read $read bytes; bound $inputBudget")
+      // and the folded state reports the full-corpus answer
+      assert(canon(ops.TfidfIncr.report(spark, prefix, wh)) ==
+        canon(SparkEntry.queries("q_text_tfidf")(spark, sfDir)))
+    } finally ops.TfidfIncr.dropState(spark, prefix)
+  }
+
+  test("lifecycle: compaction + replay preserve the report; restart re-registers") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val days = 9
+    val prefix = "tfidf_incr_l_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = ops.IncrState.newWarehouse()
+    def slice(d: Int) = docs.filter(pmod($"doc_id", lit(days.toLong)) === d)
+    try {
+      (0 until days).foreach { d =>
+        ops.TfidfIncr.runDay(spark, slice(d), prefix, wh, d, nBuckets = 4)
+        ops.TfidfIncr.maybeCompact(spark, prefix, wh, nBuckets = 4, maxDeltaDays = 4)
+        assert(ops.TfidfIncr.deltaDays(spark, prefix, wh).size <= 5,
+          s"day $d: delta partitions unbounded")
+        assert(ops.TfidfIncr.maxFilesPerBucket(spark, prefix, wh) <= 8,
+          s"day $d: files-per-bucket unbounded")
+      }
+      val full = canon(SparkEntry.queries("q_text_tfidf")(spark, sfDir))
+      def rep() = canon(ops.TfidfIncr.report(spark, prefix, wh))
+      assert(rep() == full)
+      // replay of the last day (a failed stream commit): byte-stable
+      ops.TfidfIncr.runDay(spark, slice(days - 1), prefix, wh, days - 1, nBuckets = 4)
+      assert(rep() == full)
+      // replay of a day an earlier compaction already folded into the
+      // epoch: the re-landed copies collapse on the natural keys (tf:
+      // (doc_id, tok); df: (tok, src_day) — the src_day provenance is
+      // what keeps ADDITIVE partials from distinct days apart while
+      // still deduping replay copies)
+      ops.TfidfIncr.compactState(spark, prefix, wh, nBuckets = 4)
+      ops.TfidfIncr.runDay(spark, slice(days - 1), prefix, wh, days - 1, nBuckets = 4)
+      assert(rep() == full)
+      ops.TfidfIncr.compactState(spark, prefix, wh, nBuckets = 4)
+      assert(rep() == full)
+      assert(ops.TfidfIncr.deltaDays(spark, prefix, wh).isEmpty)
+      // an empty day is a harmless no-op (df partial is an empty frame)
+      ops.TfidfIncr.runDay(spark, docs.filter(lit(false)), prefix, wh, days, nBuckets = 4)
+      assert(rep() == full)
+      // restart: the in-memory catalog dies, the warehouse survives —
+      // the report path must re-register from disk
+      Seq(s"${prefix}_tf", s"${prefix}_df").foreach(t => spark.sql(s"DROP TABLE $t"))
+      assert(rep() == full)
+    } finally ops.TfidfIncr.dropState(spark, prefix)
+  }
+
+  test("report: state sides are exchange-free; only output-inherent shuffles remain") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val prefix = "tfidf_incr_p_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = ops.IncrState.newWarehouse()
+    try {
+      (0 to 1).foreach(d => ops.TfidfIncr.runDay(spark,
+        docs.filter(pmod($"doc_id", lit(2L)) === d), prefix, wh, d, nBuckets = 4))
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = ops.TfidfIncr.report(spark, prefix, wh)
+          .queryExecution.executedPlan.toString
+        // both dedup aggregates, the df sum, and the tf⋈df join ride the
+        // shared tok bucketing (HashPartitioning(tok) satisfies every
+        // clustering that contains tok): the ONLY exchanges are the
+        // per-document window repartition and the presentation sort
+        val nExch = plan.linesIterator.count(_.contains("Exchange"))
+        assert(nExch <= 2, s"report grew a state-side shuffle ($nExch exchanges):\n$plan")
+        assert(plan.contains("Bucketed: true"), s"report lost its bucketed scans:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally ops.TfidfIncr.dropState(spark, prefix)
+  }
+}
