@@ -232,11 +232,47 @@ object CurateIncr {
   private def tableName(prefix: String, kind: String, day: Int) =
     s"${prefix}_${kind}_v$day"
 
+  /** Restart half of the bucketed backend (the IncrState.ensureRegistered
+    * contract for these NON-partitioned versioned tables): the in-memory
+    * catalog dies with the JVM but the warehouse dirs survive — if the
+    * table is missing from the catalog and a `_graft_buckets` marker
+    * (written at create: "<n> <col,col>") identifies the physical
+    * layout, re-register it with the exact original bucket spec so the
+    * exchange-free merge keeps standing after a process restart. */
+  private def ensureRegisteredFlat(s: SparkSession, table: String,
+                                   warehouse: String): Unit =
+    if (!s.catalog.tableExists(table)) {
+      val path = s"$warehouse/$table"
+      val m = new org.apache.hadoop.fs.Path(s"$path/_graft_buckets")
+      val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(m)) {
+        val in = fs.open(m)
+        val txt = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+        txt.trim.split(' ') match {
+          case Array(n, cols) if n.toIntOption.isDefined =>
+            val ddlCols = s.read.parquet(path).schema.fields
+              .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+            s.sql(
+              s"""CREATE TABLE $table ($ddlCols)
+                 |USING PARQUET
+                 |CLUSTERED BY (${cols.split(',').mkString(", ")}) INTO ${n.toInt} BUCKETS
+                 |LOCATION '$path'""".stripMargin)
+          case _ => ()
+        }
+      }
+    }
+
   /** The three day-N merged state DataFrames against the bucketed
-    * v(N−1) tables (exposed so the suite can pin the plan shape). */
+    * v(N−1) tables (exposed so the suite can pin the plan shape). Pass
+    * `warehouse` to make the read restart-safe (re-registration). */
   def mergedBucketed(s: SparkSession, prefix: String, day: Int,
-                     partials: (DataFrame, DataFrame, DataFrame))
+                     partials: (DataFrame, DataFrame, DataFrame),
+                     warehouse: Option[String] = None)
       : (DataFrame, DataFrame, DataFrame) = {
+    warehouse.foreach(w => Seq("md5", "line", "tf").foreach(k =>
+      ensureRegisteredFlat(s, tableName(prefix, k, day - 1), w)))
     val (md5D, lineD, tfD) = partials
     val md5M = s.table(tableName(prefix, "md5", day - 1)).as("s")
       .join(structMd5(md5D).as("d"), Seq("k_md5"), "full_outer")
@@ -259,7 +295,7 @@ object CurateIncr {
     val (md5D, lineD, tfD) = dayPartialsOf(g)
     val (md5M, lineM, tfM) =
       if (day == 0) (structMd5(md5D), structLine(lineD), tfD)
-      else mergedBucketed(s, prefix, day, (md5D, lineD, tfD))
+      else mergedBucketed(s, prefix, day, (md5D, lineD, tfD), Some(warehouse))
     def writeB(df: DataFrame, kind: String, cols: Seq[String]): Unit = {
       val t = tableName(prefix, kind, day)
       // repartition on the bucket key first (same Murmur3-pmod as the
@@ -269,6 +305,12 @@ object CurateIncr {
         .bucketBy(nBuckets, cols.head, cols.tail: _*)
         .option("path", s"$warehouse/$t")
         .saveAsTable(t)
+      // record the physical bucket spec beside the data so a JVM restart
+      // can re-register the table exactly (ensureRegisteredFlat)
+      val m = new org.apache.hadoop.fs.Path(s"$warehouse/$t/_graft_buckets")
+      val out = m.getFileSystem(s.sparkContext.hadoopConfiguration).create(m, true)
+      try out.write(s"$nBuckets ${cols.mkString(",")}".getBytes("UTF-8"))
+      finally out.close()
     }
     writeB(md5M, "md5", Seq("k_md5"))
     writeB(lineM, "line", Seq("line"))
@@ -291,11 +333,15 @@ object CurateIncr {
     }
   }
 
-  def reportBucketed(s: SparkSession, prefix: String, day: Int): DataFrame =
+  def reportBucketed(s: SparkSession, prefix: String, day: Int,
+                     warehouse: Option[String] = None): DataFrame = {
+    warehouse.foreach(w => Seq("md5", "line", "tf").foreach(k =>
+      ensureRegisteredFlat(s, tableName(prefix, k, day), w)))
     reportFrom(
       s.table(tableName(prefix, "md5", day)).select(col("k_md5"), col("k.*")),
       s.table(tableName(prefix, "line", day)).select(col("line"), col("k.*")),
       s.table(tableName(prefix, "tf", day)))
+  }
 
   def dropBucketedState(s: SparkSession, prefix: String, upToDay: Int): Unit =
     (0 to upToDay).foreach { n =>

@@ -137,6 +137,10 @@ object TfidfIncr {
                    nBuckets: Int = 32): Unit =
     IncrState.compactAll(s, warehouse, stateTables(prefix), nBuckets)
 
+  /** Highest day ever folded into this warehouse; -1 when none. */
+  def lastDay(s: SparkSession, warehouse: String): Int =
+    IncrState.lastDay(s, warehouse)
+
   def dropState(s: SparkSession, prefix: String): Unit =
     Seq(tfTable(prefix), dfTable(prefix)).foreach(t =>
       s.sql(s"DROP TABLE IF EXISTS $t"))

@@ -276,6 +276,19 @@ class AnnIncrSuite extends SparkSpec {
     assert(ops.AnnIncr.derivedBits(2000) == 4 && ops.AnnIncr.derivedBits(6000) == 5 &&
       ops.AnnIncr.derivedBits(50000) == 8, // the r12 probe's proven zero-spill ×25 width
       "derivation drifted from the documented policy")
+    // ORACLE COUPLING GUARD: q_ann_incr's DuckDB oracle is q_ann_lsh's
+    // SQL, which codes at the FIXED 4-bit config — valid only while the
+    // derivation floors to 4 at every driver corpus (N ≤ 200·2^4). If a
+    // testdata regen ever grows embeddings past that, this fails HERE
+    // with a diagnosis instead of as a silent oracle hash mismatch.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { d =>
+        val n = Tables.embeddings(spark, d).count()
+        assert(ops.AnnIncr.derivedBits(n) == 4,
+          s"$d has $n vectors -> derived bits ${ops.AnnIncr.derivedBits(n)} != 4: " +
+            "the q_ann_incr oracle (fixed 4-bit q_ann_lsh SQL) no longer matches " +
+            "the derived fold config — widen the oracle or re-slice the corpus")
+      }
     def mk() = ("ann_incr_w_" + java.lang.Long.toHexString(
       U.h64Local(java.util.UUID.randomUUID().toString)), ops.IncrState.newWarehouse())
     val (prefix, wh) = mk(); val (p2, wh2) = mk(); val (p3, wh3) = mk()

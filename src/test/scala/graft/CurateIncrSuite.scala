@@ -242,6 +242,23 @@ class CurateIncrSuite extends SparkSpec {
         assert(!lines.slice(joinIdx + 1, scanIdx).exists(_.contains("Exchange")),
           s"state side re-shuffled on $key:\n$plan")
       }
+      // restart: the in-memory catalog dies with the JVM, the warehouse
+      // survives — both the next day's fold (mergedBucketed reads
+      // v(N−1)) and the report must re-register from the _graft_buckets
+      // markers and keep going
+      val want = canon(ops.CurateIncr.reportBucketed(spark, prefix, 2))
+      Seq("md5", "line", "tf").foreach(k =>
+        spark.sql(s"DROP TABLE ${prefix}_${k}_v2"))
+      assert(canon(ops.CurateIncr.reportBucketed(spark, prefix, 2, Some(wh))) == want,
+        "report did not survive a catalog death")
+      Seq("md5", "line", "tf").foreach(k =>
+        spark.sql(s"DROP TABLE ${prefix}_${k}_v2"))
+      ops.CurateIncr.runDayBucketed(spark,
+        docs.filter(lit(false)), prefix, wh, 3)
+      // an empty day-3 fold right after the "restart" must re-register
+      // v2 for the merge and carry the state forward unchanged
+      assert(canon(ops.CurateIncr.reportBucketed(spark, prefix, 3, Some(wh))) == want,
+        "fold after a catalog death diverged")
     } finally ops.CurateIncr.dropBucketedState(spark, prefix, 3)
   }
 }

@@ -126,6 +126,47 @@ class TfidfIncrSuite extends SparkSpec {
     } finally ops.TfidfIncr.dropState(spark, prefix)
   }
 
+  test("streaming inbox: drained statistics fold == batch recompute across restarts") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tfidf_incr_stream_").toString
+    val inbox = s"$root/inbox"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+    val docs = Tables.documents(spark, sfDir)
+    def landSlice(k: Long, name: String): Unit = {
+      val tmp = s"$root/tmp_$name"
+      docs.filter(pmod($"doc_id", lit(4L)) === k).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inbox/$name.parquet"))
+    }
+    val prefix = "tfidf_incr_s_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = s"$root/wh"
+    val ckpt = s"$root/ckpt"
+    try {
+      Seq(0L, 1L, 2L).foreach(k => landSlice(k, s"day$k"))
+      val v1 = streaming.TfidfIncrStream.drainInbox(spark, inbox, prefix, wh, ckpt,
+        nBuckets = 4, maxDeltaDays = 2)
+      assert(v1 == 2, s"expected 3 one-file micro-batches -> day 2, got $v1")
+      // day 3 lands; a RESTARTED drain with the same checkpoint folds
+      // only the new slice, after which the report equals the batch
+      // recompute (all 4 residues landed; the tight maxDeltaDays forced
+      // at least one mid-stream compaction, so this also covers
+      // report-over-epoch state)
+      landSlice(3L, "day3")
+      val v2 = streaming.TfidfIncrStream.drainInbox(spark, inbox, prefix, wh, ckpt,
+        nBuckets = 4, maxDeltaDays = 2)
+      assert(v2 == 3, s"restart should fold exactly the new slice -> day 3, got $v2")
+      assert(canon(ops.TfidfIncr.report(spark, prefix, wh)) ==
+        canon(SparkEntry.queries("q_text_tfidf")(spark, sfDir)))
+      assert(ops.TfidfIncr.deltaDays(spark, prefix, wh).size <= 2)
+      // a drain with NOTHING new is a no-op that still reports the day
+      assert(streaming.TfidfIncrStream.drainInbox(spark, inbox, prefix, wh, ckpt,
+        nBuckets = 4, maxDeltaDays = 2) == 3)
+    } finally ops.TfidfIncr.dropState(spark, prefix)
+  }
+
   test("report: state sides are exchange-free; only output-inherent shuffles remain") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
