@@ -169,6 +169,20 @@ object Oracle {
         SELECT d1, d2, sim FROM r WHERE sim >= 0.4 ORDER BY d1, d2"""
   }
 
+  /** Shared by q_url_domains (batch) and q_domains_incr (the incremental
+    * fold is lossless, so the batch recompute IS its oracle — summed
+    * per-day (domain, lang) partials equal the full-corpus counts). */
+  private val urlDomainsSql: String =
+    """WITH u AS (SELECT doc_id, lang,
+              regexp_extract('https://' || source || '.example.com/d/' ||
+                CAST(doc_id AS VARCHAR), 'https?://([^/]+)/', 1) AS domain
+            FROM documents)
+       SELECT domain, COUNT(*) AS n_docs,
+              CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+              CAST(CASE WHEN domain IN ('src1.example.com', 'src3.example.com')
+                        THEN 1 ELSE 0 END AS BIGINT) AS blocked
+       FROM u GROUP BY domain ORDER BY domain"""
+
   /** Shared by q_text_tfidf (batch) and q_tfidf_incr (the incremental
     * fold is lossless, so the batch recompute IS its oracle). */
   private val tfidfSql: String =
@@ -603,6 +617,25 @@ object Oracle {
                      ELSE 0 END AS BIGINT) AS cc_ppm
          FROM deg LEFT JOIN pn ON pn.x = deg.x
          ORDER BY tri DESC, part_key LIMIT 20""",
+    // L37b approximate triangles: identical deterministic h64-mod-4 edge
+    // sample, exact recount on the sample (u<v<w form: (u,v),(v,w),(u,w)
+    // counts each triangle once — no orientation needed at oracle scale),
+    // DOULION scale-up by 4³ (see ops/Graph.scala)
+    "q_graph_triangles_approx" ->
+      s"""WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem),
+         e0 AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+                FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk),
+         es AS (SELECT u, v FROM e0
+                WHERE (${h64Sql("CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)")}) % 4 = 0),
+         tri AS (SELECT COUNT(*) AS t FROM es e1
+                 JOIN es e2 ON e2.u = e1.v
+                 JOIN es e3 ON e3.u = e1.u AND e3.v = e2.v),
+         ne AS (SELECT COUNT(*) AS n FROM es)
+         SELECT CAST(4 AS BIGINT) AS sample_mod,
+                CAST(ne.n AS BIGINT) AS edges_sampled,
+                CAST(tri.t AS BIGINT) AS tri_sampled,
+                CAST(tri.t * 64 AS BIGINT) AS est_tri
+         FROM tri, ne""",
     // heavy hitters: exact recount over the planted-skew key stream —
     // the MG sketch on the Spark side only NOMINATES candidates, so the
     // exact SQL is the full semantics (see ops/Aggregates.scala D16)
@@ -1512,6 +1545,7 @@ object Oracle {
     // oracle is the batch recompute verbatim — same contract as
     // q_dedup_incr/q_ann_incr
     "q_tfidf_incr" -> tfidfSql,
+    "q_domains_incr" -> urlDomainsSql,
 
     // ----- composed curation pipeline -----
     "q_pipeline_curate" ->
@@ -1705,16 +1739,7 @@ object Oracle {
                 CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
                 CAST(len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
          FROM r ORDER BY doc_id""",
-    "q_url_domains" ->
-      """WITH u AS (SELECT doc_id, lang,
-                regexp_extract('https://' || source || '.example.com/d/' ||
-                  CAST(doc_id AS VARCHAR), 'https?://([^/]+)/', 1) AS domain
-              FROM documents)
-         SELECT domain, COUNT(*) AS n_docs,
-                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-                CAST(CASE WHEN domain IN ('src1.example.com', 'src3.example.com')
-                          THEN 1 ELSE 0 END AS BIGINT) AS blocked
-         FROM u GROUP BY domain ORDER BY domain""",
+    "q_url_domains" -> urlDomainsSql,
     // L40 naive-Bayes quality classifier: same split, same heuristic
     // labels, same smoothed integer log-odds (ops/TextAnalysis.scala)
     "q_quality_classify" ->

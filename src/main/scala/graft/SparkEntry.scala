@@ -61,7 +61,7 @@ object SparkEntry {
     ops.Relational.qs ++ ops.Aggregates.qs ++ ops.Windows.qs ++ ops.Scalars.qs ++
       ops.Streaming.qs ++ ops.TextOps.qs ++ ops.Dedup.qs ++ ops.Similarity.qs ++
       ops.TextAnalysis.qs ++ ops.Multimodal.qs ++ ops.Curate.qs ++ ops.CurateIncr.qs ++
-      ops.DedupIncr.qs ++ ops.AnnIncr.qs ++ ops.TfidfIncr.qs ++
+      ops.DedupIncr.qs ++ ops.AnnIncr.qs ++ ops.TfidfIncr.qs ++ ops.DomainsIncr.qs ++
       ops.CatalogOps.qs ++
       ops.Layout.qs ++ ops.Scd.qs ++ ops.Graph.qs
 

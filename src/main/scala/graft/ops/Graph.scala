@@ -273,6 +273,54 @@ object Graph {
         .select($"node".as("part_key"), $"tri", $"degree", $"cc_ppm")
         .orderBy($"tri".desc, $"part_key")
         .limit(20)
+    }),
+    // L37b: APPROXIMATE global triangle count by deterministic edge
+    // sampling (the DOULION estimator, Tsourakakis et al. KDD'09): keep
+    // an edge iff h64(u|v) ≡ 0 (mod m), count triangles EXACTLY on the
+    // sampled graph, scale by m³ (each triangle survives with p³ at
+    // p = 1/m). This is the scale rung the exact L37 cannot offer: the
+    // wedge stream is Σd⁺² — the engine's single largest wire item at
+    // ×25 (9.3 GB) — and sampling cuts it ~m² (degrees shrink ×m, so
+    // wedges shrink ×m²) while the estimate's relative error decays as
+    // 1/√T. The sample is a HASH of the edge key, not an RNG draw:
+    // replayable across retries/partitionings/engines, which is what
+    // makes the estimator oracle-able at all (the DuckDB twin applies
+    // the identical md5-fold filter and recounts). `spark.graft.tri
+    // .samplemod` overrides m for real deployments (bigger graphs
+    // afford sparser samples); the committed oracle pins the default
+    // m = 4, like the ANN width's floor.
+    "q_graph_triangles_approx" -> ((s, d) => {
+      import s.implicits._
+      val m = s.conf.getOption("spark.graft.tri.samplemod")
+        .flatMap(_.toLongOption).filter(_ >= 1L).getOrElse(4L)
+      val ls = Tables.lineitem(s, d)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("sk")).distinct()
+      val e0 = ls.as("a").join(ls.as("b"), $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
+        .select($"a.sk".as("u"), $"b.sk".as("v"))
+      approxTriangles(e0, m)
     })
   )
+
+  /** L37b core: the DOULION estimate over a CANONICALLY-ORIENTED edge
+    * frame — each row (u, v) with u < v; duplicate rows allowed (the
+    * hash is a pure function of the pair, so copies sample identically
+    * and the post-filter distinct absorbs them). The sample filter runs
+    * BEFORE the dedup exchange: sampled-out pairs never reach the wire,
+    * so the whole downstream (distinct, degrees, orientation, wedge
+    * stream) is built on the m-times-smaller graph. */
+  def approxTriangles(e0: DataFrame, m: Long): DataFrame = {
+    val ss = e0.sparkSession
+    import ss.implicits._
+    val es = e0
+      .filter(graft.U.h64(concat_ws("|", $"u", $"v")) % m === 0)
+      .distinct()
+    // Σ node-tri = 3T (each triangle has three corners); Σ degree =
+    // 2|E| — one aggregate over the profile yields both, all int64
+    triangleProfile(es)
+      .agg(
+        coalesce(expr("sum(tri) div 3"), lit(0L)).as("tri_sampled"),
+        coalesce(expr("sum(degree) div 2"), lit(0L)).as("edges_sampled"))
+      .select(lit(m).as("sample_mod"), $"edges_sampled", $"tri_sampled",
+        ($"tri_sampled" * lit(m * m * m)).as("est_tri"))
+  }
 }

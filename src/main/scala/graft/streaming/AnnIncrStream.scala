@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{FloatType, ArrayType, IntegerType, LongType, StructField, StructType}
 
 /** The incremental ANN index fold DRIVEN AS A STREAM — the L45 sibling
@@ -31,26 +30,11 @@ object AnnIncrStream {
     * Idempotent under restart with the same `checkpointDir`. */
   def drainInbox(spark: SparkSession, inboxDir: String, prefix: String,
                  warehouse: String, checkpointDir: String,
-                 nBuckets: Int = 8, maxDeltaDays: Int = 8): Int = {
-    val seen = new java.util.concurrent.atomic.AtomicInteger(-1)
-    val q = spark.readStream
-      .schema(embSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(inboxDir)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        graft.ops.AnnIncr.runDay(batch.sparkSession, batch, prefix,
-          warehouse, batchId.toInt, nBuckets)
-        graft.ops.AnnIncr.maybeCompact(batch.sparkSession, prefix,
-          warehouse, nBuckets, maxDeltaDays)
-        seen.set(math.max(seen.get, batchId.toInt))
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    if (seen.get >= 0) seen.get
-    else graft.ops.AnnIncr.lastDay(spark, warehouse)
-  }
+                 nBuckets: Int = 8, maxDeltaDays: Int = 8): Int =
+    IncrInboxStream.drain(spark, inboxDir, checkpointDir, embSchema) { (batch, day) =>
+      graft.ops.AnnIncr.runDay(batch.sparkSession, batch, prefix,
+        warehouse, day, nBuckets)
+      graft.ops.AnnIncr.maybeCompact(batch.sparkSession, prefix,
+        warehouse, nBuckets, maxDeltaDays)
+    }(graft.ops.AnnIncr.lastDay(spark, warehouse))
 }

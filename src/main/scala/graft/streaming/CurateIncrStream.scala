@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** The daily-cadence curation loop DRIVEN AS A STREAM — ops.CurateIncr's
@@ -114,30 +113,16 @@ object CurateIncrStream {
     * BEFORE it folds into curation state (VERDICT r10 #6). */
   def drainInbox(spark: SparkSession, inboxDir: String, stateDir: String,
                  checkpointDir: String,
-                 decontam: Option[DecontamRef] = None): Int = {
-    val seen = new java.util.concurrent.atomic.AtomicInteger(-1)
-    val q = spark.readStream
-      .schema(docSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(inboxDir)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        foldBatch(batch, stateDir, batchId.toInt, decontam)
-        seen.set(math.max(seen.get, batchId.toInt))
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // a restart that found no new files leaves `seen` at -1: recover the
-    // current version from the state layout itself
-    if (seen.get >= 0) seen.get
-    else {
+                 decontam: Option[DecontamRef] = None): Int =
+    IncrInboxStream.drain(spark, inboxDir, checkpointDir, docSchema) { (batch, day) =>
+      foldBatch(batch, stateDir, day, decontam)
+    } {
+      // a restart that found no new files: recover the current version
+      // from the state layout itself (CurateIncr predates the warehouse
+      // high-water marker; its v<N> dirs are the equivalent record)
       val d = new java.io.File(stateDir)
       val vs = Option(d.list()).getOrElse(Array.empty[String])
         .filter(_.startsWith("v")).flatMap(s => s.drop(1).toIntOption)
       if (vs.isEmpty) -1 else vs.max
     }
-  }
 }

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.Trigger
 
 /** The incremental NEAR-DUP band-store fold DRIVEN AS A STREAM — the
   * L44 sibling of CurateIncrStream (VERDICT r11 #6): a file-stream
@@ -39,29 +38,12 @@ object DedupIncrStream {
     * Idempotent under restart with the same `checkpointDir`. */
   def drainInbox(spark: SparkSession, inboxDir: String, prefix: String,
                  warehouse: String, checkpointDir: String,
-                 nBuckets: Int = 8, maxDeltaDays: Int = 8): Int = {
-    val seen = new java.util.concurrent.atomic.AtomicInteger(-1)
-    val q = spark.readStream
-      .schema(CurateIncrStream.docSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(inboxDir)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        graft.ops.DedupIncr.runDay(batch.sparkSession, batch, prefix,
-          warehouse, batchId.toInt, nBuckets)
-        graft.ops.DedupIncr.maybeCompact(batch.sparkSession, prefix,
-          warehouse, nBuckets, maxDeltaDays)
-        seen.set(math.max(seen.get, batchId.toInt))
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // a restart that found no new files leaves `seen` at -1: the
-    // warehouse high-water marker answers (day-partition layout cannot —
-    // compaction folds settled days into the epoch)
-    if (seen.get >= 0) seen.get
-    else graft.ops.DedupIncr.lastDay(spark, warehouse)
-  }
+                 nBuckets: Int = 8, maxDeltaDays: Int = 8): Int =
+    IncrInboxStream.drain(spark, inboxDir, checkpointDir,
+      CurateIncrStream.docSchema) { (batch, day) =>
+      graft.ops.DedupIncr.runDay(batch.sparkSession, batch, prefix,
+        warehouse, day, nBuckets)
+      graft.ops.DedupIncr.maybeCompact(batch.sparkSession, prefix,
+        warehouse, nBuckets, maxDeltaDays)
+    }(graft.ops.DedupIncr.lastDay(spark, warehouse))
 }

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** The shared inbox-drain loop of the incremental-state streaming
+  * drives (L43 curation, L44 near-dup, L45 ANN, L46 TF-IDF, L47 domain
+  * stats): a file-stream inbox where each arriving parquet slice is "a
+  * day" (reference main.tf:217's daily cadence), `Trigger.AvailableNow`
+  * + maxFilesPerTrigger=1 so each slice is exactly one micro-batch, and
+  * `foreachBatch` handing slice N to the member's day-N fold.
+  *
+  * Exactly-once without a transactional sink: the fold day IS the batch
+  * id and every member's `runDay` is idempotent per day (dynamic
+  * partition overwrite of exactly `day=N`; day-keyed markers), so a
+  * failed/replayed micro-batch rewrites its own partitions
+  * byte-identically. The checkpoint keeps the slice→batch-id mapping
+  * stable across restarts; a restart after new slices land folds ONLY
+  * the new slices — and thanks to IncrState's warehouse re-registration
+  * the restart may be a REAL process restart, not just a new query.
+  */
+object IncrInboxStream {
+
+  /** Drain every slice currently in `inboxDir` (one micro-batch per
+    * file) through `fold(batch, day)`; returns the highest day folded,
+    * or `fallback` when the drain saw no new files (a restart with
+    * nothing to do — the state's own high-water marker answers, since
+    * compaction folds settled day partitions into the epoch and the
+    * layout alone cannot). Idempotent under restart with the same
+    * `checkpointDir`. */
+  def drain(spark: SparkSession, inboxDir: String, checkpointDir: String,
+            schema: StructType)(fold: (DataFrame, Int) => Unit)
+           (fallback: => Int): Int = {
+    val seen = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inboxDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        fold(batch, batchId.toInt)
+        seen.set(math.max(seen.get, batchId.toInt))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (seen.get >= 0) seen.get else fallback
+  }
+}

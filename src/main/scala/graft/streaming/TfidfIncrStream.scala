@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** The incremental TF-IDF fold DRIVEN AS A STREAM — the L46 sibling of
@@ -35,26 +34,11 @@ object TfidfIncrStream {
     * Idempotent under restart with the same `checkpointDir`. */
   def drainInbox(spark: SparkSession, inboxDir: String, prefix: String,
                  warehouse: String, checkpointDir: String,
-                 nBuckets: Int = 8, maxDeltaDays: Int = 8): Int = {
-    val seen = new java.util.concurrent.atomic.AtomicInteger(-1)
-    val q = spark.readStream
-      .schema(docSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(inboxDir)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        graft.ops.TfidfIncr.runDay(batch.sparkSession, batch, prefix,
-          warehouse, batchId.toInt, nBuckets)
-        graft.ops.TfidfIncr.maybeCompact(batch.sparkSession, prefix,
-          warehouse, nBuckets, maxDeltaDays)
-        seen.set(math.max(seen.get, batchId.toInt))
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    if (seen.get >= 0) seen.get
-    else graft.ops.TfidfIncr.lastDay(spark, warehouse)
-  }
+                 nBuckets: Int = 8, maxDeltaDays: Int = 8): Int =
+    IncrInboxStream.drain(spark, inboxDir, checkpointDir, docSchema) { (batch, day) =>
+      graft.ops.TfidfIncr.runDay(batch.sparkSession, batch, prefix,
+        warehouse, day, nBuckets)
+      graft.ops.TfidfIncr.maybeCompact(batch.sparkSession, prefix,
+        warehouse, nBuckets, maxDeltaDays)
+    }(graft.ops.TfidfIncr.lastDay(spark, warehouse))
 }

@@ -742,6 +742,59 @@ class OperatorSuite extends SparkSpec {
     assert(got == want, s"triangle profile mismatch: $got")
   }
 
+  test("L37b approx triangles: m=1 is exact; estimator is exactly m³ × the sampled recount") {
+    import spark.implicits._
+    // same K4 ∪ triangle ∪ path fixture as L37 (canonical u < v rows):
+    // 5 triangles, 12 edges — at m=1 the sample is the whole graph and
+    // the "estimate" must be the exact count with scale factor 1
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (21L, 22L)).toDF("u", "v")
+    val ex = ops.Graph.approxTriangles(e, 1L).collect()(0)
+    assert(ex.getLong(0) == 1L && ex.getLong(1) == 11L &&
+      ex.getLong(2) == 5L && ex.getLong(3) == 5L,
+      s"m=1 must degenerate to the exact count: $ex")
+    // m=3: recount the h64-sampled subgraph through the independently
+    // pinned exact profile — the estimator must be exactly 27× that,
+    // over exactly the edges the shared hash admits
+    val m = 3L
+    val es = e.filter(U.h64(concat_ws("|", $"u", $"v")) % m === 0).distinct()
+    val nEdges = es.count()
+    val triS = ops.Graph.triangleProfile(es)
+      .agg(coalesce(expr("sum(tri) div 3"), lit(0L))).collect()(0).getLong(0)
+    val got = ops.Graph.approxTriangles(e, m).collect()(0)
+    assert(got.getLong(0) == m && got.getLong(1) == nEdges &&
+      got.getLong(2) == triS && got.getLong(3) == triS * m * m * m,
+      s"estimator arithmetic broke: $got (want mod=$m, edges=$nEdges, tri=$triS)")
+  }
+
+  test("L37b at sf: samplemod=1 override reproduces the exact global count; default is in-band") {
+    import spark.implicits._
+    // the exact global total, from the same edge construction + the
+    // separately pinned profile (q_graph_triangles emits top-20 rows,
+    // not the total, so recompute it here)
+    val ls = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("sk")).distinct()
+    val e0 = ls.as("a").join(ls.as("b"), $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
+      .select($"a.sk".as("u"), $"b.sk".as("v"))
+    val exact = ops.Graph.approxTriangles(e0, 1L).collect()(0).getLong(3)
+    assert(exact > 0, "test graph has no triangles — suite is vacuous")
+    spark.conf.set("spark.graft.tri.samplemod", "1")
+    try {
+      val viaConf = SparkEntry.queries("q_graph_triangles_approx")(spark, sfDir)
+        .collect()(0)
+      assert(viaConf.getLong(0) == 1L && viaConf.getLong(3) == exact,
+        s"samplemod=1 must be exact: got $viaConf, want $exact")
+    } finally spark.conf.unset("spark.graft.tri.samplemod")
+    // default m=4: the estimate is DETERMINISTIC on the fixed corpus —
+    // this band is a fact about the committed data + hash, not a
+    // statistical hope (DOULION relative error ~1/√T_sampled)
+    val est = SparkEntry.queries("q_graph_triangles_approx")(spark, sfDir)
+      .collect()(0).getLong(3)
+    assert(est > exact / 2 && est < exact * 2,
+      s"default-sample estimate $est outside (${exact / 2}, ${exact * 2})")
+  }
+
   test("L40 classifier: beats the majority class on the fixed corpus, predicts both classes") {
     import spark.implicits._
     // deterministic model on deterministic data — these are exact facts
