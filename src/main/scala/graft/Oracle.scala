@@ -617,16 +617,17 @@ object Oracle {
                      ELSE 0 END AS BIGINT) AS cc_ppm
          FROM deg LEFT JOIN pn ON pn.x = deg.x
          ORDER BY tri DESC, part_key LIMIT 20""",
-    // L37b approximate triangles: identical deterministic h64-mod-4 edge
-    // sample, exact recount on the sample (u<v<w form: (u,v),(v,w),(u,w)
-    // counts each triangle once — no orientation needed at oracle scale),
-    // DOULION scale-up by 4³ (see ops/Graph.scala)
+    // L37b approximate triangles: identical deterministic h64-mod-4
+    // VERTEX coloring (colorful counting — edges kept iff endpoints
+    // share a color), exact recount on the monochromatic subgraph
+    // (u<v<w form: (u,v),(v,w),(u,w) counts each triangle once — no
+    // orientation needed at oracle scale), scale-up by 4² (see
+    // ops/Graph.scala colorfulTriangles)
     "q_graph_triangles_approx" ->
-      s"""WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem),
-         e0 AS (SELECT DISTINCT a.sk AS u, b.sk AS v
-                FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk),
-         es AS (SELECT u, v FROM e0
-                WHERE (${h64Sql("CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)")}) % 4 = 0),
+      s"""WITH ls AS (SELECT ok, sk, (${h64Sql("CAST(sk AS VARCHAR)")}) % 4 AS c
+                FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem)),
+         es AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+                FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk AND a.c = b.c),
          tri AS (SELECT COUNT(*) AS t FROM es e1
                  JOIN es e2 ON e2.u = e1.v
                  JOIN es e3 ON e3.u = e1.u AND e3.v = e2.v),
@@ -634,8 +635,8 @@ object Oracle {
          SELECT CAST(4 AS BIGINT) AS sample_mod,
                 CAST(ne.n AS BIGINT) AS edges_sampled,
                 CAST(tri.t AS BIGINT) AS tri_sampled,
-                CAST(tri.t * 64 AS BIGINT) AS est_tri
-         FROM tri, ne""",
+                CAST(tri.t * 16 AS BIGINT) AS est_tri
+         FROM tri, ne ORDER BY sample_mod""",
     // heavy hitters: exact recount over the planted-skew key stream —
     // the MG sketch on the Spark side only NOMINATES candidates, so the
     // exact SQL is the full semantics (see ops/Aggregates.scala D16)

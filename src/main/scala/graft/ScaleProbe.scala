@@ -87,7 +87,14 @@ object ScaleProbe {
     // documents multiply the daily tf/df folds and the report's
     // bucket-aligned join + output-inherent window together; the
     // alphabet rotation grows the vocab ~K× so the df state scales too
-    "q_tfidf_incr")
+    "q_tfidf_incr",
+    // round-13 additions: the DOULION approximate-triangles rung (its
+    // whole reason to exist is the ×m² wedge-stream cut vs the exact
+    // L37 — the probe row is the evidence, side by side with
+    // q_graph_triangles on the same scaled graph) and the incremental
+    // domain stats (fourth incremental headliner, same per-day-cost-∝-
+    // slice claim)
+    "q_graph_triangles_approx", "q_domains_incr")
 
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -235,7 +242,12 @@ object ScaleProbe {
     "q_ann_incr" -> "embeddings",
     // round 13: the third incremental headliner — same per-day-cost-∝-
     // slice-plus-state claim, so same two-rung evidence bar
-    "q_tfidf_incr" -> "documents")
+    "q_tfidf_incr" -> "documents",
+    // round 13 late additions: the approximate triangles' ×25 point is
+    // the head-to-head against the exact wedge stream's steepest rung;
+    // the domain-stats fold gets the family's standard two-rung bar
+    "q_graph_triangles_approx" -> "lineitem",
+    "q_domains_incr" -> "documents")
   val Rung2K = 25
 
   def main(args: Array[String]): Unit = {

@@ -274,53 +274,87 @@ object Graph {
         .orderBy($"tri".desc, $"part_key")
         .limit(20)
     }),
-    // L37b: APPROXIMATE global triangle count by deterministic edge
-    // sampling (the DOULION estimator, Tsourakakis et al. KDD'09): keep
-    // an edge iff h64(u|v) ≡ 0 (mod m), count triangles EXACTLY on the
-    // sampled graph, scale by m³ (each triangle survives with p³ at
-    // p = 1/m). This is the scale rung the exact L37 cannot offer: the
-    // wedge stream is Σd⁺² — the engine's single largest wire item at
-    // ×25 (9.3 GB) — and sampling cuts it ~m² (degrees shrink ×m, so
-    // wedges shrink ×m²) while the estimate's relative error decays as
-    // 1/√T. The sample is a HASH of the edge key, not an RNG draw:
-    // replayable across retries/partitionings/engines, which is what
-    // makes the estimator oracle-able at all (the DuckDB twin applies
-    // the identical md5-fold filter and recounts). `spark.graft.tri
-    // .samplemod` overrides m for real deployments (bigger graphs
-    // afford sparser samples); the committed oracle pins the default
-    // m = 4, like the ANN width's floor.
+    // L37b: APPROXIMATE global triangle count by deterministic vertex
+    // coloring (COLORFUL triangle counting, Pagh & Tsourakakis 2012):
+    // hash every vertex to one of m colors, keep an edge iff its
+    // endpoints share a color (p = 1/m per edge), count triangles
+    // EXACTLY on the monochromatic subgraph, scale by m² (a triangle
+    // survives iff all THREE corners share a color: m·(1/m)³ = 1/m²).
+    // This is the scale rung the exact L37 cannot offer — the wedge
+    // stream is Σd⁺², the engine's single largest wire item at ×25
+    // (9.3 GB), and coloring cuts it ~m² — and it beats the DOULION
+    // edge-sample form below ON THIS SHAPE because the hash placement
+    // is per VERTEX ROW, not per candidate pair: the color is one
+    // md5 per distinct (order, part) line, the pair cut happens inside
+    // the self-join condition (monochromatic pairs only ever leave the
+    // join), and the m²-vs-m³ scale factor keeps 4× more sampled
+    // triangles at the same edge rate (measured on the ×25 rung:
+    // DOULION's per-pair md5 made its 10×→25× step 3.27; see
+    // approxTriangles' scaladoc). The color is a HASH, not an RNG
+    // draw: replayable across retries/partitionings/engines, which is
+    // what makes an approximate operator oracle-able at all (the
+    // DuckDB twin applies the identical md5-fold coloring and
+    // recounts). `spark.graft.tri.samplemod` overrides m for real
+    // deployments (bigger graphs afford sparser samples); the
+    // committed oracle pins the default m = 4, like the ANN width's
+    // floor.
     "q_graph_triangles_approx" -> ((s, d) => {
       import s.implicits._
       val m = s.conf.getOption("spark.graft.tri.samplemod")
         .flatMap(_.toLongOption).filter(_ >= 1L).getOrElse(4L)
       val ls = Tables.lineitem(s, d)
         .select($"l_orderkey".as("ok"), $"l_partkey".as("sk")).distinct()
-      val e0 = ls.as("a").join(ls.as("b"), $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
-        .select($"a.sk".as("u"), $"b.sk".as("v"))
-      approxTriangles(e0, m)
+        // one md5 per (order, part) line — NOT per candidate pair
+        .withColumn("c", graft.U.h64($"sk".cast("string")) % m)
+      val es = ls.as("a").join(ls.as("b"),
+          $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk" && $"a.c" === $"b.c")
+        .select($"a.sk".as("u"), $"b.sk".as("v")).distinct()
+      colorfulTriangles(es, m)
     })
   )
 
-  /** L37b core: the DOULION estimate over a CANONICALLY-ORIENTED edge
-    * frame — each row (u, v) with u < v; duplicate rows allowed (the
+  /** L37b core, colorful form: exact profile + m² scale-up over an edge
+    * frame ALREADY restricted to monochromatic edges under the shared
+    * vertex coloring `h64(str(v)) % m` (the caller owns the coloring so
+    * it can place the hash before its pair-production join — the whole
+    * point of the colorful estimator; this helper must not re-derive
+    * it). m = 1 is a single color: the full graph, scale factor 1,
+    * estimate ≡ exact. */
+  def colorfulTriangles(es: DataFrame, m: Long): DataFrame =
+    triangleSummary(es, m, m * m)
+
+  /** L37b, DOULION edge-sample form (Tsourakakis et al. KDD'09): keep
+    * an edge iff h64(u|v) ≡ 0 (mod m), scale the exact sample count by
+    * m³ (each triangle survives at p³, p = 1/m). The general form for
+    * an edge stream whose VERTEX construction the caller does not own
+    * (a pre-built edge list, where per-vertex coloring would cost the
+    * same per-row hash as edge sampling). Input must be canonically
+    * oriented — each row (u, v) with u < v; duplicate rows allowed (the
     * hash is a pure function of the pair, so copies sample identically
-    * and the post-filter distinct absorbs them). The sample filter runs
-    * BEFORE the dedup exchange: sampled-out pairs never reach the wire,
-    * so the whole downstream (distinct, degrees, orientation, wedge
-    * stream) is built on the m-times-smaller graph. */
+    * and the post-filter distinct absorbs them). On the L37b exhibit
+    * the colorful form supersedes this at scale: the ×25 rung measured
+    * the per-pair md5 dominating (step 3.27 vs the exact plan's 1.94)
+    * because the hash runs on the full pair stream before the cut. */
   def approxTriangles(e0: DataFrame, m: Long): DataFrame = {
     val ss = e0.sparkSession
     import ss.implicits._
     val es = e0
       .filter(graft.U.h64(concat_ws("|", $"u", $"v")) % m === 0)
       .distinct()
-    // Σ node-tri = 3T (each triangle has three corners); Σ degree =
-    // 2|E| — one aggregate over the profile yields both, all int64
+    triangleSummary(es, m, m * m * m)
+  }
+
+  /** Shared tail of the two estimators: Σ node-tri = 3T (each triangle
+    * has three corners); Σ degree = 2|E| — one aggregate over the exact
+    * profile yields both, all int64; the estimate is count × scale. */
+  private def triangleSummary(es: DataFrame, m: Long, scale: Long): DataFrame = {
+    val ss = es.sparkSession
+    import ss.implicits._
     triangleProfile(es)
       .agg(
         coalesce(expr("sum(tri) div 3"), lit(0L)).as("tri_sampled"),
         coalesce(expr("sum(degree) div 2"), lit(0L)).as("edges_sampled"))
       .select(lit(m).as("sample_mod"), $"edges_sampled", $"tri_sampled",
-        ($"tri_sampled" * lit(m * m * m)).as("est_tri"))
+        ($"tri_sampled" * lit(scale)).as("est_tri"))
   }
 }

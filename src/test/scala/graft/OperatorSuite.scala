@@ -766,6 +766,27 @@ class OperatorSuite extends SparkSpec {
     assert(got.getLong(0) == m && got.getLong(1) == nEdges &&
       got.getLong(2) == triS && got.getLong(3) == triS * m * m * m,
       s"estimator arithmetic broke: $got (want mod=$m, edges=$nEdges, tri=$triS)")
+    // an m so large the sample is EMPTY must degrade to a zero estimate,
+    // not an error (the profile, sieve build, and sums all see 0 rows)
+    val empty = ops.Graph.approxTriangles(e, 1000003L).collect()(0)
+    assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L && empty.getLong(3) == 0L,
+      s"empty sample must yield zeros: $empty")
+    // colorful form, same fixture: m=1 is a single color (full graph,
+    // scale 1 — exact); at m=2 build the monochromatic subgraph in the
+    // test with the same shared coloring, recount through the pinned
+    // exact profile, and the estimator must be exactly 4× that
+    val cEx = ops.Graph.colorfulTriangles(e, 1L).collect()(0)
+    assert(cEx.getLong(2) == 5L && cEx.getLong(3) == 5L,
+      s"colorful m=1 must degenerate to the exact count: $cEx")
+    val mc = 2L
+    def color(c: org.apache.spark.sql.Column) = U.h64(c.cast("string")) % mc
+    val mono = e.filter(color($"u") === color($"v")).distinct()
+    val triMono = ops.Graph.triangleProfile(mono)
+      .agg(coalesce(expr("sum(tri) div 3"), lit(0L))).collect()(0).getLong(0)
+    val cGot = ops.Graph.colorfulTriangles(mono, mc).collect()(0)
+    assert(cGot.getLong(0) == mc && cGot.getLong(1) == mono.count() &&
+      cGot.getLong(2) == triMono && cGot.getLong(3) == triMono * mc * mc,
+      s"colorful estimator arithmetic broke: $cGot (want tri=$triMono)")
   }
 
   test("L37b at sf: samplemod=1 override reproduces the exact global count; default is in-band") {
