@@ -169,6 +169,35 @@ object Oracle {
         SELECT d1, d2, sim FROM r WHERE sim >= 0.4 ORDER BY d1, d2"""
   }
 
+  /** Shared by q_quality_report (batch) and q_quality_incr (the
+    * incremental fold is lossless under any slicing — additive counters
+    * sum, the distinct-PK term ORs exact per-day bitmaps — so the batch
+    * recompute IS its oracle). */
+  private val qualityReportSql: String =
+    """WITH ev AS (SELECT event_id,
+              CASE WHEN event_id % 97 = 0 THEN NULL
+                   WHEN event_id % 103 = 0 THEN user_id + 1000000
+                   ELSE user_id END AS uid,
+              CASE WHEN event_id % 89 = 0 THEN -value ELSE value END AS v
+            FROM events),
+       dirty AS (SELECT * FROM ev
+                 UNION ALL SELECT * FROM ev WHERE event_id % 101 = 0),
+       orph AS (SELECT CAST(COUNT(*) AS BIGINT) AS fk_orphans FROM dirty d
+                WHERE uid IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = d.uid)),
+       m AS (SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+                    CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS pk_dupes,
+                    CAST(SUM(CASE WHEN uid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+                    CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_value
+             FROM dirty)
+       SELECT check_name, violations FROM (
+         SELECT 'fk_orphans' AS check_name, fk_orphans AS violations FROM orph
+         UNION ALL SELECT 'negative_value', negative_value FROM m
+         UNION ALL SELECT 'null_user_id', null_user_id FROM m
+         UNION ALL SELECT 'pk_dupes', pk_dupes FROM m
+         UNION ALL SELECT 'row_count', row_count FROM m)
+       ORDER BY check_name"""
+
   /** Shared by q_url_domains (batch) and q_domains_incr (the incremental
     * fold is lossless, so the batch recompute IS its oracle — summed
     * per-day (domain, lang) partials equal the full-corpus counts). */
@@ -1843,30 +1872,11 @@ object Oracle {
       """SELECT event_type,
                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
          FROM events GROUP BY event_type ORDER BY event_type""",
-    "q_quality_report" ->
-      """WITH ev AS (SELECT event_id,
-                CASE WHEN event_id % 97 = 0 THEN NULL
-                     WHEN event_id % 103 = 0 THEN user_id + 1000000
-                     ELSE user_id END AS uid,
-                CASE WHEN event_id % 89 = 0 THEN -value ELSE value END AS v
-              FROM events),
-         dirty AS (SELECT * FROM ev
-                   UNION ALL SELECT * FROM ev WHERE event_id % 101 = 0),
-         orph AS (SELECT CAST(COUNT(*) AS BIGINT) AS fk_orphans FROM dirty d
-                  WHERE uid IS NOT NULL
-                    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = d.uid)),
-         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
-                      CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS pk_dupes,
-                      CAST(SUM(CASE WHEN uid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
-                      CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_value
-               FROM dirty)
-         SELECT check_name, violations FROM (
-           SELECT 'fk_orphans' AS check_name, fk_orphans AS violations FROM orph
-           UNION ALL SELECT 'negative_value', negative_value FROM m
-           UNION ALL SELECT 'null_user_id', null_user_id FROM m
-           UNION ALL SELECT 'pk_dupes', pk_dupes FROM m
-           UNION ALL SELECT 'row_count', row_count FROM m)
-         ORDER BY check_name""",
+    "q_quality_report" -> qualityReportSql,
+    // L48 incremental twin: the fold is lossless under ANY slicing (the
+    // additive counters sum; the distinct-PK term ORs exact bitmaps),
+    // so the batch recompute IS its oracle
+    "q_quality_incr" -> qualityReportSql,
     "q_agg_outliers" ->
       """WITH e AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS x
                  FROM events),

@@ -88,13 +88,15 @@ object ScaleProbe {
     // bucket-aligned join + output-inherent window together; the
     // alphabet rotation grows the vocab ~K× so the df state scales too
     "q_tfidf_incr",
-    // round-13 additions: the DOULION approximate-triangles rung (its
+    // round-13 additions: the colorful approximate-triangles rung (its
     // whole reason to exist is the ×m² wedge-stream cut vs the exact
     // L37 — the probe row is the evidence, side by side with
     // q_graph_triangles on the same scaled graph) and the incremental
-    // domain stats (fourth incremental headliner, same per-day-cost-∝-
-    // slice claim)
-    "q_graph_triangles_approx", "q_domains_incr")
+    // domain stats + quality report (fourth and fifth incremental
+    // headliners, same per-day-cost-∝-slice claim; quality skips the
+    // ×25 rung because its two inputs — events AND the customer dim —
+    // don't fit the rung-2 single-table generation)
+    "q_graph_triangles_approx", "q_domains_incr", "q_quality_incr")
 
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
