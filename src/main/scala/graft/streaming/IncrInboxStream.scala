@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.StructType
 
 /** The shared inbox-drain loop of the incremental-state streaming
   * drives (L43 curation, L44 near-dup, L45 ANN, L46 TF-IDF, L47 domain
-  * stats): a file-stream inbox where each arriving parquet slice is "a
+  * stats, L48 quality report): a file-stream inbox where each arriving parquet slice is "a
   * day" (reference main.tf:217's daily cadence), `Trigger.AvailableNow`
   * + maxFilesPerTrigger=1 so each slice is exactly one micro-batch, and
   * `foreachBatch` handing slice N to the member's day-N fold.
