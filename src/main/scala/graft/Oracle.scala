@@ -169,17 +169,19 @@ object Oracle {
         SELECT d1, d2, sim FROM r WHERE sim >= 0.4 ORDER BY d1, d2"""
   }
 
-  /** Shared by q_quality_report (batch) and q_quality_incr (the
+  /** Shared by q_quality_report (batch), q_quality_incr (the
     * incremental fold is lossless under any slicing — additive counters
     * sum, the distinct-PK term ORs exact per-day bitmaps — so the batch
-    * recompute IS its oracle). */
-  private val qualityReportSql: String =
-    """WITH ev AS (SELECT event_id,
+    * recompute IS its oracle), and q_quality_del (`source` = the corpus
+    * minus the takedown set: the retraction fold must land exactly on
+    * the reduced-corpus recompute). */
+  private def qualityReportSqlOn(source: String): String =
+    s"""WITH ev AS (SELECT event_id,
               CASE WHEN event_id % 97 = 0 THEN NULL
                    WHEN event_id % 103 = 0 THEN user_id + 1000000
                    ELSE user_id END AS uid,
               CASE WHEN event_id % 89 = 0 THEN -value ELSE value END AS v
-            FROM events),
+            FROM $source),
        dirty AS (SELECT * FROM ev
                  UNION ALL SELECT * FROM ev WHERE event_id % 101 = 0),
        orph AS (SELECT CAST(COUNT(*) AS BIGINT) AS fk_orphans FROM dirty d
@@ -198,19 +200,24 @@ object Oracle {
          UNION ALL SELECT 'row_count', row_count FROM m)
        ORDER BY check_name"""
 
-  /** Shared by q_url_domains (batch) and q_domains_incr (the incremental
+  private val qualityReportSql: String = qualityReportSqlOn("events")
+
+  /** Shared by q_url_domains (batch), q_domains_incr (the incremental
     * fold is lossless, so the batch recompute IS its oracle — summed
-    * per-day (domain, lang) partials equal the full-corpus counts). */
-  private val urlDomainsSql: String =
-    """WITH u AS (SELECT doc_id, lang,
+    * per-day (domain, lang) partials equal the full-corpus counts), and
+    * q_domains_del (`source` = the corpus minus the takedown set). */
+  private def urlDomainsSqlOn(source: String): String =
+    s"""WITH u AS (SELECT doc_id, lang,
               regexp_extract('https://' || source || '.example.com/d/' ||
                 CAST(doc_id AS VARCHAR), 'https?://([^/]+)/', 1) AS domain
-            FROM documents)
+            FROM $source)
        SELECT domain, COUNT(*) AS n_docs,
               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
               CAST(CASE WHEN domain IN ('src1.example.com', 'src3.example.com')
                         THEN 1 ELSE 0 END AS BIGINT) AS blocked
        FROM u GROUP BY domain ORDER BY domain"""
+
+  private val urlDomainsSql: String = urlDomainsSqlOn("documents")
 
   /** Shared by q_text_tfidf (batch) and q_tfidf_incr (the incremental
     * fold is lossless, so the batch recompute IS its oracle). */
@@ -1576,6 +1583,11 @@ object Oracle {
     // q_dedup_incr/q_ann_incr
     "q_tfidf_incr" -> tfidfSql,
     "q_domains_incr" -> urlDomainsSql,
+    // L47 retraction: fold + negative-partial delete of the takedown
+    // set (doc_id % 7 == 3) must land exactly on the reduced-corpus
+    // batch recompute
+    "q_domains_del" ->
+      urlDomainsSqlOn("(SELECT * FROM documents WHERE doc_id % 7 <> 3) documents"),
 
     // ----- composed curation pipeline -----
     "q_pipeline_curate" ->
@@ -1877,6 +1889,12 @@ object Oracle {
     // additive counters sum; the distinct-PK term ORs exact bitmaps),
     // so the batch recompute IS its oracle
     "q_quality_incr" -> qualityReportSql,
+    // L48 retraction: additive counters subtract via negated marker
+    // lines, the distinct-PK term clears via the tombstone bitmap
+    // and-not — the result must equal the batch recompute with the
+    // takedown set (event_id % 7 == 3) excluded
+    "q_quality_del" ->
+      qualityReportSqlOn("(SELECT * FROM events WHERE event_id % 7 <> 3) events"),
     "q_agg_outliers" ->
       """WITH e AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS x
                  FROM events),

@@ -79,19 +79,57 @@ object DomainsIncr {
                  warehouse: String, day: Int, nBuckets: Int = 32): Unit =
     runDay(s, s.read.parquet(slicePath), prefix, warehouse, day, nBuckets)
 
+  /** Retraction (VERDICT r13 #1): fold one day's DELETED documents OUT
+    * of the statistics state — the takedown/GDPR path. The state is
+    * purely additive, so deletion is exact and free of any state read:
+    * the delete slice runs through the SAME per-(domain, lang) count as
+    * a fold and lands with `n_part` NEGATED under its own day id — cost
+    * ∝ delete slice, history never touched, replay idempotent (the
+    * delete day dynamic-overwrites its own partition, like any day).
+    * Serving nets the signed partials per (domain, lang); a group whose
+    * docs are all retracted nets to 0 and drops out of BOTH the doc
+    * count and the language spread, matching the batch recompute on the
+    * reduced corpus exactly. `day` must be a fresh day id (same
+    * contract as runDay). */
+  def deleteDay(s: SparkSession, deleted: DataFrame, prefix: String,
+                warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
+    import s.implicits._
+    val Seq(dlT) = stateTables(prefix)
+    val part = deleted
+      .withColumn("url", concat(lit("https://"), $"source",
+        lit(".example.com/d/"), $"doc_id".cast("string")))
+      .withColumn("domain", regexp_extract($"url", "https?://([^/]+)/", 1))
+      .groupBy($"domain", $"lang").agg((-count(lit(1))).as("n_part"))
+      .withColumn("src_day", lit(day))
+      .withColumn("day", lit(day))
+    IncrState.writeDay(s, part, dlT, warehouse, day, nBuckets)
+    IncrState.writeLastDay(s, warehouse, day)
+  }
+
+  /** Path-based delete twin for the suite's input-bytes test. */
+  def deleteDayPath(s: SparkSession, slicePath: String, prefix: String,
+                    warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    deleteDay(s, s.read.parquet(slicePath), prefix, warehouse, day, nBuckets)
+
   /** The full domain report off the persisted state — output identical
-    * to `q_url_domains`. Replay dedup → partial sum + distinct-language
-    * count (both satisfied by the `domain` bucketing, no exchange) →
-    * broadcast deny join → presentation sort (the one shuffle, identical
-    * to the batch plan's). */
+    * to `q_url_domains`. Replay dedup → SIGNED partial net per
+    * (domain, lang) (fold partials positive, delete partials negative;
+    * a fully-retracted group nets to 0 and is dropped, so both n_docs
+    * and the language spread shrink exactly as the batch recompute on
+    * the reduced corpus would) → per-domain sum + language count (every
+    * grouping contains `domain`, which the bucketing satisfies — no
+    * exchange) → broadcast deny join → presentation sort (the one
+    * shuffle, identical to the batch plan's). */
   def report(s: SparkSession, prefix: String, warehouse: String): DataFrame = {
     import s.implicits._
     stateTables(prefix).foreach(IncrState.ensureRegistered(s, _, warehouse))
     s.table(dlTable(prefix))
       .select($"domain", $"lang", $"src_day", $"n_part")
       .dropDuplicates("domain", "lang", "src_day")
+      .groupBy($"domain", $"lang").agg(sum($"n_part").as("n"))
+      .filter($"n" > 0)
       .groupBy($"domain")
-      .agg(sum($"n_part").as("n_docs"), countDistinct($"lang").as("n_langs"))
+      .agg(sum($"n").as("n_docs"), count(lit(1)).as("n_langs"))
       .join(broadcast(denyList(s)), Seq("domain"), "left")
       .select($"domain", $"n_docs", $"n_langs",
         coalesce($"blocked", lit(0L)).as("blocked"))
@@ -139,7 +177,31 @@ object DomainsIncr {
     s.read.parquet(s"$wh/result").orderBy("domain")
   }
 
+  /** Fold `days` slices, then RETRACT the documents with
+    * doc_id % 7 == 3 (a deterministic takedown set spanning every fold
+    * day) as delete day `days` — the oracle is the batch recompute on
+    * the REDUCED corpus (`q_url_domains`'s SQL with the takedown set
+    * excluded), proving fold(deletes) == batch-on-reduced-corpus via
+    * pure negative partials. */
+  def incrementalDel(s: SparkSession, dir: String, days: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val prefix = "domains_del_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = IncrState.newWarehouse()
+    (0 until days).foreach { day =>
+      runDay(s, docs.filter(pmod(col("doc_id"), lit(days.toLong)) === day),
+        prefix, wh, day, nBuckets = 8)
+    }
+    deleteDay(s, docs.filter(pmod(col("doc_id"), lit(7L)) === 3),
+      prefix, wh, days, nBuckets = 8)
+    report(s, prefix, wh)
+      .write.mode("overwrite").parquet(s"$wh/result")
+    dropState(s, prefix)
+    s.read.parquet(s"$wh/result").orderBy("domain")
+  }
+
   val qs: Map[String, Q] = Map(
-    "q_domains_incr" -> ((s, d) => incremental(s, d, 3))
+    "q_domains_incr" -> ((s, d) => incremental(s, d, 3)),
+    "q_domains_del" -> ((s, d) => incrementalDel(s, d, 3))
   )
 }

@@ -331,15 +331,22 @@ object Graph {
     * same per-row hash as edge sampling). Input must be canonically
     * oriented — each row (u, v) with u < v; duplicate rows allowed (the
     * hash is a pure function of the pair, so copies sample identically
-    * and the post-filter distinct absorbs them). On the L37b exhibit
-    * the colorful form supersedes this at scale: the ×25 rung measured
-    * the per-pair md5 dominating (step 3.27 vs the exact plan's 1.94)
-    * because the hash runs on the full pair stream before the cut. */
+    * and the post-filter distinct absorbs them). The sample hash runs
+    * over the CANONICAL pair least|greatest (ADVICE r13): downstream
+    * triangleProfile silently canonicalizes orientation, so if a caller
+    * violated the u < v precondition the two orientations of one edge
+    * would otherwise hash — and sample — differently, biasing the
+    * estimate with no error; hashing the canonical form makes the
+    * violation unable to matter. On the L37b exhibit the colorful form
+    * supersedes this at scale: the ×25 rung measured the per-pair md5
+    * dominating (step 3.27 vs the exact plan's 1.94) because the hash
+    * runs on the full pair stream before the cut. */
   def approxTriangles(e0: DataFrame, m: Long): DataFrame = {
     val ss = e0.sparkSession
     import ss.implicits._
     val es = e0
-      .filter(graft.U.h64(concat_ws("|", $"u", $"v")) % m === 0)
+      .filter(graft.U.h64(concat_ws("|",
+        least($"u", $"v"), greatest($"u", $"v"))) % m === 0)
       .distinct()
     triangleSummary(es, m, m * m * m)
   }

@@ -37,14 +37,31 @@ import org.apache.spark.sql.functions._
   * never the event stream. Oracle = `q_quality_report`'s SQL verbatim
   * (the planted dirt is a function of event_id, so a slice's dirt is
   * the dirt of the slice).
+  *
+  * RETRACTION (round 14, VERDICT r13 #1): `deleteDay` folds a takedown
+  * slice OUT — the additive counters land as a negated marker line,
+  * the distinct-PK term gets a tombstone bitmap and serving popcounts
+  * live AND NOT tomb (`functions.BitmapAndNot`). Contract: the delete
+  * slice must be rows previously folded (the counters subtract
+  * whatever is passed; only the bitmap side is inherently tolerant of
+  * never-folded ids), and a tombstoned id stays retracted — re-adding
+  * it needs a fresh state prefix. Oracle = the batch recompute on the
+  * reduced corpus (`q_quality_del`).
   */
 object QualityIncr {
 
   private def pkTable(prefix: String) = s"${prefix}_pk"
-  private val CountsMarker = "_qc_counts"
+  private def tombTable(prefix: String) = s"${prefix}_pk_del"
+  // marker scoped by PREFIX, not warehouse (ADVICE r13): the pk bitmap
+  // table is prefix-scoped, so two QualityIncr states sharing one
+  // warehouse — which the API permits — must not merge each other's
+  // additive counters; the leading underscore keeps the file invisible
+  // to Spark's directory listings
+  private def countsMarker(prefix: String) = s"_${prefix}_qc_counts"
 
   private def stateTables(prefix: String): Seq[IncrState.StateTable] = Seq(
-    IncrState.StateTable(pkTable(prefix), "bkt", Seq("bkt", "src_day")))
+    IncrState.StateTable(pkTable(prefix), "bkt", Seq("bkt", "src_day")),
+    IncrState.StateTable(tombTable(prefix), "bkt", Seq("bkt", "src_day")))
 
   /** The batch query's planted-dirt transform (deterministic in
     * event_id, so slicing commutes with it): null/orphan uids, negated
@@ -61,20 +78,28 @@ object QualityIncr {
   }
 
   /** Per-day marker lines: "day row_count null_user_id negative_value
-    * fk_orphans" (keyed by day — a replay rewrites its own line). */
-  private def readCounts(s: SparkSession, wh: String): Map[Int, Seq[Long]] =
-    IncrState.readMarker(s, wh, CountsMarker).map(_.linesIterator.flatMap { l =>
-      l.trim.split(' ') match {
-        case Array(d, rest @ _*) if rest.length == 4 =>
-          for (di <- d.toIntOption; vs <- Some(rest.flatMap(_.toLongOption))
-               if vs.length == 4) yield di -> vs
-        case _ => None
+    * fk_orphans" (keyed by day — a replay rewrites its own line; a
+    * DELETE day's line carries negated values). A malformed non-empty
+    * line FAILS LOUDLY (ADVICE r13): unlike the `_last_day` recovery
+    * marker, these counters are load-bearing for four of the five
+    * report checks — the degrade-don't-throw policy fits recovery aids,
+    * not correctness state. */
+  private def readCounts(s: SparkSession, wh: String, prefix: String): Map[Int, Seq[Long]] =
+    IncrState.readMarker(s, wh, countsMarker(prefix)).map(_.linesIterator.flatMap { l =>
+      if (l.trim.isEmpty) None
+      else l.trim.split(' ') match {
+        case Array(d, rest @ _*) if rest.length == 4
+            && d.toIntOption.isDefined && rest.forall(_.toLongOption.isDefined) =>
+          Some(d.toInt -> rest.map(_.toLong))
+        case _ => throw new IllegalStateException(
+          s"corrupt ${countsMarker(prefix)} line (quality counters are " +
+            s"correctness state, refusing to silently drop it): '$l'")
       }
     }.toMap).getOrElse(Map.empty)
 
-  private def writeCounts(s: SparkSession, wh: String,
+  private def writeCounts(s: SparkSession, wh: String, prefix: String,
                           counts: Map[Int, Seq[Long]]): Unit =
-    IncrState.writeMarker(s, wh, CountsMarker,
+    IncrState.writeMarker(s, wh, countsMarker(prefix),
       counts.toSeq.sortBy(_._1)
         .map { case (d, vs) => s"$d ${vs.mkString(" ")}" }.mkString("\n"))
 
@@ -83,14 +108,12 @@ object QualityIncr {
     * check rides the same pass as a broadcast-dim left join — customer
     * is the static FK dimension), one bucketed bitmap write for the
     * distinct-PK state. Cost ∝ slice; history never re-read. */
-  def runDay(s: SparkSession, slice: DataFrame, customers: DataFrame,
-             prefix: String, warehouse: String, day: Int,
-             nBuckets: Int = 32): Unit = {
+  /** The four additive counters of one (dirt-transformed) slice, in ONE
+    * pass (c_custkey is the customer PK, so the left join never
+    * multiplies rows; absent match = orphan). */
+  private def sliceCounters(d: DataFrame, customers: DataFrame): Seq[Long] = {
+    val s = d.sparkSession
     import s.implicits._
-    val Seq(pkT) = stateTables(prefix)
-    val d = dirty(slice)
-    // four additive counters in ONE pass (c_custkey is the customer PK,
-    // so the left join never multiplies rows; absent match = orphan)
     val row = d
       .join(broadcast(customers.select($"c_custkey")),
         $"uid" === $"c_custkey", "left")
@@ -100,22 +123,76 @@ object QualityIncr {
         sum(when($"uid".isNotNull && $"c_custkey".isNull, 1L).otherwise(0L))
           .as("orph"))
       .collect()(0)
-    val vals = Seq(row.getLong(0),
+    Seq(row.getLong(0),
       if (row.isNullAt(1)) 0L else row.getLong(1),
       if (row.isNullAt(2)) 0L else row.getLong(2),
       if (row.isNullAt(3)) 0L else row.getLong(3))
-    // the day's event_id bitmaps (dup rows OR into the same bits, so
-    // the bitmap is exactly the day's DISTINCT ids)
-    val bm = d
-      .select(expr("bitmap_bucket_number(event_id)").as("bkt"),
+  }
+
+  /** One slice's event_id bitmaps (dup rows OR into the same bits, so
+    * the result is exactly the slice's DISTINCT ids), stamped for day. */
+  private def sliceBitmaps(d: DataFrame, day: Int): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    d.select(expr("bitmap_bucket_number(event_id)").as("bkt"),
         expr("bitmap_bit_position(event_id)").as("pos"))
       .groupBy($"bkt").agg(expr("bitmap_construct_agg(pos)").as("bm"))
       .withColumn("src_day", lit(day))
       .withColumn("day", lit(day))
-    IncrState.writeDay(s, bm, pkT, warehouse, day, nBuckets)
-    writeCounts(s, warehouse, readCounts(s, warehouse) + (day -> vals))
+  }
+
+  def runDay(s: SparkSession, slice: DataFrame, customers: DataFrame,
+             prefix: String, warehouse: String, day: Int,
+             nBuckets: Int = 32): Unit = {
+    val Seq(pkT, _) = stateTables(prefix)
+    val d = dirty(slice)
+    val vals = sliceCounters(d, customers)
+    IncrState.writeDay(s, sliceBitmaps(d, day), pkT, warehouse, day, nBuckets)
+    writeCounts(s, warehouse, prefix,
+      readCounts(s, warehouse, prefix) + (day -> vals))
     IncrState.writeLastDay(s, warehouse, day)
   }
+
+  /** Retraction (VERDICT r13 #1): fold one day's DELETED events out of
+    * the quality state — the takedown/GDPR path, cost ∝ delete slice
+    * (the slice is read once; history is NEVER re-read; no state table
+    * is read at all). The state algebra splits exactly as designed:
+    *
+    *   - the four additive counters SUBTRACT — the delete slice runs
+    *     through the same dirt transform and its counters land as a
+    *     NEGATED marker line keyed by the delete day (a replayed delete
+    *     day rewrites its own line: idempotent);
+    *   - the non-additive distinct-PK bitmap gets a TOMBSTONE bitmap in
+    *     `{prefix}_pk_del` (same bkt-bucketed day-partitioned shape);
+    *     serving reads distinct = popcount(live AND NOT tomb) via the
+    *     native `bitmap_andnot`, so a retracted id vanishes from the
+    *     distinct count exactly, and retracting an id that was never
+    *     folded is harmless (its live bit was never set).
+    *
+    * Semantics: a tombstone retracts the id from the WHOLE corpus
+    * (point-in-time takedown, the reference's overwrite-a-day
+    * `src/main.py:70-73` generalized); re-admitting a retracted id
+    * later requires a new state prefix, by design — delete wins.
+    * `day` must be a fresh day id (same contract as runDay: one day id
+    * per fold or delete event). */
+  def deleteDay(s: SparkSession, deleted: DataFrame, customers: DataFrame,
+                prefix: String, warehouse: String, day: Int,
+                nBuckets: Int = 32): Unit = {
+    val Seq(_, tombT) = stateTables(prefix)
+    val d = dirty(deleted)
+    val vals = sliceCounters(d, customers).map(-_)
+    IncrState.writeDay(s, sliceBitmaps(d, day), tombT, warehouse, day, nBuckets)
+    writeCounts(s, warehouse, prefix,
+      readCounts(s, warehouse, prefix) + (day -> vals))
+    IncrState.writeLastDay(s, warehouse, day)
+  }
+
+  /** Path-based delete twin for the suite's input-bytes test. */
+  def deleteDayPath(s: SparkSession, slicePath: String, custDir: String,
+                    prefix: String, warehouse: String, day: Int,
+                    nBuckets: Int = 32): Unit =
+    deleteDay(s, s.read.parquet(slicePath), Tables.customer(s, custDir),
+      prefix, warehouse, day, nBuckets)
 
   /** Path-based twin for the suite's input-bytes test. */
   def runDayPath(s: SparkSession, slicePath: String, custDir: String,
@@ -132,13 +209,33 @@ object QualityIncr {
   def report(s: SparkSession, prefix: String, warehouse: String): DataFrame = {
     import s.implicits._
     stateTables(prefix).foreach(IncrState.ensureRegistered(s, _, warehouse))
-    val sums = readCounts(s, warehouse).values
+    val sums = readCounts(s, warehouse, prefix).values
       .foldLeft(Seq(0L, 0L, 0L, 0L))((a, b) => a.zip(b).map(t => t._1 + t._2))
     val Seq(rc, nulls, negs, orph) = sums
-    s.table(pkTable(prefix))
+    val live = s.table(pkTable(prefix))
       .select($"bkt", $"src_day", $"bm")
       .dropDuplicates("bkt", "src_day")
-      .groupBy($"bkt").agg(expr("bitmap_count(bitmap_or_agg(bm))").as("c"))
+      .groupBy($"bkt").agg(expr("bitmap_or_agg(bm)").as("lbm"))
+    // distinct = popcount(live AND NOT tombstones). The tomb table only
+    // exists once a deleteDay ran; the pure-append path keeps its old
+    // single-table plan. Both sides are bucketed AND grouped on `bkt`,
+    // so the left join stays exchange-free; a bucket with no tombstones
+    // coalesces to the empty bitmap (andnot clears nothing past the
+    // tombstone's end, so empty = retract nothing).
+    val counted =
+      if (!s.catalog.tableExists(tombTable(prefix)))
+        live.select(expr("bitmap_count(lbm)").as("c"))
+      else {
+        val tomb = s.table(tombTable(prefix))
+          .select($"bkt", $"src_day", $"bm")
+          .dropDuplicates("bkt", "src_day")
+          .groupBy($"bkt").agg(expr("bitmap_or_agg(bm)").as("tbm"))
+        live.join(tomb, Seq("bkt"), "left")
+          .select(graft.functions.BitmapAndNot.andNot($"lbm",
+            coalesce($"tbm", lit(Array.emptyByteArray))).as("dbm"))
+          .select(expr("bitmap_count(dbm)").as("c"))
+      }
+    counted
       .agg(coalesce(sum($"c"), lit(0L)).as("nd"))
       .selectExpr(s"""stack(5,
           'fk_orphans', ${orph}L,
@@ -168,8 +265,10 @@ object QualityIncr {
   def lastDay(s: SparkSession, warehouse: String): Int =
     IncrState.lastDay(s, warehouse)
 
-  def dropState(s: SparkSession, prefix: String): Unit =
+  def dropState(s: SparkSession, prefix: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS ${pkTable(prefix)}")
+    s.sql(s"DROP TABLE IF EXISTS ${tombTable(prefix)}")
+  }
 
   /** Daily loop over `days` slices (event_id mod days) + report — the
     * oracle is the full-corpus recompute (`q_quality_report`'s SQL
@@ -190,7 +289,34 @@ object QualityIncr {
     s.read.parquet(s"$wh/result").orderBy("check_name")
   }
 
+  /** Fold `days` slices, then RETRACT the events with
+    * event_id % 7 == 3 (an arbitrary deterministic takedown set, some
+    * of whose members land on every fold day) as delete day `days` —
+    * the oracle is the batch recompute on the REDUCED corpus
+    * (`q_quality_report`'s SQL with the takedown set excluded), so the
+    * pass proves fold(deletes) == batch-on-reduced-corpus exactly:
+    * additive counters via negated marker lines, the distinct-PK term
+    * via the tombstone and-not. */
+  def incrementalDel(s: SparkSession, dir: String, days: Int): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+    val cust = Tables.customer(s, dir)
+    val prefix = "quality_del_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = IncrState.newWarehouse()
+    (0 until days).foreach { day =>
+      runDay(s, ev.filter(pmod(col("event_id"), lit(days.toLong)) === day),
+        cust, prefix, wh, day, nBuckets = 8)
+    }
+    deleteDay(s, ev.filter(pmod(col("event_id"), lit(7L)) === 3),
+      cust, prefix, wh, days, nBuckets = 8)
+    report(s, prefix, wh)
+      .write.mode("overwrite").parquet(s"$wh/result")
+    dropState(s, prefix)
+    s.read.parquet(s"$wh/result").orderBy("check_name")
+  }
+
   val qs: Map[String, Q] = Map(
-    "q_quality_incr" -> ((s, d) => incremental(s, d, 3))
+    "q_quality_incr" -> ((s, d) => incremental(s, d, 3)),
+    "q_quality_del" -> ((s, d) => incrementalDel(s, d, 3))
   )
 }

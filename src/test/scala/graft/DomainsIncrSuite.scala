@@ -165,6 +165,116 @@ class DomainsIncrSuite extends SparkSpec {
     } finally ops.DomainsIncr.dropState(spark, prefix)
   }
 
+  test("retraction: fold+delete == fold of reduced corpus; replay + compaction safe") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    // takedown set: EVERY doc of one (domain, lang) group plus a scatter
+    // across all days — pins the count shrink, the language-spread
+    // shrink (the whole point of netting signed partials per
+    // (domain, lang) before counting langs), and cross-day deletes
+    val del = docs.filter(($"source" === "src1" && $"lang" === "en") ||
+      pmod($"doc_id", lit(11L)) === 5)
+    assert(del.count() > 0, "takedown set empty — test is vacuous")
+    assert(docs.filter($"source" === "src1" && $"lang" === "en").count() > 0,
+      "no (src1, en) docs — language-shrink pin is vacuous")
+    val kept = docs.join(del.select($"doc_id"), Seq("doc_id"), "left_anti")
+    def foldAll(d: DataFrame, prefix: String, wh: String): Unit =
+      (0 until 3).foreach { day =>
+        ops.DomainsIncr.runDay(spark, d.filter(pmod($"doc_id", lit(3L)) === day),
+          prefix, wh, day, nBuckets = 4)
+      }
+    val pA = "domains_del_a_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val pE = "domains_del_e_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val whA = ops.IncrState.newWarehouse()
+    val whE = ops.IncrState.newWarehouse()
+    try {
+      // expected: the fold-only path over the REDUCED corpus (that path
+      // is oracle-proven lossless, so it stands in for the batch)
+      foldAll(kept, pE, whE)
+      val expected = canon(ops.DomainsIncr.report(spark, pE, whE))
+      // actual: fold the FULL corpus, then retract the takedown set
+      foldAll(docs, pA, whA)
+      val before = canon(ops.DomainsIncr.report(spark, pA, whA))
+      ops.DomainsIncr.deleteDay(spark, del, pA, whA, 3, nBuckets = 4)
+      def rep() = canon(ops.DomainsIncr.report(spark, pA, whA))
+      assert(rep() == expected, "fold(deletes) != batch on reduced corpus")
+      assert(before != expected, "delete changed nothing — test is vacuous")
+      // the (src1, en) retraction must shrink src1's language spread
+      val langsOf = (rows: Seq[String]) => rows.find(_.startsWith("src1.example.com|"))
+        .map(_.split('|')(2)).getOrElse("absent")
+      assert(langsOf(before) != langsOf(expected),
+        "language spread did not shrink — (domain,lang) netting unexercised")
+      // replay of the delete day: its negative partition rewrites itself
+      ops.DomainsIncr.deleteDay(spark, del, pA, whA, 3, nBuckets = 4)
+      assert(rep() == expected, "delete replay not idempotent")
+      // compaction must carry negative partials intact (dedup on
+      // (domain, lang, src_day) keeps the delete day's rows distinct
+      // from every fold day's)
+      ops.DomainsIncr.compactState(spark, pA, whA, nBuckets = 4)
+      assert(rep() == expected, "compaction corrupted signed partials")
+      // a later fold after a delete keeps netting correctly
+      ops.DomainsIncr.runDay(spark, del.limit(0), pA, whA, 4, nBuckets = 4)
+      assert(rep() == expected)
+    } finally {
+      ops.DomainsIncr.dropState(spark, pA)
+      ops.DomainsIncr.dropState(spark, pE)
+    }
+  }
+
+  test("retraction fold reads only the delete slice (input-bytes bound)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("domains_del_bytes_").toString
+    (0 to 1).foreach { k =>
+      docs.filter(pmod($"doc_id", lit(2L)) === k)
+        .write.mode("overwrite").parquet(s"$root/slice$k")
+    }
+    docs.filter(pmod($"doc_id", lit(11L)) === 5)
+      .write.mode("overwrite").parquet(s"$root/del")
+    val prefix = "domains_del_b_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = s"$root/wh"
+    try {
+      ops.DomainsIncr.runDayPath(spark, s"$root/slice0", prefix, wh, 0)
+      ops.DomainsIncr.runDayPath(spark, s"$root/slice1", prefix, wh, 1)
+      def dirBytes(p: String): Long = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+      // the functional never-rescan proof: raw fold slices deleted
+      // BEFORE the retraction fold — any lazy re-read would throw
+      Seq("slice0", "slice1").foreach { d =>
+        val p = java.nio.file.Paths.get(s"$root/$d")
+        val w = java.nio.file.Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally w.close()
+      }
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      }
+      // declared reads: the delete slice once — never the fold history,
+      // never the state (retraction is a pure negative-partial append)
+      val inputBudget = dirBytes(s"$root/del") + dirBytes(wh)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        ops.DomainsIncr.deleteDayPath(spark, s"$root/del", prefix, wh, 2)
+        org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      val read = bytesRead.get()
+      assert(read > 0, "listener saw no input")
+      assert(read <= inputBudget + (64 << 10),
+        s"retraction fold read $read bytes; bound $inputBudget")
+    } finally ops.DomainsIncr.dropState(spark, prefix)
+  }
+
   test("report: state side is exchange-free; only the presentation sort remains") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)

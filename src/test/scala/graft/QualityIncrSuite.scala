@@ -203,6 +203,121 @@ class QualityIncrSuite extends SparkSpec {
     } finally ops.QualityIncr.dropState(spark, prefix)
   }
 
+  test("retraction: fold+delete == fold of reduced corpus; replay, compaction, restart safe") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir).select($"event_id", $"user_id", $"value")
+    val cust = Tables.customer(spark, sfDir)
+    // takedown set scattered across every fold day; must include some
+    // planted-dirt members (dup %101, null %97, neg %89) so every
+    // counter actually shrinks, and its distinct ids clear from the
+    // bitmap via the tombstone and-not
+    val del = ev.filter(pmod($"event_id", lit(11L)) === 5)
+    assert(del.count() > 0, "takedown set empty — test is vacuous")
+    val kept = ev.join(del.select($"event_id"), Seq("event_id"), "left_anti")
+    def foldAll(d: DataFrame, prefix: String, wh: String): Unit =
+      (0 until 3).foreach { day =>
+        ops.QualityIncr.runDay(spark, d.filter(pmod($"event_id", lit(3L)) === day),
+          cust, prefix, wh, day, nBuckets = 4)
+      }
+    val pA = "quality_del_a_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val pE = "quality_del_e_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val whA = ops.IncrState.newWarehouse()
+    val whE = ops.IncrState.newWarehouse()
+    try {
+      // expected: fold-only over the REDUCED corpus (oracle-proven path)
+      foldAll(kept, pE, whE)
+      val expected = canon(ops.QualityIncr.report(spark, pE, whE))
+      foldAll(ev, pA, whA)
+      val before = canon(ops.QualityIncr.report(spark, pA, whA))
+      ops.QualityIncr.deleteDay(spark, del, cust, pA, whA, 3, nBuckets = 4)
+      def rep() = canon(ops.QualityIncr.report(spark, pA, whA))
+      assert(rep() == expected, "fold(deletes) != batch on reduced corpus")
+      assert(before != expected, "delete changed nothing — test is vacuous")
+      // replay of the delete day: the negated marker line rewrites
+      // itself and the tombstone partition dynamic-overwrites itself
+      ops.QualityIncr.deleteDay(spark, del, cust, pA, whA, 3, nBuckets = 4)
+      assert(rep() == expected, "delete replay not idempotent")
+      // compaction folds live AND tombstone partitions through the same
+      // lifecycle; (bkt, src_day) dedup keeps them exact
+      ops.QualityIncr.compactState(spark, pA, whA, nBuckets = 4)
+      assert(rep() == expected, "compaction corrupted tombstone state")
+      // restart: both tables re-register from disk
+      spark.sql(s"DROP TABLE ${pA}_pk")
+      spark.sql(s"DROP TABLE ${pA}_pk_del")
+      assert(rep() == expected, "restart lost the tombstone table")
+      // the tombstone-aware report plan stays exchange-free on the
+      // state side (live ⋈ tomb rides the shared bkt bucketing)
+      val plan = ops.QualityIncr.report(spark, pA, whA)
+        .queryExecution.executedPlan.toString
+      val nExch = plan.linesIterator
+        .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      assert(nExch <= 2, s"tombstone report grew a state-side shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"tombstone report lost bucketed scans:\n$plan")
+    } finally {
+      ops.QualityIncr.dropState(spark, pA)
+      ops.QualityIncr.dropState(spark, pE)
+    }
+  }
+
+  test("two prefixes sharing one warehouse keep independent counters (ADVICE r13)") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir).select($"event_id", $"user_id", $"value")
+    val cust = Tables.customer(spark, sfDir)
+    val wh = ops.IncrState.newWarehouse()
+    val p1 = "quality_share_1_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val p2 = "quality_share_2_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    try {
+      // disjoint halves into the SAME warehouse under different prefixes
+      ops.QualityIncr.runDay(spark, ev.filter(pmod($"event_id", lit(2L)) === 0),
+        cust, p1, wh, 0, nBuckets = 4)
+      ops.QualityIncr.runDay(spark, ev.filter(pmod($"event_id", lit(2L)) === 1),
+        cust, p2, wh, 0, nBuckets = 4)
+      val r1 = ops.QualityIncr.report(spark, p1, wh).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val r2 = ops.QualityIncr.report(spark, p2, wh).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val evenCount = {
+        val e = ev.filter(pmod($"event_id", lit(2L)) === 0)
+        val base = e.count(); base + e.filter($"event_id" % 101 === 0).count()
+      }
+      // before the prefix-scoped marker, each report summed BOTH
+      // prefixes' counters; now each sees exactly its own half
+      assert(r1("row_count") == evenCount,
+        s"prefix 1 row_count ${r1("row_count")} != its own fold $evenCount (marker cross-merge?)")
+      assert(r2("row_count") > 0,
+        "odd half empty — a cross-merge would be invisible, test is vacuous")
+    } finally {
+      ops.QualityIncr.dropState(spark, p1)
+      ops.QualityIncr.dropState(spark, p2)
+    }
+  }
+
+  test("corrupt counter marker fails loudly (ADVICE r13: correctness state, not recovery aid)") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir).select($"event_id", $"user_id", $"value")
+    val cust = Tables.customer(spark, sfDir)
+    val wh = ops.IncrState.newWarehouse()
+    val prefix = "quality_corrupt_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    try {
+      ops.QualityIncr.runDay(spark, ev.limit(100), cust, prefix, wh, 0, nBuckets = 4)
+      // truncate one counter off the day-0 line — a malformed
+      // load-bearing line must throw, not silently drop
+      val name = s"_${prefix}_qc_counts"
+      val body = ops.IncrState.readMarker(spark, wh, name).get
+      ops.IncrState.writeMarker(spark, wh, name,
+        body.linesIterator.map(_.split(' ').dropRight(1).mkString(" ")).mkString("\n"))
+      val e = intercept[IllegalStateException] {
+        ops.QualityIncr.report(spark, prefix, wh).collect()
+      }
+      assert(e.getMessage.contains("corrupt"), s"wrong failure: ${e.getMessage}")
+    } finally ops.QualityIncr.dropState(spark, prefix)
+  }
+
   test("report: bitmap state side is exchange-free under the bkt bucketing") {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir).select($"event_id", $"user_id", $"value")
