@@ -473,6 +473,92 @@ object Catalog {
                          deg.dg AS degree
                   FROM deg LEFT JOIN pn ON pn.x = deg.x)
             ORDER BY tri DESC, part_key LIMIT 20"""),
+      // colorful triangle estimate (L37b): the vertex color is the same
+      // md5-fold hash the Scala twin uses, applied BEFORE pair
+      // production so only monochromatic co-purchase pairs ever leave
+      // the self-join; the sampled count scales by m² = 16. The exact
+      // count over the SAMPLED edge set is a plain 3-way canonical
+      // self-join (a<b<c counts each triangle once) — the sample is
+      // ~1/m² of the full pair stream, where the degree-oriented wedge
+      // machinery of v_graph_triangles matters less than readability.
+      "v_graph_triangles_approx" -> ("q_graph_triangles_approx",
+        s"""WITH ls AS (SELECT ok, sk,
+                    ${h64("CAST(sk AS STRING)")} % 4 AS c
+                  FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk
+                        FROM $Db.lineitem)),
+            es AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+                   FROM ls a JOIN ls b
+                     ON a.ok = b.ok AND a.sk < b.sk AND a.c = b.c),
+            tri AS (SELECT COUNT(*) AS t FROM es e1
+                    JOIN es e2 ON e2.u = e1.v
+                    JOIN es e3 ON e3.u = e1.u AND e3.v = e2.v),
+            ne AS (SELECT COUNT(*) AS n FROM es)
+            SELECT CAST(4 AS BIGINT) AS sample_mod, ne.n AS edges_sampled,
+                   tri.t AS tri_sampled, tri.t * CAST(16 AS BIGINT) AS est_tri
+            FROM tri CROSS JOIN ne"""),
+      // three-step funnel (I12): chained per-user min-aggregates — the
+      // same three partial-aggregable stages as the Scala twin, each
+      // step's time strictly after the previous step's
+      "v_funnel" -> ("q_funnel",
+        s"""WITH e AS (SELECT user_id, event_type, ts FROM $Db.events),
+            u AS (SELECT DISTINCT user_id FROM e),
+            s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+                   WHERE event_type = 'click' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+            SELECT u.user_id,
+                   CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                             WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+                   date_format(t1, 'yyyy-MM-dd HH:mm:ss') AS t1,
+                   date_format(t2, 'yyyy-MM-dd HH:mm:ss') AS t2,
+                   date_format(t3, 'yyyy-MM-dd HH:mm:ss') AS t3
+            FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id)"""),
+      // cohort retention matrix (I13): first-activity cohort + distinct
+      // (user, day) activity, one equi-join — two shuffles at any scale
+      "v_retention" -> ("q_retention",
+        s"""WITH a AS (SELECT DISTINCT user_id, to_date(ts) AS day FROM $Db.events),
+            c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id)
+            SELECT date_format(c.cohort_day, 'yyyy-MM-dd') AS cohort_day,
+                   CAST(datediff(a.day, c.cohort_day) AS BIGINT) AS day_offset,
+                   COUNT(*) AS n_users
+            FROM a JOIN c USING (user_id)
+            GROUP BY c.cohort_day, datediff(a.day, c.cohort_day)"""),
+      // RAKE keyphrases (J3b): stopword-delimited runs chunked to ≤3
+      // tokens, ranked by corpus TF-IDF — the same doc-bounded windows
+      // and partial-aggregable tf/df shuffles as the Scala twin
+      "v_text_keyphrases" -> ("q_text_keyphrases",
+        s"""WITH t AS (SELECT doc_id, pos, tok FROM $Db.documents
+                  LATERAL VIEW posexplode(split(text, ' ')) AS pos, tok),
+            s AS (SELECT doc_id, pos, tok,
+                    CASE WHEN tok IN ('a','the','is','of','and','to','in')
+                         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_stop
+                  FROM t),
+            r AS (SELECT *, SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+                  FROM s),
+            ch AS (SELECT doc_id, run_id, pos, tok,
+                     FLOOR((ROW_NUMBER() OVER (PARTITION BY doc_id, run_id
+                       ORDER BY pos) - 1) / 3) AS chunk
+                   FROM r WHERE is_stop = 0),
+            p AS (SELECT doc_id, run_id, chunk,
+                    array_join(transform(array_sort(collect_list(struct(pos, tok))),
+                      x -> x.tok), ' ') AS phrase,
+                    COUNT(*) AS plen
+                  FROM ch GROUP BY doc_id, run_id, chunk),
+            tf AS (SELECT doc_id, phrase, COUNT(*) AS tf FROM p
+                   WHERE plen >= 2 GROUP BY doc_id, phrase),
+            df AS (SELECT phrase, COUNT(*) AS df FROM tf GROUP BY phrase),
+            n AS (SELECT COUNT(*) AS n_docs FROM $Db.documents),
+            sc AS (SELECT tf.doc_id, tf.phrase,
+                     ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score
+                   FROM tf JOIN df USING (phrase) CROSS JOIN n),
+            rk AS (SELECT doc_id, phrase, score, CAST(ROW_NUMBER() OVER
+                     (PARTITION BY doc_id ORDER BY score DESC, phrase) AS BIGINT) AS rk
+                   FROM sc)
+            SELECT doc_id, rk, phrase, score FROM rk WHERE rk <= 3"""),
       "v_split_drift" -> ("q_split_drift",
         s"""WITH t AS (SELECT ${h64("concat('split:', CAST(doc_id AS STRING))")} % 1000
                          < 800 AS is_tr, explode(split(text, ' ')) AS tok

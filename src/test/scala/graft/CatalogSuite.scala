@@ -153,7 +153,8 @@ class CatalogSuite extends SparkSpec {
     // and persist() hints, so these pins catch a planner regression that
     // would only bite SQL-surface users
     Seq("v_text_tfidf", "v_quality_classify", "v_text_bpe_encode", "v_cluster_terms",
-        "v_dedup_cluster", "v_dedup_survivors")
+        "v_dedup_cluster", "v_dedup_survivors", "v_text_keyphrases",
+        "v_graph_triangles_approx")
       .foreach { v =>
         val plan = fresh.sql(s"SELECT * FROM graft.$v").queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"),
