@@ -233,19 +233,101 @@ object DedupIncr {
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
+  /** Ledger maintenance as the LITERAL SQL row-level statements a
+    * warehouse user types (A8c ∘ L44, VERDICT r13 #7): the epoch rows
+    * stage into a `graft_merge` v2 catalog table, each surviving fresh
+    * pair upserts via `MERGE INTO … WHEN MATCHED THEN UPDATE / WHEN NOT
+    * MATCHED THEN INSERT` (the replay-copy collapse — a fresh copy of
+    * an epoch pair UPDATES instead of duplicating; `least(t.day,
+    * f.day)` keeps epoch provenance), and retention is a literal
+    * `DELETE FROM … WHERE day >= 0 AND day < retainFrom` on the merged
+    * table. Catalyst's row-level rewrite turns both into the key-join
+    * copy-on-write plans MergeSqlSuite pins (no cartesian). The result
+    * then lands back through the SAME stage→swap commit ordering as
+    * `compactLedger`, whose output this is observably identical to
+    * (DedupIncrSuite pins equality on identical warehouses).
+    *
+    * Why it is the VARIANT and not the default here: the sandbox
+    * MergeCatalog backs onto an in-JVM row buffer (the statement
+    * surface is the point, sources/merge/MergeSql.scala) — a lakehouse
+    * deployment makes the ledger a Delta/Iceberg table of this same
+    * catalog contract, runs these two statements verbatim at S3 scale,
+    * and drops the read-back/swap tail entirely. */
+  def compactLedgerSql(s: SparkSession, prefix: String, warehouse: String,
+                       retainFromDay: Option[Int] = None): Unit = {
+    val path = pairsPath(warehouse, prefix)
+    val stage = s"$warehouse/_compact_stage_pairs"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val existing = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("day="))
+      .flatMap(_.drop(4).toIntOption)
+    if (existing.isEmpty) return
+    val newEpoch = math.min(EpochDay, existing.min - 1)
+    s.conf.set("spark.sql.catalog.graft_merge",
+      classOf[graft.sources.merge.MergeCatalog].getName)
+    val tbl = s"graft_merge.ledger.pairs_$prefix"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl ($pairsSchema)")
+    val cur = s.read.schema(pairsSchema).parquet(path)
+    // the durable table as it stood: the epoch rows (staged unique on
+    // the pair key — a crashed prior swap can leave copies across
+    // epoch partitions; MERGE requires a unique target)
+    cur.filter(col("day") < 0)
+      .groupBy(col("d1"), col("d2"))
+      .agg(max(col("jac")).as("jac"), min(col("day")).as("day"))
+      .createOrReplaceTempView("graft_ledger_epoch_stage")
+    s.sql(s"INSERT INTO $tbl SELECT d1, d2, jac, day FROM graft_ledger_epoch_stage")
+    // fresh-day pairs, staged unique with the NEWEST sighting day (so a
+    // pair seen on both a stale and a recent day survives retention,
+    // matching compactLedger's keep-any-retained-copy semantics)
+    cur.filter(col("day") >= 0)
+      .groupBy(col("d1"), col("d2"))
+      .agg(max(col("jac")).as("jac"), max(col("day")).as("day"))
+      .createOrReplaceTempView("graft_ledger_fresh_stage")
+    s.sql(s"""
+      MERGE INTO $tbl t
+      USING graft_ledger_fresh_stage f ON t.d1 = f.d1 AND t.d2 = f.d2
+      WHEN MATCHED THEN UPDATE SET day = least(t.day, f.day)
+      WHEN NOT MATCHED THEN INSERT (d1, d2, jac, day) VALUES (f.d1, f.d2, f.jac, f.day)""")
+    retainFromDay.foreach(d =>
+      s.sql(s"DELETE FROM $tbl WHERE day >= 0 AND day < $d"))
+    // land the maintained ledger as one epoch through the same
+    // stage→swap ordering as compactLedger
+    IncrState.withOverwriteMode(s, "dynamic") {
+      s.sql(s"SELECT d1, d2, jac FROM $tbl")
+        .withColumn("day", lit(newEpoch))
+        .write.mode("overwrite").parquet(stage)
+      s.read.schema(pairsSchema).parquet(stage)
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+    }
+    existing.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/day=$d"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Daily-cadence lifecycle hook: IncrState's size-tiered compaction
     * over the band/doc group (see IncrState.sizeTieredCompact for the
     * LSM scheme and its O(N log N) write-traffic bound). The ledger gets
     * its single-partition rewrite alongside (pairs ≪ corpus — near-dup
     * output, not state — so a full ledger rewrite is cheap and keeps
-    * provenance queries one-partition simple). Returns true when a
-    * compaction ran; metadata-only otherwise. */
+    * provenance queries one-partition simple); `viaSql` routes that
+    * rewrite through the row-level statement path (compactLedgerSql) —
+    * the default stays the parquet rewrite in this sandbox because the
+    * statement catalog is an in-JVM buffer, not a durable store.
+    * Returns true when a compaction ran; metadata-only otherwise. */
   def maybeCompact(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32, maxDeltaDays: Int = 8,
-                   retainFromDay: Option[Int] = None): Boolean = {
+                   retainFromDay: Option[Int] = None,
+                   viaSql: Boolean = false): Boolean = {
     val ran = IncrState.sizeTieredCompact(s, warehouse, stateTables(prefix),
       bandsTable(prefix), nBuckets, maxDeltaDays)
-    if (ran) compactLedger(s, prefix, warehouse, retainFromDay)
+    if (ran) {
+      if (viaSql) compactLedgerSql(s, prefix, warehouse, retainFromDay)
+      else compactLedger(s, prefix, warehouse, retainFromDay)
+    }
     ran
   }
 

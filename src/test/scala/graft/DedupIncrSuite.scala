@@ -205,6 +205,77 @@ class DedupIncrSuite extends SparkSpec {
     } finally ops.DedupIncr.dropState(spark, prefix)
   }
 
+  test("ledger maintenance via row-level SQL == the parquet path (A8c ∘ L44)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    // two identical warehouses: same slices folded in the same order
+    // (the fold is deterministic, so the ledgers are byte-equal), then
+    // one maintained by compactLedger, the other by the literal
+    // MERGE INTO / DELETE FROM statements — outputs must match, with
+    // and without retention, including after a day replay (the case the
+    // MERGE's WHEN MATCHED collapse exists for)
+    def build(prefix: String): String = {
+      val wh = ops.DedupIncr.newWarehouse()
+      (0 until 3).foreach { day =>
+        ops.DedupIncr.runDay(spark, docs.filter(pmod($"doc_id", lit(3L)) === day),
+          prefix, wh, day, nBuckets = 4)
+      }
+      // compact once so an EPOCH exists, then replay day 2 and fold a
+      // day 3 — the maintained ledger now holds epoch + fresh copies
+      ops.DedupIncr.compactLedger(spark, prefix, wh)
+      ops.DedupIncr.runDay(spark, docs.filter(pmod($"doc_id", lit(3L)) === 2),
+        prefix, wh, 2, nBuckets = 4)
+      ops.DedupIncr.runDay(spark, docs.filter(pmod($"doc_id", lit(3L)) === 0),
+        prefix, wh, 3, nBuckets = 4)
+      wh
+    }
+    val p1 = "dedup_sql_a_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val p2 = "dedup_sql_b_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val (wh1, wh2) = (build(p1), build(p2))
+    try {
+      ops.DedupIncr.compactLedger(spark, p1, wh1)
+      ops.DedupIncr.compactLedgerSql(spark, p2, wh2)
+      val viaParquet = canon(ops.DedupIncr.pairs(spark, p1, wh1))
+      val viaSql = canon(ops.DedupIncr.pairs(spark, p2, wh2))
+      assert(viaParquet.nonEmpty, "maintained ledger empty — test is vacuous")
+      assert(viaSql == viaParquet, "row-level SQL maintenance diverged")
+      // retention: re-fold a fresh day 4 on both, retain from day 4 —
+      // both paths must keep epoch pairs and the day-4 pairs only
+      Seq((p1, wh1), (p2, wh2)).foreach { case (p, w) =>
+        ops.DedupIncr.runDay(spark, docs.filter(pmod($"doc_id", lit(3L)) === 1),
+          p, w, 4, nBuckets = 4)
+      }
+      ops.DedupIncr.compactLedger(spark, p1, wh1, retainFromDay = Some(4))
+      ops.DedupIncr.compactLedgerSql(spark, p2, wh2, retainFromDay = Some(4))
+      assert(canon(ops.DedupIncr.pairs(spark, p2, wh2)) ==
+        canon(ops.DedupIncr.pairs(spark, p1, wh1)),
+        "retention via DELETE FROM diverged from the parquet path")
+      // the MERGE the maintenance runs rewrites to a key join, never a
+      // cartesian (the MergeSqlSuite plan pin, on REAL ledger data)
+      spark.conf.set("spark.sql.catalog.graft_merge",
+        classOf[graft.sources.merge.MergeCatalog].getName)
+      spark.sql("DROP TABLE IF EXISTS graft_merge.ledger.pairs_plan")
+      spark.sql("CREATE TABLE graft_merge.ledger.pairs_plan (d1 BIGINT, d2 BIGINT, jac DOUBLE, day INT)")
+      ops.DedupIncr.pairs(spark, p1, wh1).withColumn("day", lit(0))
+        .createOrReplaceTempView("ledger_plan_src")
+      val plan = spark.sessionState.executePlan(
+        spark.sessionState.sqlParser.parsePlan("""
+          MERGE INTO graft_merge.ledger.pairs_plan t
+          USING ledger_plan_src f ON t.d1 = f.d1 AND t.d2 = f.d2
+          WHEN MATCHED THEN UPDATE SET day = least(t.day, f.day)
+          WHEN NOT MATCHED THEN INSERT (d1, d2, jac, day) VALUES (f.d1, f.d2, f.jac, f.day)"""))
+        .optimizedPlan.toString
+      assert(plan.contains("Join") && !plan.contains("Cartesian"),
+        s"ledger merge did not rewrite to a key join:\n$plan")
+      spark.sql("DROP TABLE IF EXISTS graft_merge.ledger.pairs_plan")
+    } finally {
+      ops.DedupIncr.dropState(spark, p1)
+      ops.DedupIncr.dropState(spark, p2)
+    }
+  }
+
   test("a corpus with no near-dups yields an empty ledger, not a crash") {
     import spark.implicits._
     // pairwise-disjoint vocabularies: no shingle is shared, so exact
