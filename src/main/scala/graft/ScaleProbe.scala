@@ -96,7 +96,14 @@ object ScaleProbe {
     // headliners, same per-day-cost-∝-slice claim; quality skips the
     // ×25 rung because its two inputs — events AND the customer dim —
     // don't fit the rung-2 single-table generation)
-    "q_graph_triangles_approx", "q_domains_incr", "q_quality_incr")
+    "q_graph_triangles_approx", "q_domains_incr", "q_quality_incr",
+    // round-14 additions: the retraction folds (delete slice + report
+    // must scale like any fold — negative partials for domains, the
+    // tombstone bitmap and-not for quality, which like q_quality_incr
+    // skips rung 2 for its two-table input) and the incremental k-means
+    // (fold = seed argmax + partial write; the K× probe also exercises
+    // the re-assign epoch over K× vector state)
+    "q_domains_del", "q_quality_del", "q_cluster_incr")
 
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -146,13 +153,18 @@ object ScaleProbe {
 
   /** Write a deterministic K× corpus derived from srcDir into outDir.
     * `subset` restricts which tables materialize (the second rung only
-    * needs the three tables its probed queries read). K must stay < 26:
-    * the per-copy alphabet rotation is bijective over 26 letters, so
-    * copy i and copy i+26 would carry IDENTICAL text and re-create the
-    * cross-copy near-dup explosion the rotation exists to prevent. */
+    * needs the three tables its probed queries read). K must stay < 26
+    * unless `allowAlias`: the per-copy alphabet rotation is bijective
+    * over 26 letters, so copy i and copy i+26 carry IDENTICAL text and
+    * re-create the cross-copy near-dup explosion the rotation exists
+    * to prevent — fatal for PAIR-PRODUCING probes (dedup/similarity),
+    * harmless for aggregate-shaped ones (counts/df just scale with the
+    * collision multiplicity, no quadratic output), which is what the
+    * ×100 fold rung probes. */
   def generate(spark: SparkSession, srcDir: String, outDir: String, k: Int,
-               subset: Seq[String] = tables): Unit = {
-    require(k < 26, s"k=$k aliases the 26-letter alphabet rotation (copy i ≡ copy i-26)")
+               subset: Seq[String] = tables, allowAlias: Boolean = false): Unit = {
+    require(k < 26 || allowAlias,
+      s"k=$k aliases the 26-letter alphabet rotation (copy i ≡ copy i-26)")
     subset.foreach { t =>
       val src = Tables.table(spark, srcDir, t)
       val scaled = (0 until k).map(i => copyOf(t, src, i)).reduce(_ unionByName _)
@@ -249,8 +261,27 @@ object ScaleProbe {
     // the head-to-head against the exact wedge stream's steepest rung;
     // the domain-stats fold gets the family's standard two-rung bar
     "q_graph_triangles_approx" -> "lineitem",
-    "q_domains_incr" -> "documents")
+    "q_domains_incr" -> "documents",
+    // round 14: the additive retraction fold and the incremental
+    // k-means get the family's standard two-rung bar
+    "q_domains_del" -> "documents",
+    "q_cluster_incr" -> "embeddings")
   val Rung2K = 25
+
+  /** Third rung (VERDICT r13 #5): ×100 for the incremental family's
+    * FOLD path — one more order of magnitude on the two cheapest
+    * members, pinning the flat per-day-cost-∝-slice shape across three
+    * measured orders (1× → 10× → 25× → 100×), the strongest 100 TB
+    * evidence available in this sandbox. Both are aggregate-shaped
+    * (per-(domain, lang) counts; vocab-sized tf/df state), so the
+    * alphabet-rotation aliasing past 26 copies is harmless: colliding
+    * tokens only scale df multiplicities, they cannot produce the
+    * quadratic PAIR output the k<26 guard protects the dedup probes
+    * from (see `generate`). */
+  val rung3Queries: Map[String, String] = Map(
+    "q_domains_incr" -> "documents",
+    "q_tfidf_incr" -> "documents")
+  val Rung3K = 100
 
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -292,6 +323,14 @@ object ScaleProbe {
     val out2 = outDir + "_r2"
     generate(spark, srcDir, out2, Rung2K, rung2Selected.values.toSeq.distinct)
     val atK2 = measure(spark, out2, rung2Selected.keys.toSeq)
+    // third rung: ×100 documents only, the incremental fold path
+    val rung3Selected = only.fold(rung3Queries)(names => rung3Queries.filter(kv => names(kv._1)))
+    val atK3 = if (rung3Selected.isEmpty) Map.empty[String, (Double, Double, Double, Long)] else {
+      val out3 = outDir + "_r3"
+      generate(spark, srcDir, out3, Rung3K, rung3Selected.values.toSeq.distinct,
+        allowAlias = true)
+      measure(spark, out3, rung3Selected.keys.toSeq)
+    }
     // triangle sketch envelope evidence: the wedge-prune sieve holds
     // its pruning at the DEFAULT conf now (k=1 BitSieveAgg needs no
     // item-count declaration and degrades gradually with fill — see
@@ -326,7 +365,16 @@ object ScaleProbe {
         }
         s""","t_${Rung2K}x":${r3(tk2)},"ratio_${Rung2K}x":${r3(tk2 / math.max(t1, 0.001))},"step_${k}x_to_${Rung2K}x":${r3(tk2 / math.max(tk, 0.001))},"shuffle_mb_${Rung2K}x":${r3(shufK2)},"spill_mb_${Rung2K}x":${r3(spillK2)},"rows_out_${Rung2K}x":$rowsK2$tuned"""
       }.getOrElse("")
-      s""""$n":{"t_1x":${r3(t1)},"t_${k}x":${r3(tk)},"ratio":${r3(tk / math.max(t1, 0.001))},"shuffle_mb_${k}x":${r3(shufK)},"spill_mb_${k}x":${r3(spillK)},"rows_out_1x":$rows1,"rows_out_${k}x":$rowsK$rung2}"""
+      // step vs the ×25 rung: rows grow 4×, so a flat fold holds ≲ 4
+      val rung3 = (atK3.get(n), atK2.get(n)) match {
+        case (Some((tk3, shufK3, spillK3, rowsK3)), rung2Point) =>
+          val step = rung2Point.map { case (tk2, _, _, _) =>
+            s""","step_${Rung2K}x_to_${Rung3K}x":${r3(tk3 / math.max(tk2, 0.001))}"""
+          }.getOrElse("")
+          s""","t_${Rung3K}x":${r3(tk3)},"ratio_${Rung3K}x":${r3(tk3 / math.max(t1, 0.001))}$step,"shuffle_mb_${Rung3K}x":${r3(shufK3)},"spill_mb_${Rung3K}x":${r3(spillK3)},"rows_out_${Rung3K}x":$rowsK3"""
+        case _ => ""
+      }
+      s""""$n":{"t_1x":${r3(t1)},"t_${k}x":${r3(tk)},"ratio":${r3(tk / math.max(t1, 0.001))},"shuffle_mb_${k}x":${r3(shufK)},"spill_mb_${k}x":${r3(spillK)},"rows_out_1x":$rows1,"rows_out_${k}x":$rowsK$rung2$rung3}"""
     }
     // the probed commit rides in the artifact: mtime-based freshness is
     // defeated by any clone/checkout (mtime = now), and round 12's
