@@ -132,6 +132,45 @@ object Bench {
       else (Seq(t1, t2) ++ t3.filter(_ >= 0)).min
       results += name -> t
     }
+    // Capture-window spread, computed BEFORE gating so a contended
+    // window can trigger the fresh-JVM re-measure pass below — spread =
+    // ratio of the two FASTEST runs (a settled third-run outlier drops
+    // out), the steady-state disagreement measure
+    val spreads = raw.values.flatMap { ts =>
+      val ok = ts.filter(_ > 0).sorted
+      if (ok.size >= 2) Some(ok(1) / ok(0)) else None
+    }.toSeq.sorted
+    def pct(p: Double): Double =
+      if (spreads.isEmpty) 0.0
+      else spreads(math.min(spreads.size - 1, (p * spreads.size).toInt))
+    val base = loadBaseline()
+    // Contended-window quiet re-measure (VERDICT r13 #2): BENCH_r13's
+    // committed capture read 1.175× while the same code measured 1.024×
+    // quiet — pure window noise that cost a verdict section of
+    // forensics. When the capture's run-spread p90 exceeds ~1.3 (a fat
+    // tail = ambient contention inflating fixed costs), the largest
+    // per-query regressors vs baseline re-measure in FRESH JVMs (each
+    // child is a SPARK_GRAFT_ONLY diagnostic run that itself waits for
+    // a quiet window) and their quiet minima substitute into the
+    // committed numbers, LABELED in the bench line
+    // ("quiet_remeasured") so the capture of record stops requiring
+    // after-the-fact reconciliation. Bounded: at most 5 children, only
+    // queries over 1.3× their baseline, 300 s each.
+    val quietRemeasured = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (only.isEmpty && pct(0.9) > 1.3 && base.nonEmpty &&
+        !sys.env.contains("SPARK_GRAFT_NO_REMEASURE")) {
+      val targets = quietRemeasureTargets(results.toMap, base)
+      if (targets.nonEmpty)
+        System.err.println(s"BENCH WARN: contended window (run-spread p90 " +
+          s"${String.format(java.util.Locale.ROOT, "%.3f", Double.box(pct(0.9)))}) — " +
+          s"re-measuring ${targets.mkString(", ")} in fresh JVMs")
+      targets.foreach { n =>
+        freshJvmTime(n, sfDir).foreach { q =>
+          quietRemeasured += n -> q
+          if (q < results(n)) results(n) = q
+        }
+      }
+    }
     // Per-query gate vs the committed baseline: the r5 total-only gate let
     // a 3.6x single-query regression hide behind 20 new fast queries. Any
     // query whose min-of-2 exceeds 2x its baseline is RE-MEASURED with
@@ -140,7 +179,6 @@ object Bench {
     // at this scale — and fails the gate only if the best of all runs is
     // still over. Queries absent from the baseline (added since the last
     // rebaseline, see tools/rebaseline.py) are exempt until re-committed.
-    val base = loadBaseline()
     val gateRatio = scala.collection.mutable.LinkedHashMap[String, Double]()
     val suspectWindow = scala.collection.mutable.LinkedHashMap[String, Double]()
     val rerunCrashed = scala.collection.mutable.LinkedHashSet[String]()
@@ -236,9 +274,12 @@ object Bench {
       .mkString("{", ",", "}")
     val suspectJson = suspectWindow.map { case (k, r) => s"\"" + k + "\":" + r3(r) }
       .mkString("{", ",", "}")
+    val quietJson = quietRemeasured.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val gateField =
       s""","per_query_gate":"$perQueryGate","gate_offenders":$offendersJson""" +
-      s""","gate_suspect_window":$suspectJson${rerunWarnField(rerunCrashed.toSeq)}"""
+      s""","gate_suspect_window":$suspectJson,"quiet_remeasured":$quietJson""" +
+      rerunWarnField(rerunCrashed.toSeq)
     // surface the committed scale-probe evidence (graft.ScaleProbe at
     // sf0.1×10) alongside the sf0.1 numbers: worst growth ratio across
     // the probed plans + total spill at 10× — the scale-extrapolation
@@ -265,15 +306,6 @@ object Bench {
     // grounds to re-measure before believing a regression (protocol:
     // tools/bench_reconcile_r8.md).
     val loadEnd = loadAvg()
-    // spread = ratio of the two FASTEST runs (a settled third-run
-    // outlier drops out) — the steady-state disagreement measure
-    val spreads = raw.values.flatMap { ts =>
-      val ok = ts.filter(_ > 0).sorted
-      if (ok.size >= 2) Some(ok(1) / ok(0)) else None
-    }.toSeq.sorted
-    def pct(p: Double): Double =
-      if (spreads.isEmpty) 0.0
-      else spreads(math.min(spreads.size - 1, (p * spreads.size).toInt))
     def lj(l: Seq[Double]): String = l.map(r3).mkString("[", ",", "]")
     val windowField =
       s""","window":{"loadavg_start":${lj(loadStart)},"loadavg_end":${lj(loadEnd)},""" +
@@ -329,6 +361,59 @@ object Bench {
     * effectively the pure 2× as before. */
   def gateThreshold(baseline: Double): Double =
     2.0 * baseline + math.min(1.5, 6.0 * baseline)
+
+  /** Quiet re-measure target selection (VERDICT r13 #2), pure for the
+    * gate suite: the queries whose capture time sits furthest above
+    * their committed baseline — the rows a contended window most
+    * plausibly inflated — capped at 5 children and at a 1.3× floor
+    * (below that, substitution cannot change any verdict: the gate
+    * threshold starts at 2×, and sub-1.3× wobble is normal run noise). */
+  def quietRemeasureTargets(results: Map[String, Double],
+                            base: Map[String, Double]): Seq[String] =
+    results.toSeq
+      .filter { case (n, t) => t >= 0 && base.get(n).exists(_ > 0) }
+      .map { case (n, t) => (n, t / base(n)) }
+      .filter(_._2 > 1.3)
+      .sortBy(-_._2)
+      .take(5)
+      .map(_._1)
+
+  /** One query timed in a FRESH child JVM (a SPARK_GRAFT_ONLY
+    * diagnostic Bench run — min-of-2-or-3 with its own wait-for-quiet),
+    * parsed from the child's bench_out_diag.json. None on launch
+    * failure, crash, or a 300 s timeout — the capture must degrade to
+    * its own numbers, never hang on the re-measure pass. */
+  private def freshJvmTime(name: String, sfDir: String): Option[Double] =
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      val opens = Seq("java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
+        "java.base/java.nio", "java.base/java.util",
+        "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = (Seq(javaBin) ++ opens ++ Seq(
+        "-Xmx8g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", sys.props("java.class.path"), "graft.Bench")).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_NO_REMEASURE", "1")
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      if (!p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(); None
+      } else if (p.exitValue() != 0) None
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(atRoot("bench_out_diag.json")))
+          .get("queries").get(name)
+        Option(node).map(_.asDouble()).filter(_ > 0)
+      }
+    } catch { case _: Throwable => None }
 
   /** Suspect escalation decision (ADVICE r10 #5), pure for the gate
     * suite: given the previous capture's consecutive-suspect counts and

@@ -31,6 +31,25 @@ class BenchGateSuite extends AnyFunSuite {
     assert(6.4 * 0.23 < Bench.gateThreshold(0.23))
   }
 
+  test("quietRemeasureTargets: largest baseline regressors, 1.3x floor, cap 5") {
+    val base = Map("q_a" -> 1.0, "q_b" -> 1.0, "q_c" -> 1.0, "q_d" -> 1.0,
+      "q_e" -> 1.0, "q_f" -> 1.0, "q_g" -> 1.0, "q_zero" -> 0.0)
+    // ordered by regression ratio desc; 1.3x and below excluded (noise
+    // that cannot change a gate verdict); crashed (-1) and zero-baseline
+    // rows excluded; queries with no baseline (new this round) excluded
+    val results = Map("q_a" -> 3.0, "q_b" -> 2.5, "q_c" -> 1.31, "q_d" -> 1.3,
+      "q_e" -> 0.9, "q_f" -> -1.0, "q_zero" -> 5.0, "q_new" -> 9.9)
+    assert(Bench.quietRemeasureTargets(results, base) === Seq("q_a", "q_b", "q_c"))
+    // the child cap: at most 5 fresh JVMs even on a badly contended
+    // capture — the re-measure pass must stay bounded
+    val many = (1 to 9).map(i => s"q_$i" -> (10.0 - i)).toMap
+    val manyBase = many.keys.map(_ -> 1.0).toMap
+    assert(Bench.quietRemeasureTargets(many, manyBase).size === 5)
+    assert(Bench.quietRemeasureTargets(many, manyBase).head === "q_1")
+    // no baseline at all -> nothing to compare against
+    assert(Bench.quietRemeasureTargets(results, Map.empty).isEmpty)
+  }
+
   test("escalateSuspects: 2 consecutive suspect captures -> offender; absence resets") {
     // first capture: suspect but no history — lenient, count starts at 1
     val (e1, h1) = Bench.escalateSuspects(Map.empty, Set("q_a"))
