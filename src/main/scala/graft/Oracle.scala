@@ -220,12 +220,14 @@ object Oracle {
   private val urlDomainsSql: String = urlDomainsSqlOn("documents")
 
   /** Shared by q_text_tfidf (batch) and q_tfidf_incr (the incremental
-    * fold is lossless, so the batch recompute IS its oracle). */
-  private val tfidfSql: String =
-    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    * fold is lossless, so the batch recompute IS its oracle); the
+    * `source` form serves q_tfidf_del (`source` = the corpus minus the
+    * takedown set). */
+  private def tfidfSqlOn(source: String): String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $source),
        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
-       n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       n AS (SELECT COUNT(*) AS n_docs FROM $source),
        sc AS (SELECT doc_id, tf.tok AS tok,
                      round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
               FROM tf JOIN df USING (tok) CROSS JOIN n),
@@ -235,6 +237,8 @@ object Oracle {
              FROM sc)
        SELECT doc_id, rk, tok, score FROM r WHERE rk <= 3
        ORDER BY doc_id, rk"""
+
+  private val tfidfSql: String = tfidfSqlOn("documents")
 
   private val annLshSql: String = {
     val bitCols = (0 until ops.Dedup.NumPlanes).map { p =>
@@ -1622,6 +1626,11 @@ object Oracle {
          SELECT doc_id, rk, phrase, score FROM rk WHERE rk <= 3
          ORDER BY doc_id, rk""",
     "q_text_tfidf" -> tfidfSql,
+    // L46 retraction: fold + signed-partial delete of the takedown set
+    // (doc_id % 7 == 3) must land exactly on the reduced-corpus batch
+    // recompute
+    "q_tfidf_del" ->
+      tfidfSqlOn("(SELECT * FROM documents WHERE doc_id % 7 <> 3) documents"),
     // the incremental fold is LOSSLESS (summed per-day df partials ==
     // full-corpus df because doc sets are disjoint across days), so the
     // oracle is the batch recompute verbatim — same contract as

@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   * append-only, reference src/main.py:263 daily landing), so the daily
   * full rescan is pure waste at 100 TB. This module persists:
   *
-  *   - `{prefix}_tf` (doc_id, tok, tf) — per-document term frequencies,
-  *     BUCKETED on `tok` (the serving join key) and partitioned by
-  *     arrival day. Append-only: doc_ids are disjoint across days, so
-  *     rows are unique on (doc_id, tok) and each document is tokenized
-  *     ONCE, ever.
+  *   - `{prefix}_tf` (doc_id, tok, tf, src_day) — per-document term
+  *     frequencies, BUCKETED on `tok` (the serving join key) and
+  *     partitioned by arrival day. doc_ids are disjoint across days, so
+  *     rows are unique on (doc_id, tok, src_day) and each document is
+  *     tokenized ONCE, ever; `src_day` is the provenance column (same
+  *     role as the df table's — epoch compaction rewrites the physical
+  *     `day` but a replayed day must still collapse against its epoch
+  *     copy, and a delete day's NEGATED rows must stay distinct from
+  *     the fold rows they retract until serving nets them).
   *   - `{prefix}_df` (tok, src_day, df_part) — the day's document-
   *     frequency partials, bucketed on `tok` likewise. `src_day` is a
   *     PROVENANCE column distinct from the physical `day` partition:
@@ -49,7 +53,7 @@ object TfidfIncr {
   private def dfTable(prefix: String) = s"${prefix}_df"
 
   private def stateTables(prefix: String): Seq[IncrState.StateTable] = Seq(
-    IncrState.StateTable(tfTable(prefix), "tok", Seq("doc_id", "tok")),
+    IncrState.StateTable(tfTable(prefix), "tok", Seq("doc_id", "tok", "src_day")),
     IncrState.StateTable(dfTable(prefix), "tok", Seq("tok", "src_day")))
 
   /** Fold one day's documents into the statistics state. Reads ONLY the
@@ -63,6 +67,7 @@ object TfidfIncr {
     val tf = slice
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .withColumn("src_day", lit(day))
     IncrState.writeDay(s, tf.withColumn("day", lit(day)), tfT, warehouse, day, nBuckets)
     val freshTf = s.table(tfTable(prefix)).filter($"day" === day)
     // df partial: one row per distinct token of the slice — vocab-sized,
@@ -85,15 +90,63 @@ object TfidfIncr {
                  warehouse: String, day: Int, nBuckets: Int = 32): Unit =
     runDay(s, s.read.parquet(slicePath), prefix, warehouse, day, nBuckets)
 
+  /** Retraction (VERDICT r13 #1, round 14): fold one day's DELETED
+    * documents OUT of the statistics state — the takedown/GDPR path.
+    * Both state tables are purely ADDITIVE int64 partials, so deletion
+    * is exact and reads no state at all: the delete slice runs through
+    * the SAME tokenize → tf → df pipeline as a fold with every partial
+    * NEGATED, landing under its own fresh day id — cost ∝ delete slice,
+    * history never touched, replay idempotent (the delete day
+    * dynamic-overwrites its own partition and its rows dedup on
+    * (doc_id, tok, src_day) / (tok, src_day) like any day's). Serving
+    * nets the signed partials: a retracted document's tf rows sum to 0
+    * and drop out, each of its tokens' df drops by one, and n_docs
+    * shrinks via a negated marker line — exactly the batch recompute on
+    * the reduced corpus. Contract: the delete slice must be documents
+    * previously folded, with IDENTICAL text (the negation subtracts
+    * whatever is passed); `day` must be a fresh day id (one day id per
+    * fold or delete event, same as runDay). */
+  def deleteDay(s: SparkSession, deleted: DataFrame, prefix: String,
+                warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
+    import s.implicits._
+    val Seq(tfT, dfT) = stateTables(prefix)
+    val tf = deleted
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg((-count(lit(1))).as("tf"))
+      .withColumn("src_day", lit(day))
+    IncrState.writeDay(s, tf.withColumn("day", lit(day)), tfT, warehouse, day, nBuckets)
+    val freshTf = s.table(tfTable(prefix)).filter($"day" === day)
+    // negative df partial: the fresh rows are one per (deleted doc,
+    // distinct token), so count = the df this slice contributed at fold
+    // time (identical text ⇒ identical token set)
+    IncrState.writeDay(s,
+      freshTf.groupBy($"tok").agg((-count(lit(1))).as("df_part"))
+        .withColumn("src_day", lit(day)).withColumn("day", lit(day)),
+      dfT, warehouse, day, nBuckets)
+    val nDel = freshTf.select($"doc_id").distinct().count()
+    IncrState.writeDayCounts(s, warehouse, "_doc_counts",
+      IncrState.readDayCounts(s, warehouse, "_doc_counts") + (day -> -nDel))
+    IncrState.writeLastDay(s, warehouse, day)
+  }
+
+  /** Path-based delete twin for the suite's input-bytes test. */
+  def deleteDayPath(s: SparkSession, slicePath: String, prefix: String,
+                    warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    deleteDay(s, s.read.parquet(slicePath), prefix, warehouse, day, nBuckets)
+
   /** Serving read-views: dedup on the natural key over the tok-bucketed
     * scans (a day replayed after a compaction re-lands identical rows
-    * beside its epoch copy until the next compaction collapses them) —
-    * one HashAggregate per bucket, NO exchange, because the bucketing on
+    * beside its epoch copy until the next compaction collapses them),
+    * then net the SIGNED partials (fold rows positive, delete rows
+    * negative; a retracted document nets to 0 and drops out) — two
+    * HashAggregates per bucket, NO exchange, because the bucketing on
     * `tok` satisfies any grouping that contains `tok`. */
   private def tfView(s: SparkSession, prefix: String): DataFrame = {
     import s.implicits._
-    s.table(tfTable(prefix)).select($"doc_id", $"tok", $"tf")
-      .dropDuplicates("doc_id", "tok")
+    s.table(tfTable(prefix)).select($"doc_id", $"tok", $"tf", $"src_day")
+      .dropDuplicates("doc_id", "tok", "src_day")
+      .groupBy($"doc_id", $"tok").agg(sum($"tf").as("tf"))
+      .filter($"tf" > 0)
   }
 
   private def dfTotals(s: SparkSession, prefix: String): DataFrame = {
@@ -101,6 +154,7 @@ object TfidfIncr {
     s.table(dfTable(prefix)).select($"tok", $"src_day", $"df_part")
       .dropDuplicates("tok", "src_day")
       .groupBy($"tok").agg(sum($"df_part").as("df"))
+      .filter($"df" > 0)
   }
 
   /** The full TF-IDF report off the persisted state — output identical
@@ -164,7 +218,32 @@ object TfidfIncr {
     s.read.parquet(s"$wh/result").orderBy("doc_id", "rk")
   }
 
+  /** Fold `days` slices, then RETRACT the documents with
+    * doc_id % 7 == 3 (a deterministic takedown set spanning every fold
+    * day) as delete day `days` — the oracle is the batch recompute on
+    * the REDUCED corpus (`q_text_tfidf`'s SQL with the takedown set
+    * excluded), proving fold(deletes) == batch-on-reduced-corpus via
+    * pure signed-partial netting on BOTH state tables plus the negated
+    * doc-count marker line. */
+  def incrementalDel(s: SparkSession, dir: String, days: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val prefix = "tfidf_del_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = IncrState.newWarehouse()
+    (0 until days).foreach { day =>
+      runDay(s, docs.filter(pmod(col("doc_id"), lit(days.toLong)) === day),
+        prefix, wh, day, nBuckets = 8)
+    }
+    deleteDay(s, docs.filter(pmod(col("doc_id"), lit(7L)) === 3),
+      prefix, wh, days, nBuckets = 8)
+    report(s, prefix, wh)
+      .write.mode("overwrite").parquet(s"$wh/result")
+    dropState(s, prefix)
+    s.read.parquet(s"$wh/result").orderBy("doc_id", "rk")
+  }
+
   val qs: Map[String, Q] = Map(
-    "q_tfidf_incr" -> ((s, d) => incremental(s, d, 3))
+    "q_tfidf_incr" -> ((s, d) => incremental(s, d, 3)),
+    "q_tfidf_del" -> ((s, d) => incrementalDel(s, d, 3))
   )
 }

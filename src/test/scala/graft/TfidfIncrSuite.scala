@@ -167,6 +167,113 @@ class TfidfIncrSuite extends SparkSpec {
     } finally ops.TfidfIncr.dropState(spark, prefix)
   }
 
+  test("retraction: fold+delete == fold of reduced corpus; replay + compaction safe") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    // takedown set: a scatter across all fold days — pins the tf netting
+    // (retracted docs vanish from the report), the df shrink (surviving
+    // docs' scores re-rank against the reduced df/n_docs), and the
+    // negated doc-count marker line
+    val del = docs.filter(pmod($"doc_id", lit(11L)) === 5)
+    assert(del.count() > 0, "takedown set empty — test is vacuous")
+    val kept = docs.join(del.select($"doc_id"), Seq("doc_id"), "left_anti")
+    def foldAll(d: org.apache.spark.sql.DataFrame, prefix: String, wh: String): Unit =
+      (0 until 3).foreach { day =>
+        ops.TfidfIncr.runDay(spark, d.filter(pmod($"doc_id", lit(3L)) === day),
+          prefix, wh, day, nBuckets = 4)
+      }
+    val pA = "tfidf_del_a_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val pE = "tfidf_del_e_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val whA = ops.IncrState.newWarehouse()
+    val whE = ops.IncrState.newWarehouse()
+    try {
+      // expected: the fold-only path over the REDUCED corpus (that path
+      // is oracle-proven lossless, so it stands in for the batch)
+      foldAll(kept, pE, whE)
+      val expected = canon(ops.TfidfIncr.report(spark, pE, whE))
+      // actual: fold the FULL corpus, then retract the takedown set
+      foldAll(docs, pA, whA)
+      val before = canon(ops.TfidfIncr.report(spark, pA, whA))
+      ops.TfidfIncr.deleteDay(spark, del, pA, whA, 3, nBuckets = 4)
+      def rep() = canon(ops.TfidfIncr.report(spark, pA, whA))
+      assert(rep() == expected, "fold(deletes) != batch on reduced corpus")
+      assert(before != expected, "delete changed nothing — test is vacuous")
+      // every retracted doc must vanish from the report entirely
+      val delIds = del.select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(rep().forall(r => !delIds.contains(r.split('|')(0).toLong)),
+        "a retracted doc_id survived in the report")
+      // replay of the delete day: its negative partition rewrites itself
+      ops.TfidfIncr.deleteDay(spark, del, pA, whA, 3, nBuckets = 4)
+      assert(rep() == expected, "delete replay not idempotent")
+      // compaction must carry signed partials intact (dedup on
+      // (doc_id, tok, src_day) / (tok, src_day) keeps the delete day's
+      // rows distinct from every fold day's)
+      ops.TfidfIncr.compactState(spark, pA, whA, nBuckets = 4)
+      assert(rep() == expected, "compaction corrupted signed partials")
+      // a later fold after a delete keeps netting correctly
+      ops.TfidfIncr.runDay(spark, del.limit(0), pA, whA, 4, nBuckets = 4)
+      assert(rep() == expected)
+    } finally {
+      ops.TfidfIncr.dropState(spark, pA)
+      ops.TfidfIncr.dropState(spark, pE)
+    }
+  }
+
+  test("retraction fold reads only the delete slice + its fresh partition (input-bytes bound)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("tfidf_del_bytes_").toString
+    (0 to 1).foreach { k =>
+      docs.filter(pmod($"doc_id", lit(2L)) === k)
+        .write.mode("overwrite").parquet(s"$root/slice$k")
+    }
+    docs.filter(pmod($"doc_id", lit(11L)) === 5)
+      .write.mode("overwrite").parquet(s"$root/del")
+    val prefix = "tfidf_del_b_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = s"$root/wh"
+    try {
+      ops.TfidfIncr.runDayPath(spark, s"$root/slice0", prefix, wh, 0)
+      ops.TfidfIncr.runDayPath(spark, s"$root/slice1", prefix, wh, 1)
+      def dirBytes(p: String): Long = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+      // the functional never-rescan proof: raw fold slices deleted
+      // BEFORE the retraction fold — any lazy re-read would throw
+      Seq("slice0", "slice1").foreach { d =>
+        val p = java.nio.file.Paths.get(s"$root/$d")
+        val w = java.nio.file.Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally w.close()
+      }
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      }
+      // declared reads: the delete slice once (negated tf build) + the
+      // fresh tf partition twice (df partial + doc-count), covered by
+      // the warehouse term — never the fold days' raw slices
+      val inputBudget = 2L * dirBytes(s"$root/del") + dirBytes(wh)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        ops.TfidfIncr.deleteDayPath(spark, s"$root/del", prefix, wh, 2)
+        org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      val read = bytesRead.get()
+      assert(read > 0, "listener saw no input")
+      assert(read <= inputBudget + (64 << 10),
+        s"retraction fold read $read bytes; bound $inputBudget")
+    } finally ops.TfidfIncr.dropState(spark, prefix)
+  }
+
   test("report: state sides are exchange-free; only output-inherent shuffles remain") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
