@@ -52,10 +52,12 @@ object Oracle {
             FROM wt),${bpeRoundSql(1)},${bpeRoundSql(2)},${bpeRoundSql(3)}"""
 
   /** Word-3-gram shingle CTEs shared by the dedup oracles. */
-  private val shingleCtes =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  private def shingleCtesOn(source: String) =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $source),
        sh AS (SELECT doc_id, list_distinct(list_transform(list_slice(tk, 3, len(tk)),
                 (x, i) -> tk[i] || ' ' || tk[i+1] || ' ' || x)) AS shs FROM toks)"""
+
+  private val shingleCtes = shingleCtesOn("documents")
 
   private val permMod = ops.Dedup.PermMod
   private val minCols = (0 until ops.Dedup.NumSeeds)
@@ -69,9 +71,9 @@ object Oracle {
 
   /** CTE list ending in `j(d1, d2, jac)` — the verified minhash candidate
     * pairs, shared by the q_dedup_minhash and q_dedup_cluster oracles. */
-  private val minhashPairCtes: String = {
+  private def minhashPairCtesOn(source: String): String = {
     val p = permMod
-    s"""$shingleCtes,
+    s"""${shingleCtesOn(source)},
         e0 AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
         e AS (SELECT doc_id, ${h64Sql("sh")} % $p AS h FROM e0),
         mins AS (SELECT doc_id, $minCols FROM e GROUP BY 1),
@@ -85,9 +87,13 @@ object Oracle {
         j AS (SELECT d1, d2, round(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jac FROM v)"""
   }
 
-  private val minhashSql: String =
-    s"""WITH $minhashPairCtes
+  private val minhashPairCtes: String = minhashPairCtesOn("documents")
+
+  private def minhashSqlOn(source: String): String =
+    s"""WITH ${minhashPairCtesOn(source)}
         SELECT d1, d2, jac FROM j WHERE jac >= 0.2 ORDER BY d1, d2"""
+
+  private val minhashSql: String = minhashSqlOn("documents")
 
   /** Connected components over the minhash pair graph: min-reachable-
     * vertex per vertex via a recursive CTE — the oracle twin of
@@ -1205,6 +1211,11 @@ object Oracle {
     // pair ledger must equal the full-corpus recompute — the lossless
     // proof, so the oracle IS the q_dedup_minhash SQL verbatim
     "q_dedup_incr" -> minhashSql,
+    // L44 retraction: fold + tombstone delete of the takedown set
+    // (doc_id % 7 == 3) must land exactly on the reduced-corpus batch
+    // recompute — retracted docs vanish from the pair ledger entirely
+    "q_dedup_del" ->
+      minhashSqlOn("(SELECT * FROM documents WHERE doc_id % 7 <> 3) documents"),
     // L15b fuzzy decontamination: same shared-randomness MinHash bands,
     // restricted to train×eval buckets, exact-Jaccard verified
     "q_decontaminate_fuzzy" ->

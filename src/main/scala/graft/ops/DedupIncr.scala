@@ -56,6 +56,7 @@ object DedupIncr {
 
   private def bandsTable(prefix: String) = s"${prefix}_bands"
   private def docsTable(prefix: String) = s"${prefix}_docs"
+  private def delTable(prefix: String) = s"${prefix}_del"
   def pairsPath(warehouse: String, prefix: String) = s"$warehouse/pairs"
 
   /** The state-table group (see IncrState, the machinery factored out of
@@ -63,6 +64,28 @@ object DedupIncr {
   private def stateTables(prefix: String): Seq[IncrState.StateTable] = Seq(
     IncrState.StateTable(bandsTable(prefix), "band", Seq("band", "doc_id")),
     IncrState.StateTable(docsTable(prefix), "doc_id", Seq("doc_id")))
+
+  /** Retraction tombstones (doc_id) — a doc_id listed here is retracted
+    * from the WHOLE corpus: its pairs leave the ledger, it never appears
+    * in a future candidate set, and `purgeDeleted` physically drops its
+    * band/shingle rows. Dedup on bare doc_id: cross-day tombstones for
+    * one doc are equivalent, so collapsing them at compaction is safe. */
+  private def tombTable(prefix: String): IncrState.StateTable =
+    IncrState.StateTable(delTable(prefix), "doc_id", Seq("doc_id"))
+
+  /** Every table the lifecycle rewrites — the tombstone set compacts
+    * alongside the state it retracts from. */
+  private def allTables(prefix: String): Seq[IncrState.StateTable] =
+    stateTables(prefix) :+ tombTable(prefix)
+
+  /** The tombstoned doc_ids, when any delete ever ran (None = the
+    * pure-append path, which must keep its tombstone-free plans). */
+  private def tombstones(s: SparkSession, prefix: String,
+                         warehouse: String): Option[DataFrame] = {
+    IncrState.ensureRegistered(s, tombTable(prefix), warehouse)
+    if (!s.catalog.tableExists(delTable(prefix))) None
+    else Some(s.table(delTable(prefix)).select(col("doc_id")).distinct())
+  }
 
   /** Epoch sentinel partition value: compaction folds all settled day
     * partitions into `day = EpochDay`, which no real fold day (≥ 0)
@@ -110,11 +133,21 @@ object DedupIncr {
     // candidate recall: fresh bands against the FULL store (which now
     // includes the fresh rows, so fresh×fresh pairs are found too)
     val store = s.table(bandsTable(prefix))
-    val cand = store.filter($"day" === day).as("f")
+    val cand0 = store.filter($"day" === day).as("f")
       .join(store.as("h"), $"f.band" === $"h.band" && $"f.doc_id" =!= $"h.doc_id")
       .select(least($"f.doc_id", $"h.doc_id").as("d1"),
         greatest($"f.doc_id", $"h.doc_id").as("d2"))
       .distinct()
+    // delete-wins: candidates touching a tombstoned doc are dropped
+    // BEFORE the exact verify (the takedown set is dimension-sized next
+    // to the corpus, so these are broadcast anti-joins on the
+    // candidate-sized set — never a reshuffle of the band store, whose
+    // retracted rows stay physically present until purgeDeleted)
+    val cand = tombstones(s, prefix, warehouse).fold(cand0) { tomb =>
+      cand0
+        .join(broadcast(tomb.select($"doc_id".as("d1"))), Seq("d1"), "left_anti")
+        .join(broadcast(tomb.select($"doc_id".as("d2"))), Seq("d2"), "left_anti")
+    }
     // single-scan exact verify: melt each pair to two member rows, join
     // once against the bucketed doc store, regroup per pair. max(when)
     // picks the side's (unique) shingle array back out of the group.
@@ -151,6 +184,91 @@ object DedupIncr {
                  warehouse: String, day: Int, nBuckets: Int = 32): Unit =
     runDay(s, s.read.parquet(slicePath), prefix, warehouse, day, nBuckets)
 
+  /** Retraction (VERDICT r13 #1, round 14): fold a takedown set OUT of
+    * the near-dup state — by doc_id ALONE, no text needed (unlike the
+    * additive members, whose negation re-derives the partials from the
+    * slice, the band store is a keyed set: membership retracts by key).
+    * Three things happen, none of which reads the raw corpus:
+    *
+    *   - the ids land as TOMBSTONES in `{prefix}_del` (day-partitioned,
+    *     dynamic-overwrite replay contract like any fold day);
+    *   - the pair LEDGER drops every pair touching a tombstoned id, via
+    *     the same stage→new-epoch→drop-superseded commit ordering as
+    *     `compactLedger` (a crash mid-swap leaves a superset, and the
+    *     ledger rewrite is idempotent — the replayed delete repairs it);
+    *   - future candidate joins anti-filter on the tombstone set
+    *     (runDay), so a retracted doc never re-enters the ledger even
+    *     though its band rows stay physically present until the next
+    *     `purgeDeleted`/compaction rewrite.
+    *
+    * Cost ∝ delete slice + ledger (the ledger is near-dup OUTPUT, ≪
+    * corpus — rewriting it is the cheapest full pass in the module).
+    * Semantics: delete wins, corpus-wide and permanent — re-admitting a
+    * retracted doc_id needs a fresh state prefix (same contract as the
+    * QualityIncr bitmap tombstones). `day` must be a fresh day id. */
+  def deleteDay(s: SparkSession, deletedIds: DataFrame, prefix: String,
+                warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
+    import s.implicits._
+    IncrState.writeDay(s,
+      deletedIds.select($"doc_id").distinct().withColumn("day", lit(day)),
+      tombTable(prefix), warehouse, day, nBuckets)
+    retractLedger(s, prefix, warehouse)
+    IncrState.writeLastDay(s, warehouse, day)
+  }
+
+  /** Path-based delete twin for the suite's input-bytes test. */
+  def deleteDayPath(s: SparkSession, slicePath: String, prefix: String,
+                    warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    deleteDay(s, s.read.parquet(slicePath), prefix, warehouse, day, nBuckets)
+
+  /** Drop every ledger pair touching a tombstoned doc_id — the same
+    * stage→swap ordering as compactLedger, preserving the existing day
+    * provenance (retraction is orthogonal to compaction; a partition
+    * whose pairs ALL retract is dropped with the superseded set). */
+  private def retractLedger(s: SparkSession, prefix: String,
+                            warehouse: String): Unit = {
+    val path = pairsPath(warehouse, prefix)
+    val stage = s"$warehouse/_retract_stage_pairs"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val tomb = tombstones(s, prefix, warehouse).getOrElse(return)
+    val existing = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("day="))
+      .flatMap(_.drop(4).toIntOption)
+    if (existing.isEmpty) return
+    s.read.schema(pairsSchema).parquet(path)
+      .join(broadcast(tomb.select(col("doc_id").as("d1"))), Seq("d1"), "left_anti")
+      .join(broadcast(tomb.select(col("doc_id").as("d2"))), Seq("d2"), "left_anti")
+      .write.mode("overwrite").partitionBy("day").parquet(stage)
+    IncrState.withOverwriteMode(s, "dynamic") {
+      s.read.schema(pairsSchema).parquet(stage)
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+    }
+    // partitions fully emptied by the filter got no overwrite — drop
+    // whatever day dirs the staged result does NOT contain
+    val kept = fs.listStatus(new org.apache.hadoop.fs.Path(stage)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("day=")).toSet
+    existing.filterNot(d => kept.contains(s"day=$d")).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/day=$d"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
+  /** Physically drop retracted rows from the band/shingle state — the
+    * DELETE EPOCH: a full compaction whose merge transform anti-joins
+    * the tombstone set (IncrState.compactAllWhere), so the purge costs
+    * exactly one state rewrite (O(state), never the raw corpus) and
+    * inherits the compaction's stage→swap crash ordering. Correctness
+    * never depends on it (the candidate anti-filter is the gate; the
+    * tombstones themselves are KEPT so delete-wins survives the purge) —
+    * run it when retracted bytes are worth reclaiming. */
+  def purgeDeleted(s: SparkSession, prefix: String, warehouse: String,
+                   nBuckets: Int = 32): Unit =
+    tombstones(s, prefix, warehouse).foreach { tomb =>
+      IncrState.compactAllWhere(s, warehouse, stateTables(prefix), nBuckets,
+        _ => df => df.join(broadcast(tomb), Seq("doc_id"), "left_anti"))
+    }
+
   /** Ledger schema, declared explicitly on every read: a day whose fold
     * finds NO pairs writes an empty partitioned frame — no data files,
     * no partition dirs — and schema INFERENCE over such a ledger throws
@@ -169,7 +287,7 @@ object DedupIncr {
       .select("d1", "d2", "jac").distinct().orderBy("d1", "d2")
 
   def dropState(s: SparkSession, prefix: String): Unit =
-    Seq(bandsTable(prefix), docsTable(prefix)).foreach(t =>
+    Seq(bandsTable(prefix), docsTable(prefix), delTable(prefix)).foreach(t =>
       s.sql(s"DROP TABLE IF EXISTS $t"))
 
   /** Non-epoch day partitions currently in the band store — the
@@ -197,7 +315,7 @@ object DedupIncr {
     * on the CURRENT day, which is never negative. */
   def compactState(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32): Unit =
-    IncrState.compactAll(s, warehouse, stateTables(prefix), nBuckets)
+    IncrState.compactAll(s, warehouse, allTables(prefix), nBuckets)
 
   def compactLedger(s: SparkSession, prefix: String, warehouse: String,
                     retainFromDay: Option[Int] = None): Unit = {
@@ -322,7 +440,7 @@ object DedupIncr {
                    nBuckets: Int = 32, maxDeltaDays: Int = 8,
                    retainFromDay: Option[Int] = None,
                    viaSql: Boolean = false): Boolean = {
-    val ran = IncrState.sizeTieredCompact(s, warehouse, stateTables(prefix),
+    val ran = IncrState.sizeTieredCompact(s, warehouse, allTables(prefix),
       bandsTable(prefix), nBuckets, maxDeltaDays)
     if (ran) {
       if (viaSql) compactLedgerSql(s, prefix, warehouse, retainFromDay)
@@ -352,7 +470,34 @@ object DedupIncr {
     pairs(s, prefix, wh)
   }
 
+  /** Fold all but the last slice, RETRACT the documents with
+    * doc_id % 7 == 3 (the takedown set — including ids that have not
+    * arrived yet, i.e. a block-list), purge, then fold the LAST slice
+    * AFTER the delete. The oracle is the full MinHash recompute on the
+    * REDUCED corpus, so the equality proves all three retraction
+    * mechanisms at once: the ledger rewrite (pairs already found), the
+    * candidate anti-filter (the post-delete fold must not pair with any
+    * tombstoned doc — past OR newly arriving), and purge harmlessness. */
+  def incrementalDel(s: SparkSession, dir: String, days: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val prefix = "dedup_del_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = newWarehouse()
+    (0 until days - 1).foreach { day =>
+      runDay(s, docs.filter(pmod(col("doc_id"), lit(days.toLong)) === day),
+        prefix, wh, day, nBuckets = 8)
+    }
+    deleteDay(s, docs.filter(pmod(col("doc_id"), lit(7L)) === 3)
+      .select(col("doc_id")), prefix, wh, days, nBuckets = 8)
+    purgeDeleted(s, prefix, wh, nBuckets = 8)
+    runDay(s, docs.filter(pmod(col("doc_id"), lit(days.toLong)) === days - 1),
+      prefix, wh, days + 1, nBuckets = 8)
+    dropState(s, prefix)
+    pairs(s, prefix, wh)
+  }
+
   val qs: Map[String, Q] = Map(
-    "q_dedup_incr" -> ((s, d) => incremental(s, d, 3))
+    "q_dedup_incr" -> ((s, d) => incremental(s, d, 3)),
+    "q_dedup_del" -> ((s, d) => incrementalDel(s, d, 3))
   )
 }

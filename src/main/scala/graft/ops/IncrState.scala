@@ -207,7 +207,8 @@ object IncrState {
     * stores would wrap the swap in the ManifestSink
     * commit-before-visibility pattern, like A11. */
   private def mergePartitions(s: SparkSession, warehouse: String, t: StateTable,
-                              days0: Seq[Int], newEpoch: Int, nBuckets: Int): Unit = {
+                              days0: Seq[Int], newEpoch: Int, nBuckets: Int,
+                              transform: DataFrame => DataFrame = identity): Unit = {
     // group members usually share one partition layout, but a codes
     // re-code (AnnIncr width migration) can legitimately leave a member
     // with fewer partitions than the sizing table — merge only what THIS
@@ -218,7 +219,7 @@ object IncrState {
     if (days.isEmpty) return
     val stage = s"$warehouse/_compact_stage_${t.name}"
     val cols = s.table(t.name).columns
-    s.table(t.name).filter(col("day").isin(days.map(Int.box): _*))
+    transform(s.table(t.name).filter(col("day").isin(days.map(Int.box): _*)))
       .withColumn("day", lit(newEpoch))
       .dropDuplicates(t.naturalKey)
       .write.mode("overwrite").parquet(stage)
@@ -250,11 +251,23 @@ object IncrState {
     * its own epoch — each table must fold what it actually has. */
   def compactAll(s: SparkSession, warehouse: String, tables: Seq[StateTable],
                  nBuckets: Int): Unit =
+    compactAllWhere(s, warehouse, tables, nBuckets, _ => identity)
+
+  /** FULL merge with a per-table row transform applied on the way into
+    * the new epoch — the DELETE-EPOCH primitive: a retraction purge is
+    * exactly a compaction whose transform anti-joins the tombstone set,
+    * so physically removing retracted rows costs one state rewrite
+    * (O(state), never the raw corpus) and inherits the stage→swap crash
+    * ordering (a crash mid-purge leaves a superset; the replay re-runs
+    * the same filtered merge). */
+  def compactAllWhere(s: SparkSession, warehouse: String, tables: Seq[StateTable],
+                      nBuckets: Int,
+                      transform: StateTable => DataFrame => DataFrame): Unit =
     tables.foreach { t =>
       val all = deltaDays(s, t.name, warehouse) ++
         epochSizes(s, t.name, warehouse).keys
       val target = math.min(EpochDay, all.minOption.getOrElse(0) - 1)
-      mergePartitions(s, warehouse, t, all, target, nBuckets)
+      mergePartitions(s, warehouse, t, all, target, nBuckets, transform(t))
     }
 
   /** Daily-cadence lifecycle hook: once the settled day-partition count

@@ -307,6 +307,122 @@ class DedupIncrSuite extends SparkSpec {
     } finally ops.DedupIncr.dropState(spark, prefix)
   }
 
+  test("retraction: tombstones + ledger rewrite + purge == recompute on reduced corpus") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    // takedown set: ids only (retraction needs no text), spanning fold
+    // days AND the not-yet-folded last slice (a block-list entry)
+    val delIds = docs.filter(pmod($"doc_id", lit(11L)) === 5).select($"doc_id")
+    assert(delIds.count() > 0, "takedown set empty — test is vacuous")
+    val kept = docs.join(delIds, Seq("doc_id"), "left_anti")
+    val pE = "dedup_del_e_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val pA = "dedup_del_a_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val whE = ops.DedupIncr.newWarehouse()
+    val whA = ops.DedupIncr.newWarehouse()
+    try {
+      // expected: the fold-only path over the REDUCED corpus (the fold
+      // path is oracle-proven lossless, so it stands in for the batch)
+      (0 until 3).foreach { day =>
+        ops.DedupIncr.runDay(spark, kept.filter(pmod($"doc_id", lit(3L)) === day),
+          pE, whE, day, nBuckets = 4)
+      }
+      val expected = canon(ops.DedupIncr.pairs(spark, pE, whE))
+      // actual: fold two FULL slices, retract, purge, then fold the
+      // last FULL slice (its tombstoned members must be blocked by the
+      // candidate anti-filter, not by input curation)
+      (0 until 2).foreach { day =>
+        ops.DedupIncr.runDay(spark, docs.filter(pmod($"doc_id", lit(3L)) === day),
+          pA, whA, day, nBuckets = 4)
+      }
+      val before = canon(ops.DedupIncr.pairs(spark, pA, whA))
+      ops.DedupIncr.deleteDay(spark, delIds, pA, whA, 3, nBuckets = 4)
+      ops.DedupIncr.purgeDeleted(spark, pA, whA, nBuckets = 4)
+      // the purge is PHYSICAL: no tombstoned row survives in either
+      // state table, and the surviving state is intact (the purge is a
+      // filtered compaction, not a truncation)
+      val delSet = delIds.collect().map(_.getLong(0)).toSet
+      Seq(s"${pA}_docs", s"${pA}_bands").foreach { t =>
+        assert(spark.table(t).filter($"doc_id".isin(delSet.toSeq.map(Long.box): _*))
+          .count() == 0, s"$t still holds tombstoned rows after purge")
+        assert(spark.table(t).count() > 0, s"$t was emptied by the purge")
+      }
+      ops.DedupIncr.runDay(spark, docs.filter(pmod($"doc_id", lit(3L)) === 2),
+        pA, whA, 4, nBuckets = 4)
+      def rep() = canon(ops.DedupIncr.pairs(spark, pA, whA))
+      assert(rep() == expected, "retraction path != batch on reduced corpus")
+      assert(before.exists(r => r.split('|').take(2).exists(c => delSet.contains(c.toLong))),
+        "no pre-delete pair touched the takedown set — test is vacuous")
+      // replay of the delete day: idempotent (tombstones rewrite their
+      // own partition; the ledger rewrite converges)
+      ops.DedupIncr.deleteDay(spark, delIds, pA, whA, 3, nBuckets = 4)
+      assert(rep() == expected, "delete replay not idempotent")
+      // compaction (which now includes the tombstone table) is safe
+      ops.DedupIncr.compactState(spark, pA, whA, nBuckets = 4)
+      assert(rep() == expected, "compaction corrupted retraction state")
+    } finally {
+      ops.DedupIncr.dropState(spark, pE)
+      ops.DedupIncr.dropState(spark, pA)
+    }
+  }
+
+  test("retraction reads the delete ids + ledger, never the band/doc state or raw history") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("dedup_del_bytes_").toString
+    (0 to 1).foreach { k =>
+      docs.filter(pmod($"doc_id", lit(2L)) === k)
+        .write.mode("overwrite").parquet(s"$root/slice$k")
+    }
+    docs.filter(pmod($"doc_id", lit(11L)) === 5).select($"doc_id")
+      .write.mode("overwrite").parquet(s"$root/del")
+    val prefix = "dedup_del_b_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = s"$root/wh"
+    try {
+      ops.DedupIncr.runDayPath(spark, s"$root/slice0", prefix, wh, 0)
+      ops.DedupIncr.runDayPath(spark, s"$root/slice1", prefix, wh, 1)
+      def dirBytes(p: String): Long = {
+        val path = java.nio.file.Paths.get(p)
+        if (!java.nio.file.Files.exists(path)) return 0L
+        val s = java.nio.file.Files.walk(path)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+      // the functional proof: raw fold slices deleted BEFORE the
+      // retraction — any lazy re-read would throw FileNotFound
+      Seq("slice0", "slice1").foreach { d =>
+        val p = java.nio.file.Paths.get(s"$root/$d")
+        val w = java.nio.file.Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally w.close()
+      }
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      }
+      // declared reads: the delete ids (once staged in, once read back
+      // from the tombstone table), the ledger (read for the filter, its
+      // staged copy read back for the swap) — NEVER the band/doc state
+      // (the anti-filter consumes tombstones at the NEXT fold, not here)
+      val inputBudget = 2L * dirBytes(s"$root/del") + 2L * dirBytes(s"$wh/pairs")
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        ops.DedupIncr.deleteDayPath(spark, s"$root/del", prefix, wh, 2)
+        org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      val read = bytesRead.get()
+      assert(read > 0, "listener saw no input")
+      assert(read <= inputBudget + (256 << 10),
+        s"retraction read $read bytes; bound $inputBudget — it touched state it must not")
+    } finally ops.DedupIncr.dropState(spark, prefix)
+  }
+
   test("candidate join: band-store side is exchange-free (bucketed scan)") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
