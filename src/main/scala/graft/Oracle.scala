@@ -246,7 +246,7 @@ object Oracle {
 
   private val tfidfSql: String = tfidfSqlOn("documents")
 
-  private val annLshSql: String = {
+  private def annLshSqlOn(source: String): String = {
     val bitCols = (0 until ops.Dedup.NumPlanes).map { p =>
       val lits = ops.Dedup.planes(p).mkString("[", ", ", "]")
       s"CASE WHEN list_sum(list_transform(v, (x, i) -> x * ($lits)[i])) > 0 THEN 1 ELSE 0 END AS bit$p"
@@ -264,7 +264,7 @@ object Oracle {
     } yield s"concat_ws(':', $t, xor(c$t, $m))").mkString(", ")
     s"""WITH n AS (SELECT vec_id,
                  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
-               FROM embeddings),
+               FROM $source),
         m AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS norm2 FROM n),
         bits AS (SELECT vec_id, $bitCols FROM m),
         codes AS (SELECT vec_id, $codeCols FROM bits),
@@ -1258,11 +1258,16 @@ object Oracle {
          SELECT d1, d2, jac FROM j WHERE jac >= 0.3 ORDER BY d1, d2""",
 
     // ----- similarity search / vector agg -----
-    "q_ann_lsh" -> annLshSql,
+    "q_ann_lsh" -> annLshSqlOn("embeddings"),
+    // L45 retraction: fold + tombstone delete of the takedown set
+    // (vec_id % 7 == 3) must land exactly on the reduced-corpus batch
+    // recompute — retracted vectors leave query AND answer sets
+    "q_ann_del" ->
+      annLshSqlOn("(SELECT * FROM embeddings WHERE vec_id % 7 <> 3) embeddings"),
     // L45 incremental ANN: bucket codes are pure functions of the
     // vectors, so the daily-folded index answers IDENTICALLY to the
     // full-corpus recompute — the oracle is q_ann_lsh's SQL verbatim
-    "q_ann_incr" -> annLshSql,
+    "q_ann_incr" -> annLshSqlOn("embeddings"),
     "q_ann_ivf" ->
       """WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
                   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v

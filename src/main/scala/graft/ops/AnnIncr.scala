@@ -47,6 +47,7 @@ object AnnIncr {
 
   private def codesTable(prefix: String) = s"${prefix}_codes"
   private def vecsTable(prefix: String) = s"${prefix}_vecs"
+  private def delTable(prefix: String) = s"${prefix}_del"
 
   /** LSH width policy — THE serving-scale knob, now SELF-SIZING.
     * Candidates/query ≈ tables · |masks| · N/2^bits, so `bits` must grow
@@ -127,6 +128,27 @@ object AnnIncr {
   private def stateTables(prefix: String): Seq[IncrState.StateTable] = Seq(
     IncrState.StateTable(codesTable(prefix), "bkt", Seq("bkt", "vec_id")),
     IncrState.StateTable(vecsTable(prefix), "vec_id", Seq("vec_id")))
+
+  /** Retraction tombstones (vec_id): a tombstoned vector leaves the
+    * query set and every answer set the instant the delete lands —
+    * serving reads vectors through `vecView`, which anti-joins the
+    * tombstone set, so stale code rows can only produce candidates that
+    * die at the (inner) rerank join. Dedup on bare vec_id: cross-day
+    * tombstones for one vector are equivalent. */
+  private def tombTable(prefix: String): IncrState.StateTable =
+    IncrState.StateTable(delTable(prefix), "vec_id", Seq("vec_id"))
+
+  /** Every table the lifecycle rewrites (tombstones compact alongside
+    * the state they retract from). */
+  private def allTables(prefix: String): Seq[IncrState.StateTable] =
+    stateTables(prefix) :+ tombTable(prefix)
+
+  /** The tombstoned vec_ids, when any delete ever ran (None = the
+    * pure-append path, which keeps its tombstone-free plans — the
+    * AnnIncrSuite exchange pins stay untouched unless a delete lands). */
+  private def tombstones(s: SparkSession, prefix: String): Option[DataFrame] =
+    if (!s.catalog.tableExists(delTable(prefix))) None
+    else Some(s.table(delTable(prefix)).select(col("vec_id")).distinct())
 
   /** Int64-scale a slice of the embeddings table (same 1e7 floor scheme
     * as the rest of the vector family — bit-exact cross-engine). */
@@ -233,7 +255,7 @@ object AnnIncr {
     import s.implicits._
     // restart contract, read side: the warehouse outlives the in-memory
     // catalog — re-register surviving state tables before touching them
-    stateTables(prefix).foreach(IncrState.ensureRegistered(s, _, warehouse))
+    allTables(prefix).foreach(IncrState.ensureRegistered(s, _, warehouse))
     val (tables, bits) = annConf(s, warehouse)
     val cand = probesOf(queries, tables, bits)
       .join(codeStore(s, prefix).select($"bkt", $"vec_id".as("c_id")), "bkt")
@@ -282,15 +304,55 @@ object AnnIncr {
     IncrState.epochSizes(s, vecsTable(prefix), warehouse)
   def maybeCompact(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32, maxDeltaDays: Int = 8): Boolean =
-    IncrState.sizeTieredCompact(s, warehouse, stateTables(prefix),
+    IncrState.sizeTieredCompact(s, warehouse, allTables(prefix),
       vecsTable(prefix), nBuckets, maxDeltaDays)
   def compactState(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32): Unit =
-    IncrState.compactAll(s, warehouse, stateTables(prefix), nBuckets)
+    IncrState.compactAll(s, warehouse, allTables(prefix), nBuckets)
 
   def dropState(s: SparkSession, prefix: String): Unit =
-    Seq(codesTable(prefix), vecsTable(prefix)).foreach(t =>
+    Seq(codesTable(prefix), vecsTable(prefix), delTable(prefix)).foreach(t =>
       s.sql(s"DROP TABLE IF EXISTS $t"))
+
+  /** Retraction (VERDICT r13 #1, round 14): fold a takedown set OUT of
+    * the ANN index — by vec_id alone. The delete lands as tombstones
+    * (day-partitioned, dynamic-overwrite replay contract) and nets the
+    * `_vec_counts` marker, and correctness is immediate through the
+    * `vecView` anti-join: the retracted vector leaves the query set and
+    * every answer set on the next read, while its stale code rows can
+    * only produce candidates the (inner) rerank join drops. Physical
+    * reclamation is `purgeDeleted` (or any later re-code, which rebuilds
+    * codes from the filtered view). Cost ∝ delete slice; no state read,
+    * no history read. Delete wins, corpus-wide and permanent —
+    * re-admitting a vec_id needs a fresh prefix. `day` must be fresh. */
+  def deleteDay(s: SparkSession, deletedIds: DataFrame, prefix: String,
+                warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
+    import s.implicits._
+    IncrState.writeDay(s,
+      deletedIds.select($"vec_id").distinct().withColumn("day", lit(day)),
+      tombTable(prefix), warehouse, day, nBuckets)
+    // net the corpus-size marker so the self-sizing width tracks the
+    // REDUCED corpus (an empty ReadSchema count of the fresh partition)
+    val nDel = s.table(delTable(prefix)).filter($"day" === day).count()
+    writeVecCounts(s, warehouse, readVecCounts(s, warehouse) + (day -> -nDel))
+    IncrState.writeLastDay(s, warehouse, day)
+  }
+
+  /** Path-based delete twin for the suite's input-bytes test. */
+  def deleteDayPath(s: SparkSession, slicePath: String, prefix: String,
+                    warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    deleteDay(s, s.read.parquet(slicePath), prefix, warehouse, day, nBuckets)
+
+  /** Physically drop retracted rows from both state tables — the DELETE
+    * EPOCH (IncrState.compactAllWhere): one filtered state rewrite,
+    * O(state), never the raw corpus. The tombstones themselves are KEPT
+    * so delete-wins survives the purge. */
+  def purgeDeleted(s: SparkSession, prefix: String, warehouse: String,
+                   nBuckets: Int = 32): Unit =
+    tombstones(s, prefix).foreach { tomb =>
+      IncrState.compactAllWhere(s, warehouse, stateTables(prefix), nBuckets,
+        _ => df => df.join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+    }
 
   /** Serving read-view of the vector store: a day replayed AFTER an
     * earlier compaction folded it re-lands identical rows under `day=N`
@@ -303,8 +365,14 @@ object AnnIncr {
     * (v, n2), so the pick is deterministic). */
   private def vecView(s: SparkSession, prefix: String): DataFrame = {
     import s.implicits._
-    s.table(vecsTable(prefix)).select($"vec_id", $"v", $"n2")
+    val live = s.table(vecsTable(prefix)).select($"vec_id", $"v", $"n2")
       .dropDuplicates("vec_id")
+    // delete-wins: tombstoned vectors leave the view (and with it the
+    // query set, the rerank join, and any re-code) — a broadcast anti
+    // join on the dimension-sized takedown set, present ONLY when a
+    // delete ever ran
+    tombstones(s, prefix).fold(live)(t =>
+      live.join(broadcast(t), Seq("vec_id"), "left_anti"))
   }
 
   /** The store-resident query set of the `q_ann_lsh` contract (every
@@ -319,7 +387,7 @@ object AnnIncr {
     * warehouse before reading (the in-memory catalog dies with the JVM;
     * the warehouse does not). */
   def storeQueries(s: SparkSession, prefix: String, warehouse: String): DataFrame = {
-    stateTables(prefix).foreach(IncrState.ensureRegistered(s, _, warehouse))
+    allTables(prefix).foreach(IncrState.ensureRegistered(s, _, warehouse))
     storeQueries(s, prefix)
   }
 
@@ -344,7 +412,35 @@ object AnnIncr {
     s.read.parquet(s"$wh/result").orderBy("q_id", "rk")
   }
 
+  /** Fold all but the last slice, RETRACT the vectors with
+    * vec_id % 7 == 3 (including not-yet-arrived ids — a block-list),
+    * purge, then fold the last slice AFTER the delete. Oracle = the
+    * full LSH recompute on the REDUCED corpus (`q_ann_lsh`'s SQL with
+    * the takedown set excluded): the equality proves the tombstone
+    * view-filter (query set AND answer set shrink), purge harmlessness,
+    * and that post-delete folds of tombstoned ids stay invisible. */
+  def incrementalDel(s: SparkSession, dir: String, days: Int): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val prefix = "ann_del_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = IncrState.newWarehouse()
+    (0 until days - 1).foreach { day =>
+      runDay(s, emb.filter(pmod(col("vec_id"), lit(days.toLong)) === day),
+        prefix, wh, day, nBuckets = 8)
+    }
+    deleteDay(s, emb.filter(pmod(col("vec_id"), lit(7L)) === 3)
+      .select(col("vec_id")), prefix, wh, days, nBuckets = 8)
+    purgeDeleted(s, prefix, wh, nBuckets = 8)
+    runDay(s, emb.filter(pmod(col("vec_id"), lit(days.toLong)) === days - 1),
+      prefix, wh, days + 1, nBuckets = 8)
+    topK(s, prefix, wh, storeQueries(s, prefix), 3)
+      .write.mode("overwrite").parquet(s"$wh/result")
+    dropState(s, prefix)
+    s.read.parquet(s"$wh/result").orderBy("q_id", "rk")
+  }
+
   val qs: Map[String, Q] = Map(
-    "q_ann_incr" -> ((s, d) => incremental(s, d, 3))
+    "q_ann_incr" -> ((s, d) => incremental(s, d, 3)),
+    "q_ann_del" -> ((s, d) => incrementalDel(s, d, 3))
   )
 }

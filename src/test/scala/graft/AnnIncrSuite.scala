@@ -340,6 +340,71 @@ class AnnIncrSuite extends SparkSpec {
     } finally Seq(prefix, p2, p3).foreach(ops.AnnIncr.dropState(spark, _))
   }
 
+  test("retraction: tombstones + purge == recompute on reduced corpus; replay safe") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    // takedown set spanning folded days AND the not-yet-folded last
+    // slice (block-list semantics); includes %50 members so the QUERY
+    // set shrinks too, not just the answer sets
+    val delIds = emb.filter(pmod($"vec_id", lit(11L)) === 0).select($"vec_id")
+    assert(delIds.count() > 0, "takedown set empty — test is vacuous")
+    assert(delIds.filter($"vec_id" % 50 === 0).count() > 0,
+      "takedown set misses the query residue — query-set shrink unexercised")
+    val kept = emb.join(delIds, Seq("vec_id"), "left_anti")
+    val pE = "ann_del_e_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val pA = "ann_del_a_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val whE = ops.IncrState.newWarehouse()
+    val whA = ops.IncrState.newWarehouse()
+    try {
+      // expected: the fold-only path over the REDUCED corpus
+      (0 until 3).foreach { day =>
+        ops.AnnIncr.runDay(spark, kept.filter(pmod($"vec_id", lit(3L)) === day),
+          pE, whE, day, nBuckets = 4)
+      }
+      val expected = canon(ops.AnnIncr.topK(spark, pE, whE,
+        ops.AnnIncr.storeQueries(spark, pE), 3))
+      // actual: fold two FULL slices, retract, purge, fold the last
+      // FULL slice (its tombstoned members must stay invisible)
+      (0 until 2).foreach { day =>
+        ops.AnnIncr.runDay(spark, emb.filter(pmod($"vec_id", lit(3L)) === day),
+          pA, whA, day, nBuckets = 4)
+      }
+      val before = canon(ops.AnnIncr.topK(spark, pA, whA,
+        ops.AnnIncr.storeQueries(spark, pA), 3))
+      ops.AnnIncr.deleteDay(spark, delIds, pA, whA, 3, nBuckets = 4)
+      ops.AnnIncr.purgeDeleted(spark, pA, whA, nBuckets = 4)
+      // the purge is PHYSICAL in both stores, and surviving state intact
+      val delSet = delIds.collect().map(_.getLong(0)).toSet
+      Seq(s"${pA}_vecs", s"${pA}_codes").foreach { t =>
+        assert(spark.table(t).filter($"vec_id".isin(delSet.toSeq.map(Long.box): _*))
+          .count() == 0, s"$t still holds tombstoned rows after purge")
+        assert(spark.table(t).count() > 0, s"$t was emptied by the purge")
+      }
+      ops.AnnIncr.runDay(spark, emb.filter(pmod($"vec_id", lit(3L)) === 2),
+        pA, whA, 4, nBuckets = 4)
+      def rep() = canon(ops.AnnIncr.topK(spark, pA, whA,
+        ops.AnnIncr.storeQueries(spark, pA), 3))
+      assert(rep() == expected, "retraction path != batch on reduced corpus")
+      assert(before != expected, "delete changed nothing — test is vacuous")
+      // no tombstoned id may appear as a query or an answer
+      assert(rep().forall(_.split('|') match {
+        case Array(q, _, c, _) => !delSet.contains(q.toLong) && !delSet.contains(c.toLong)
+        case _ => false
+      }), "a retracted vec_id survived in serving output")
+      // replay of the delete day: idempotent
+      ops.AnnIncr.deleteDay(spark, delIds, pA, whA, 3, nBuckets = 4)
+      assert(rep() == expected, "delete replay not idempotent")
+      // compaction (tomb table included in the group) is safe
+      ops.AnnIncr.compactState(spark, pA, whA, nBuckets = 4)
+      assert(rep() == expected, "compaction corrupted retraction state")
+    } finally {
+      ops.AnnIncr.dropState(spark, pE)
+      ops.AnnIncr.dropState(spark, pA)
+    }
+  }
+
   test("query path: code and vector stores are exchange-free (bucketed scans)") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
