@@ -283,6 +283,51 @@ object Oracle {
         SELECT q_id, rk, c_id, sim FROM k WHERE rk <= 3 ORDER BY q_id, rk"""
   }
 
+  /** L51 incremental k-means, parameterized by corpus: the batch
+    * recompute with the DETERMINISTIC seed directions inlined as
+    * literals; the `source` form serves q_cluster_del (`source` = the
+    * corpus minus the takedown set). */
+  private def clusterIncrSqlOn(source: String): String = {
+      val seedRows = ops.ClusterIncr.seeds.zipWithIndex.map { case (v, p) =>
+        s"(CAST($p AS BIGINT), ${v.mkString("[", ", ", "]")})"
+      }.mkString(",\n                   ")
+      s"""WITH n AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+               FROM $source),
+         m AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM n),
+         seeds AS (SELECT sid, sv, list_sum(list_transform(sv, x -> x * x)) AS sn2
+                   FROM (VALUES $seedRows) t(sid, sv)),
+         a1 AS (SELECT vec_id, sid,
+                       CAST(list_sum(list_transform(v, (x, i) -> x * sv[i])) AS DOUBLE)
+                         / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(sn2 AS DOUBLE))) AS sim
+                FROM m, seeds),
+         as1 AS (SELECT vec_id, sid AS cl FROM (
+                   SELECT vec_id, sid,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, sid) AS rk
+                   FROM a1) t WHERE rk = 1),
+         e AS (SELECT as1.cl, i, m.v[i] AS c
+               FROM as1 JOIN m USING (vec_id)
+               CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix),
+         cs AS (SELECT cl, i, CAST(FLOOR(CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cc
+                FROM e GROUP BY 1, 2),
+         cv AS (SELECT cl, list(cc ORDER BY i) AS cvec FROM cs GROUP BY 1),
+         cn AS (SELECT cl AS cl2, cvec, list_sum(list_transform(cvec, x -> x * x)) AS cn2 FROM cv),
+         a2 AS (SELECT vec_id, cl2,
+                       CAST(list_sum(list_transform(v, (x, i) -> x * cvec[i])) AS DOUBLE)
+                         / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS sim
+                FROM m, cn),
+         as2 AS (SELECT vec_id, cl2, sim FROM (
+                   SELECT vec_id, cl2, sim,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cl2) AS rk
+                   FROM a2) t WHERE rk = 1),
+         f AS (SELECT cl2 AS cluster, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_i FROM as2)
+         SELECT cluster, COUNT(*) AS n,
+                CAST(SUM(sim_i) AS BIGINT) AS sim_sum,
+                round(CAST(CAST(SUM(sim_i) AS BIGINT) AS DOUBLE)
+                      / (1000000.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS mean_sim
+         FROM f GROUP BY 1 ORDER BY cluster"""
+  }
+
   val sql: Map[String, String] = Map(
     // ----- scans -----
     "q_scan_parquet" ->
@@ -1342,46 +1387,12 @@ object Oracle {
     // seed-assignment partials merge to exactly these centroids under
     // any slicing, and the final re-assign epoch reconciles the
     // assignments — so the batch IS the oracle, like its siblings)
-    "q_cluster_incr" -> {
-      val seedRows = ops.ClusterIncr.seeds.zipWithIndex.map { case (v, p) =>
-        s"(CAST($p AS BIGINT), ${v.mkString("[", ", ", "]")})"
-      }.mkString(",\n                   ")
-      s"""WITH n AS (SELECT vec_id,
-                  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
-               FROM embeddings),
-         m AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM n),
-         seeds AS (SELECT sid, sv, list_sum(list_transform(sv, x -> x * x)) AS sn2
-                   FROM (VALUES $seedRows) t(sid, sv)),
-         a1 AS (SELECT vec_id, sid,
-                       CAST(list_sum(list_transform(v, (x, i) -> x * sv[i])) AS DOUBLE)
-                         / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(sn2 AS DOUBLE))) AS sim
-                FROM m, seeds),
-         as1 AS (SELECT vec_id, sid AS cl FROM (
-                   SELECT vec_id, sid,
-                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, sid) AS rk
-                   FROM a1) t WHERE rk = 1),
-         e AS (SELECT as1.cl, i, m.v[i] AS c
-               FROM as1 JOIN m USING (vec_id)
-               CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix),
-         cs AS (SELECT cl, i, CAST(FLOOR(CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cc
-                FROM e GROUP BY 1, 2),
-         cv AS (SELECT cl, list(cc ORDER BY i) AS cvec FROM cs GROUP BY 1),
-         cn AS (SELECT cl AS cl2, cvec, list_sum(list_transform(cvec, x -> x * x)) AS cn2 FROM cv),
-         a2 AS (SELECT vec_id, cl2,
-                       CAST(list_sum(list_transform(v, (x, i) -> x * cvec[i])) AS DOUBLE)
-                         / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS sim
-                FROM m, cn),
-         as2 AS (SELECT vec_id, cl2, sim FROM (
-                   SELECT vec_id, cl2, sim,
-                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cl2) AS rk
-                   FROM a2) t WHERE rk = 1),
-         f AS (SELECT cl2 AS cluster, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_i FROM as2)
-         SELECT cluster, COUNT(*) AS n,
-                CAST(SUM(sim_i) AS BIGINT) AS sim_sum,
-                round(CAST(CAST(SUM(sim_i) AS BIGINT) AS DOUBLE)
-                      / (1000000.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS mean_sim
-         FROM f GROUP BY 1 ORDER BY cluster"""
-    },
+    "q_cluster_incr" -> clusterIncrSqlOn("embeddings"),
+    // L51 retraction: fold + signed-partial delete of the takedown set
+    // (vec_id % 7 == 3) must land exactly on the reduced-corpus batch
+    // recompute — negated centroid partials + vec/assignment tombstones
+    "q_cluster_del" ->
+      clusterIncrSqlOn("(SELECT * FROM embeddings WHERE vec_id % 7 <> 3) embeddings"),
     // cluster keyword labeling: seeded assignment (same CTE as SemDeDup)
     // + integer-ppm token lift (see ops/Similarity.scala L41)
     "q_cluster_terms" ->

@@ -62,6 +62,7 @@ object ClusterIncr {
   private def vecsTable(prefix: String) = s"${prefix}_vecs"
   private def cpartTable(prefix: String) = s"${prefix}_cpart"
   private def asgTable(prefix: String) = s"${prefix}_asg"
+  private def delTable(prefix: String) = s"${prefix}_del"
   private def centMarker(prefix: String) = s"_${prefix}_centroids"
   private def pendingMarker(prefix: String) = s"_${prefix}_reassign_pending"
 
@@ -69,6 +70,30 @@ object ClusterIncr {
     IncrState.StateTable(vecsTable(prefix), "vec_id", Seq("vec_id", "src_day")),
     IncrState.StateTable(cpartTable(prefix), "cl", Seq("cl", "src_day")),
     IncrState.StateTable(asgTable(prefix), "vec_id", Seq("vec_id", "src_day")))
+
+  /** Retraction tombstones (vec_id): a tombstoned vector leaves the
+    * report and every re-assign epoch the instant the delete lands (the
+    * vector/assignment reads anti-join this set); its centroid-partial
+    * contribution is retracted separately via NEGATED cpart partials —
+    * the state algebra splits exactly like its siblings (additive parts
+    * subtract, keyed rows tombstone). */
+  private def tombTable(prefix: String): IncrState.StateTable =
+    IncrState.StateTable(delTable(prefix), "vec_id", Seq("vec_id"))
+
+  private def allTables(prefix: String): Seq[IncrState.StateTable] =
+    stateTables(prefix) :+ tombTable(prefix)
+
+  /** The tombstoned vec_ids, when any delete ever ran (None = the
+    * pure-append path, whose plans stay tombstone-free). */
+  private def tombstones(s: SparkSession, prefix: String): Option[DataFrame] =
+    if (!s.catalog.tableExists(delTable(prefix))) None
+    else Some(s.table(delTable(prefix)).select(col("vec_id")).distinct())
+
+  /** Anti-join a state read against the tombstones (identity when no
+    * delete ever ran — the suite's exchange pins stay untouched). */
+  private def minusTomb(s: SparkSession, prefix: String, df: DataFrame): DataFrame =
+    tombstones(s, prefix).fold(df)(t =>
+      df.join(broadcast(t), Seq("vec_id"), "left_anti"))
 
   /** (cl, cvec, cn2) rows for a driver-held centroid set — the K-row
     * broadcast side of every assignment. */
@@ -160,6 +185,59 @@ object ClusterIncr {
                  warehouse: String, day: Int, nBuckets: Int = 32): Unit =
     runDay(s, s.read.parquet(slicePath), prefix, warehouse, day, nBuckets)
 
+  /** Retraction (VERDICT r13 #1, round 14): fold one day's DELETED
+    * embedding rows OUT of the clustering state. The state algebra
+    * splits like the siblings': the centroid partials are ADDITIVE, so
+    * the delete slice runs through the same seed-assignment aggregate
+    * with n and every component sum NEGATED (refinedCentroids nets the
+    * signed partials; a fully-retracted cluster drops out); the keyed
+    * vector/assignment rows get TOMBSTONES that every read anti-joins,
+    * with `purgeDeleted` as the physical delete epoch. Cost ∝ delete
+    * slice — no state read, no history read. Contract: the slice must
+    * be rows previously folded, with identical embeddings (the negation
+    * subtracts whatever is passed — a never-folded row fails the
+    * netting loudly at the next centroid refine); delete wins,
+    * re-admitting a vec_id needs a fresh prefix; `day` must be fresh. */
+  def deleteDay(s: SparkSession, deleted: DataFrame, prefix: String,
+                warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
+    import s.implicits._
+    val Seq(_, cpartT, _) = stateTables(prefix)
+    val m = Similarity.scaledVectors(deleted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      IncrState.writeDay(s,
+        m.select($"vec_id").distinct().withColumn("day", lit(day)),
+        tombTable(prefix), warehouse, day, nBuckets)
+      val seedF = centroidFrame(s, seeds.zipWithIndex.map { case (v, p) => (p.toLong, v) }.toSeq)
+      val parts = assign(m, seedF)
+        .select($"cl", $"v").as[(Long, Array[Long])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(Similarity.CentroidAgg.toColumn)
+        .map { case (cl, (n, sums)) => (cl, -n, sums.map(x => -x)) }
+        .toDF("cl", "n_part", "sums")
+        .withColumn("src_day", lit(day)).withColumn("day", lit(day))
+      IncrState.writeDay(s, parts, cpartT, warehouse, day, nBuckets)
+      IncrState.writeLastDay(s, warehouse, day)
+    } finally { m.unpersist(); () }
+  }
+
+  /** Path-based delete twin for the suite's input-bytes test. */
+  def deleteDayPath(s: SparkSession, slicePath: String, prefix: String,
+                    warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    deleteDay(s, s.read.parquet(slicePath), prefix, warehouse, day, nBuckets)
+
+  /** Physically drop retracted rows from the vector/assignment state —
+    * the DELETE EPOCH (IncrState.compactAllWhere); the centroid-partial
+    * table needs no purge (its retraction is the signed netting) and
+    * the tombstones are KEPT so delete-wins survives the purge. */
+  def purgeDeleted(s: SparkSession, prefix: String, warehouse: String,
+                   nBuckets: Int = 32): Unit =
+    tombstones(s, prefix).foreach { tomb =>
+      val Seq(vecsT, _, asgT) = stateTables(prefix)
+      IncrState.compactAllWhere(s, warehouse, Seq(vecsT, asgT), nBuckets,
+        _ => df => df.join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+    }
+
   /** Refined centroids from the persisted partials: merge the
     * per-(cl, src_day) sums and floor-average. The partial table is
     * O(K·days) rows of one 64-long array each — a driver-safe collect,
@@ -173,12 +251,19 @@ object ClusterIncr {
       .dropDuplicates("cl", "src_day")
       .as[(Long, Int, Long, Array[Long])]
       .collect()
-    rows.groupBy(_._1).toSeq.map { case (cl, grp) =>
+    rows.groupBy(_._1).toSeq.flatMap { case (cl, grp) =>
+      // SIGNED net (fold partials positive, delete partials negative): a
+      // fully-retracted cluster nets to 0 members and drops out, exactly
+      // as the batch recompute on the reduced corpus; a negative net is
+      // a contract violation (more retracted than folded) and fails LOUD
       val n = grp.map(_._3).sum
+      if (n < 0) throw new IllegalStateException(
+        s"cluster $cl netted $n members — a delete slice retracted rows never folded")
       val sums = grp.map(_._4).reduce { (a, b) =>
         Array.tabulate(a.length)(i => a(i) + b(i))
       }
-      (cl, sums.map(x => math.floor(x.toDouble / n).toLong))
+      if (n == 0) None
+      else Some((cl, sums.map(x => math.floor(x.toDouble / n).toLong)))
     }.sortBy(_._1)
   }
 
@@ -212,15 +297,15 @@ object ClusterIncr {
                nBuckets: Int = 32): Unit = {
     import s.implicits._
     val Seq(vecsT, _, asgT) = stateTables(prefix)
-    Seq(vecsT, asgT).foreach(IncrState.ensureRegistered(s, _, warehouse))
+    Seq(vecsT, asgT, tombTable(prefix)).foreach(IncrState.ensureRegistered(s, _, warehouse))
     val refined = refinedCentroids(s, prefix, warehouse)
     IncrState.writeMarker(s, warehouse, pendingMarker(prefix), "1")
     val existing = (IncrState.deltaDays(s, asgT.name, warehouse) ++
       IncrState.epochSizes(s, asgT.name, warehouse).keys).toSeq
     val newEpoch = math.min(IncrState.EpochDay, existing.minOption.getOrElse(0) - 1)
-    val vecs = s.table(vecsTable(prefix))
+    val vecs = minusTomb(s, prefix, s.table(vecsTable(prefix))
       .select($"vec_id", $"v", $"n2", $"src_day")
-      .dropDuplicates("vec_id", "src_day")
+      .dropDuplicates("vec_id", "src_day"))
     // each row KEEPS its original src_day (provenance); only the
     // physical partition is the new epoch — a later replayed day then
     // lands rows byte-identical to its epoch copies and the
@@ -264,9 +349,10 @@ object ClusterIncr {
   def report(s: SparkSession, prefix: String, warehouse: String): DataFrame = {
     import s.implicits._
     IncrState.ensureRegistered(s, stateTables(prefix)(2), warehouse)
-    s.table(asgTable(prefix))
+    IncrState.ensureRegistered(s, tombTable(prefix), warehouse)
+    minusTomb(s, prefix, s.table(asgTable(prefix))
       .select($"vec_id", $"cl", $"sim_i", $"src_day")
-      .dropDuplicates("vec_id", "src_day")
+      .dropDuplicates("vec_id", "src_day"))
       .groupBy($"cl".as("cluster"))
       .agg(count(lit(1)).as("n"), sum($"sim_i").as("sim_sum"))
       .select($"cluster", $"n", $"sim_sum",
@@ -284,18 +370,18 @@ object ClusterIncr {
     IncrState.epochSizes(s, vecsTable(prefix), warehouse)
   def maybeCompact(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32, maxDeltaDays: Int = 8): Boolean =
-    IncrState.sizeTieredCompact(s, warehouse, stateTables(prefix),
+    IncrState.sizeTieredCompact(s, warehouse, allTables(prefix),
       vecsTable(prefix), nBuckets, maxDeltaDays)
   def compactState(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32): Unit =
-    IncrState.compactAll(s, warehouse, stateTables(prefix), nBuckets)
+    IncrState.compactAll(s, warehouse, allTables(prefix), nBuckets)
 
   /** Highest day ever folded into this warehouse; -1 when none. */
   def lastDay(s: SparkSession, warehouse: String): Int =
     IncrState.lastDay(s, warehouse)
 
   def dropState(s: SparkSession, prefix: String): Unit =
-    stateTables(prefix).foreach(t => s.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    allTables(prefix).foreach(t => s.sql(s"DROP TABLE IF EXISTS ${t.name}"))
 
   /** Daily loop over `days` slices (vec_id mod days) + the final
     * re-assign epoch + report — the oracle is the batch recompute (seed
@@ -320,7 +406,35 @@ object ClusterIncr {
     s.read.parquet(s"$wh/result").orderBy("cluster")
   }
 
+  /** Fold `days` slices, RETRACT the embedding rows with
+    * vec_id % 7 == 3 (a takedown set spanning every fold day) as delete
+    * day `days`, purge, then run the final re-assign epoch + report —
+    * the oracle is the batch recompute on the REDUCED corpus, proving
+    * the signed-partial netting (refined centroids shift to the reduced
+    * corpus's) AND the tombstone filter (retracted vectors leave the
+    * re-assign and the report) land exactly on
+    * batch-on-reduced-corpus. */
+  def incrementalDel(s: SparkSession, dir: String, days: Int): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val prefix = "cluster_del_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = IncrState.newWarehouse()
+    (0 until days).foreach { day =>
+      runDay(s, emb.filter(pmod(col("vec_id"), lit(days.toLong)) === day),
+        prefix, wh, day, nBuckets = 8)
+    }
+    deleteDay(s, emb.filter(pmod(col("vec_id"), lit(7L)) === 3),
+      prefix, wh, days, nBuckets = 8)
+    purgeDeleted(s, prefix, wh, nBuckets = 8)
+    reassign(s, prefix, wh, nBuckets = 8)
+    report(s, prefix, wh)
+      .write.mode("overwrite").parquet(s"$wh/result")
+    dropState(s, prefix)
+    s.read.parquet(s"$wh/result").orderBy("cluster")
+  }
+
   val qs: Map[String, Q] = Map(
-    "q_cluster_incr" -> ((s, d) => incremental(s, d, 3))
+    "q_cluster_incr" -> ((s, d) => incremental(s, d, 3)),
+    "q_cluster_del" -> ((s, d) => incrementalDel(s, d, 3))
   )
 }

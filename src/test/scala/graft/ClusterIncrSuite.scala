@@ -188,6 +188,68 @@ class ClusterIncrSuite extends SparkSpec {
     } finally ops.ClusterIncr.dropState(spark, prefix)
   }
 
+  test("retraction: signed partials + tombstones == recompute on reduced corpus") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val del = emb.filter(pmod($"vec_id", lit(11L)) === 5)
+    assert(del.count() > 0, "takedown set empty — test is vacuous")
+    val kept = emb.join(del.select($"vec_id"), Seq("vec_id"), "left_anti")
+    val pE = "cluster_del_e_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val pA = "cluster_del_a_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val whE = ops.IncrState.newWarehouse()
+    val whA = ops.IncrState.newWarehouse()
+    try {
+      // expected: fold-only over the REDUCED corpus + its settled epoch
+      (0 until 3).foreach { day =>
+        ops.ClusterIncr.runDay(spark, kept.filter(pmod($"vec_id", lit(3L)) === day),
+          pE, whE, day, nBuckets = 4)
+      }
+      ops.ClusterIncr.reassign(spark, pE, whE, nBuckets = 4)
+      val expected = canon(ops.ClusterIncr.report(spark, pE, whE))
+      // actual: fold the FULL corpus, retract, purge, settle
+      (0 until 3).foreach { day =>
+        ops.ClusterIncr.runDay(spark, emb.filter(pmod($"vec_id", lit(3L)) === day),
+          pA, whA, day, nBuckets = 4)
+      }
+      ops.ClusterIncr.deleteDay(spark, del, pA, whA, 3, nBuckets = 4)
+      ops.ClusterIncr.purgeDeleted(spark, pA, whA, nBuckets = 4)
+      // physical purge pin: tombstoned rows gone, surviving state intact
+      val delSet = del.select($"vec_id").collect().map(_.getLong(0)).toSet
+      Seq(s"${pA}_vecs", s"${pA}_asg").foreach { t =>
+        assert(spark.table(t).filter($"vec_id".isin(delSet.toSeq.map(Long.box): _*))
+          .count() == 0, s"$t still holds tombstoned rows after purge")
+        assert(spark.table(t).count() > 0, s"$t was emptied by the purge")
+      }
+      ops.ClusterIncr.reassign(spark, pA, whA, nBuckets = 4)
+      def rep() = canon(ops.ClusterIncr.report(spark, pA, whA))
+      assert(rep() == expected, "retraction path != batch on reduced corpus")
+      // the delete must MOVE the refined centroids (else the signed
+      // netting is unexercised) — compare against the full-corpus refine
+      val pF = "cluster_del_f_" + java.lang.Long.toHexString(
+        U.h64Local(java.util.UUID.randomUUID().toString))
+      val whF = ops.IncrState.newWarehouse()
+      try {
+        (0 until 3).foreach { day =>
+          ops.ClusterIncr.runDay(spark, emb.filter(pmod($"vec_id", lit(3L)) === day),
+            pF, whF, day, nBuckets = 4)
+        }
+        assert(ops.ClusterIncr.refinedCentroids(spark, pA, whA)
+          != ops.ClusterIncr.refinedCentroids(spark, pF, whF),
+          "delete left the refined centroids unchanged — netting unexercised")
+      } finally ops.ClusterIncr.dropState(spark, pF)
+      // replay of the delete day: idempotent; compaction safe
+      ops.ClusterIncr.deleteDay(spark, del, pA, whA, 3, nBuckets = 4)
+      assert(rep() == expected, "delete replay not idempotent")
+      ops.ClusterIncr.compactState(spark, pA, whA, nBuckets = 4)
+      assert(rep() == expected, "compaction corrupted retraction state")
+    } finally {
+      ops.ClusterIncr.dropState(spark, pE)
+      ops.ClusterIncr.dropState(spark, pA)
+    }
+  }
+
   test("report: one K-row aggregate over bucketed assignment state") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
