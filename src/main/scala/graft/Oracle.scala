@@ -328,6 +328,60 @@ object Oracle {
          FROM f GROUP BY 1 ORDER BY cluster"""
   }
 
+  /** Shared by q_pipeline_curate_incr (batch recompute == the lossless
+    * fold) and q_curate_del (`curateSource` = the corpus minus the
+    * takedown set — the retractable member-level backend). */
+  private def curateIncrSqlOn(curateSource: String): String =
+    s"""WITH docs AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tk
+                        FROM $curateSource),
+         g0 AS (SELECT doc_id, lang, text, tk,
+                       CAST(len(tk) AS BIGINT) AS nt,
+                       CAST(len(list_distinct(tk)) AS BIGINT) AS nd
+                FROM docs WHERE lang = 'en' AND len(tk) >= 10),
+         g AS (SELECT *, (nt + 2) // 3 AS nl,
+                      CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'valid'
+                           ELSE 'test' END AS sp
+               FROM (SELECT *, ${h64Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS h
+                     FROM g0)
+               WHERE nd * 1000000 // nt >= 300000),
+         mk AS (SELECT sp, lang, nt, nl,
+                       ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM g),
+         d1 AS (SELECT sp, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(nt) AS BIGINT) AS sum_toks,
+                       CAST(SUM(nl) AS BIGINT) AS n_lines
+                FROM mk WHERE rn = 1 GROUP BY 1, 2),
+         ch AS (SELECT doc_id, lang, unnest([{'idx': CAST((i - 1) // 3 AS INT),
+                                              'line': array_to_string(tk[i:i+2], ' ')}
+                                             for i in range(1, len(tk) + 1, 3)]) AS u
+                FROM g),
+         l AS (SELECT doc_id, lang, u.idx AS idx, u.line AS line FROM ch),
+         lk AS (SELECT line, doc_id, lang, CAST(length(line) AS BIGINT) AS len,
+                       ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+                FROM l),
+         d2 AS (SELECT CASE WHEN h2 < 800 THEN 'train' WHEN h2 < 900 THEN 'valid'
+                            ELSE 'test' END AS sp, lang,
+                       CAST(COUNT(*) AS BIGINT) AS n_kept,
+                       CAST(SUM(len) AS BIGINT) AS kept_chars
+                FROM (SELECT *, ${h64Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS h2
+                      FROM lk WHERE rn = 1)
+                GROUP BY 1, 2),
+         tok AS (SELECT sp, lang, unnest(tk) AS tok FROM g),
+         d3 AS (SELECT sp, lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab,
+                       CAST(COUNT(*) AS BIGINT) AS n_tok_occ
+                FROM tok GROUP BY 1, 2)
+         SELECT sp AS split, lang,
+                COALESCE(n_docs, CAST(0 AS BIGINT)) AS n_docs,
+                COALESCE(sum_toks, CAST(0 AS BIGINT)) AS sum_toks,
+                COALESCE(n_lines, CAST(0 AS BIGINT)) AS n_lines,
+                COALESCE(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+                COALESCE(kept_chars, CAST(0 AS BIGINT)) AS kept_chars,
+                COALESCE(n_vocab, CAST(0 AS BIGINT)) AS n_vocab,
+                COALESCE(n_tok_occ, CAST(0 AS BIGINT)) AS n_tok_occ
+         FROM d1 FULL OUTER JOIN d2 USING (sp, lang)
+                 FULL OUTER JOIN d3 USING (sp, lang)
+         ORDER BY split, lang"""
+
   val sql: Map[String, String] = Map(
     // ----- scans -----
     "q_scan_parquet" ->
@@ -2048,56 +2102,12 @@ object Oracle {
     // Full recompute over ALL documents at once — the incremental
     // operator must match this exactly, which is the proof its
     // day-over-day min/sum partial merges are lossless.
-    "q_pipeline_curate_incr" ->
-      s"""WITH docs AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tk
-                        FROM documents),
-         g0 AS (SELECT doc_id, lang, text, tk,
-                       CAST(len(tk) AS BIGINT) AS nt,
-                       CAST(len(list_distinct(tk)) AS BIGINT) AS nd
-                FROM docs WHERE lang = 'en' AND len(tk) >= 10),
-         g AS (SELECT *, (nt + 2) // 3 AS nl,
-                      CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'valid'
-                           ELSE 'test' END AS sp
-               FROM (SELECT *, ${h64Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS h
-                     FROM g0)
-               WHERE nd * 1000000 // nt >= 300000),
-         mk AS (SELECT sp, lang, nt, nl,
-                       ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-                FROM g),
-         d1 AS (SELECT sp, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                       CAST(SUM(nt) AS BIGINT) AS sum_toks,
-                       CAST(SUM(nl) AS BIGINT) AS n_lines
-                FROM mk WHERE rn = 1 GROUP BY 1, 2),
-         ch AS (SELECT doc_id, lang, unnest([{'idx': CAST((i - 1) // 3 AS INT),
-                                              'line': array_to_string(tk[i:i+2], ' ')}
-                                             for i in range(1, len(tk) + 1, 3)]) AS u
-                FROM g),
-         l AS (SELECT doc_id, lang, u.idx AS idx, u.line AS line FROM ch),
-         lk AS (SELECT line, doc_id, lang, CAST(length(line) AS BIGINT) AS len,
-                       ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
-                FROM l),
-         d2 AS (SELECT CASE WHEN h2 < 800 THEN 'train' WHEN h2 < 900 THEN 'valid'
-                            ELSE 'test' END AS sp, lang,
-                       CAST(COUNT(*) AS BIGINT) AS n_kept,
-                       CAST(SUM(len) AS BIGINT) AS kept_chars
-                FROM (SELECT *, ${h64Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS h2
-                      FROM lk WHERE rn = 1)
-                GROUP BY 1, 2),
-         tok AS (SELECT sp, lang, unnest(tk) AS tok FROM g),
-         d3 AS (SELECT sp, lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab,
-                       CAST(COUNT(*) AS BIGINT) AS n_tok_occ
-                FROM tok GROUP BY 1, 2)
-         SELECT sp AS split, lang,
-                COALESCE(n_docs, CAST(0 AS BIGINT)) AS n_docs,
-                COALESCE(sum_toks, CAST(0 AS BIGINT)) AS sum_toks,
-                COALESCE(n_lines, CAST(0 AS BIGINT)) AS n_lines,
-                COALESCE(n_kept, CAST(0 AS BIGINT)) AS n_kept,
-                COALESCE(kept_chars, CAST(0 AS BIGINT)) AS kept_chars,
-                COALESCE(n_vocab, CAST(0 AS BIGINT)) AS n_vocab,
-                COALESCE(n_tok_occ, CAST(0 AS BIGINT)) AS n_tok_occ
-         FROM d1 FULL OUTER JOIN d2 USING (sp, lang)
-                 FULL OUTER JOIN d3 USING (sp, lang)
-         ORDER BY split, lang""",
+    "q_pipeline_curate_incr" -> curateIncrSqlOn("documents"),
+    // L43 retraction (retractable member-level backend): fold +
+    // tombstone delete of the takedown set (doc_id % 7 == 3) must land
+    // exactly on the reduced-corpus batch recompute
+    "q_curate_del" ->
+      curateIncrSqlOn("(SELECT * FROM documents WHERE doc_id % 7 <> 3) documents"),
     "q_layout_zorder" ->
       """WITH k0 AS (SELECT CAST(l_partkey AS BIGINT) AS x,
                   CAST(l_suppkey AS BIGINT) AS y FROM lineitem),

@@ -206,6 +206,128 @@ class CurateIncrSuite extends SparkSpec {
     ref.release()
   }
 
+  test("retractable backend: fold == other backends; delete == reduced-corpus fold; keeper promotes") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir)
+    // replicate the gate so the planted duplicate is a doc that is
+    // actually IN the state
+    val gGate = base.withColumn("tk", split($"text", " "))
+      .filter($"lang" === "en" && size($"tk") >= 10 &&
+        expr("size(array_distinct(tk)) * 1000000 div size(tk)") >= 300000)
+    val keeperId = gGate.agg(min($"doc_id")).collect()(0).getLong(0)
+    // PLANT a duplicate of that doc under a higher id, then take down
+    // the original (the group's keeper): the member-level state must
+    // promote the surviving clone — the exact case min-compressed state
+    // cannot answer
+    val off = (1000000000L to 1000000010L)
+      .find(o => (keeperId + o) % 11 != 5).get
+    val clone = base.filter($"doc_id" === keeperId)
+      .withColumn("doc_id", $"doc_id" + off)
+    val docs = base.unionByName(clone)
+    val del = docs.filter(pmod($"doc_id", lit(11L)) === 5 || $"doc_id" === keeperId)
+    val kept = docs.join(del.select($"doc_id"), Seq("doc_id"), "left_anti")
+    assert(kept.filter($"doc_id" === keeperId + off).count() == 1,
+      "the planted survivor fell in the takedown set — pick a different offset")
+    val pA = "curate_del_a_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val whA = ops.IncrState.newWarehouse()
+    try {
+      // the retractable FOLD is a third backend: equal to the parquet
+      // backend's report on the same corpus
+      (0 until 3).foreach { day =>
+        ops.CurateIncr.runDayRetractable(spark,
+          docs.filter(pmod($"doc_id", lit(3L)) === day), pA, whA, day, nBuckets = 4)
+      }
+      def rep() = canon(ops.CurateIncr.reportRetractable(spark, pA, whA))
+      val stateF = ops.CurateIncr.newStateDir()
+      (0 until 3).foreach { day =>
+        ops.CurateIncr.runDay(spark,
+          docs.filter(pmod($"doc_id", lit(3L)) === day), stateF, day)
+      }
+      val full = canon(ops.CurateIncr.report(spark, stateF, 2))
+      assert(rep() == full, "retractable fold != parquet backend on the same corpus")
+      // expected post-delete: the parquet backend folded over the
+      // REDUCED corpus (oracle-proven lossless)
+      val stateE = ops.CurateIncr.newStateDir()
+      (0 until 3).foreach { day =>
+        ops.CurateIncr.runDay(spark,
+          kept.filter(pmod($"doc_id", lit(3L)) === day), stateE, day)
+      }
+      val expected = canon(ops.CurateIncr.report(spark, stateE, 2))
+      ops.CurateIncr.deleteDayRetractable(spark, del, pA, whA, 3, nBuckets = 4)
+      assert(rep() == expected,
+        "retraction != batch on reduced corpus (keeper promotion or tf netting broke)")
+      assert(full != expected, "delete changed nothing — test is vacuous")
+      // physical purge: tombstoned member rows gone, survivors intact
+      ops.CurateIncr.purgeDeletedRetractable(spark, pA, whA, nBuckets = 4)
+      val delSet = del.select($"doc_id").collect().map(_.getLong(0)).toSet
+      Seq(s"${pA}_md5m", s"${pA}_linem").foreach { t =>
+        assert(spark.table(t).filter($"doc_id".isin(delSet.toSeq.map(Long.box): _*))
+          .count() == 0, s"$t still holds tombstoned rows after purge")
+        assert(spark.table(t).count() > 0, s"$t was emptied by the purge")
+      }
+      assert(rep() == expected, "purge changed the report")
+      // replay of the delete day; compaction over all four tables
+      ops.CurateIncr.deleteDayRetractable(spark, del, pA, whA, 3, nBuckets = 4)
+      assert(rep() == expected, "delete replay not idempotent")
+      ops.CurateIncr.compactRetractable(spark, pA, whA, nBuckets = 4)
+      assert(rep() == expected, "compaction corrupted retraction state")
+    } finally ops.CurateIncr.dropRetractableState(spark, pA)
+  }
+
+  test("retractable delete reads only the delete slice (never fold history)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("curate_del_bytes_").toString
+    (0 to 1).foreach { k =>
+      docs.filter(pmod($"doc_id", lit(2L)) === k)
+        .write.mode("overwrite").parquet(s"$root/slice$k")
+    }
+    docs.filter(pmod($"doc_id", lit(11L)) === 5)
+      .write.mode("overwrite").parquet(s"$root/del")
+    val prefix = "curate_del_b_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = s"$root/wh"
+    try {
+      ops.CurateIncr.runDayRetractablePath(spark, s"$root/slice0", prefix, wh, 0)
+      ops.CurateIncr.runDayRetractablePath(spark, s"$root/slice1", prefix, wh, 1)
+      def dirBytes(p: String): Long = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+      val delBytes = dirBytes(s"$root/del")
+      // the functional never-rescan proof: fold slices deleted BEFORE
+      // the retraction — any lazy re-read would throw FileNotFound
+      Seq("slice0", "slice1").foreach { d =>
+        val p = java.nio.file.Paths.get(s"$root/$d")
+        val w = java.nio.file.Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally w.close()
+      }
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        ops.CurateIncr.deleteDayRetractablePath(spark, s"$root/del", prefix, wh, 2)
+        org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      val read = bytesRead.get()
+      assert(read > 0, "listener saw no input")
+      // slice-shaped bound, generous for the DISK_ONLY persist re-reads
+      // (same calibration as the fold's input-bytes test above) — the
+      // hard claim is the functional proof: history is GONE
+      assert(read <= 15L * delBytes + (64 << 10),
+        s"retraction read $read bytes for a $delBytes-byte slice — it touched state it must not")
+    } finally ops.CurateIncr.dropRetractableState(spark, prefix)
+  }
+
   test("bucketed state backend: same report, state side never re-shuffled") {
     import spark.implicits._
     val prefix = "curate_b_" + java.lang.Long.toHexString(
