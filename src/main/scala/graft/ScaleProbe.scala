@@ -103,7 +103,14 @@ object ScaleProbe {
     // skips rung 2 for its two-table input) and the incremental k-means
     // (fold = seed argmax + partial write; the K× probe also exercises
     // the re-assign epoch over K× vector state)
-    "q_domains_del", "q_quality_del", "q_cluster_incr")
+    "q_domains_del", "q_quality_del", "q_cluster_incr",
+    // round-14 session 2: the two structurally NEW retraction forms —
+    // the keyed-tombstone delete (band store: tombstones + ledger
+    // rewrite + candidate anti-filter + purge, all of which must stay
+    // ∝ delete-slice + ledger as the corpus grows) and the member-level
+    // curation backend (whose stated trade is state ∝ gated corpus —
+    // the probe row is where that trade's actual cost lives)
+    "q_dedup_del", "q_curate_del")
 
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -265,7 +272,11 @@ object ScaleProbe {
     // round 14: the additive retraction fold and the incremental
     // k-means get the family's standard two-rung bar
     "q_domains_del" -> "documents",
-    "q_cluster_incr" -> "embeddings")
+    "q_cluster_incr" -> "embeddings",
+    // round 14 session 2: the keyed-tombstone retraction and the
+    // member-level backend get the standard two-rung bar too
+    "q_dedup_del" -> "documents",
+    "q_curate_del" -> "documents")
   val Rung2K = 25
 
   /** Third rung (VERDICT r13 #5): ×100 for the incremental family's

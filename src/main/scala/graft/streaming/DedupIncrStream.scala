@@ -1,6 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** The incremental NEAR-DUP band-store fold DRIVEN AS A STREAM — the
   * L44 sibling of CurateIncrStream (VERDICT r11 #6): a file-stream
@@ -46,4 +48,41 @@ object DedupIncrStream {
       graft.ops.DedupIncr.maybeCompact(batch.sparkSession, prefix,
         warehouse, nBuckets, maxDeltaDays)
     }(graft.ops.DedupIncr.lastDay(spark, warehouse))
+
+  /** The CDC form (round 14): ONE ordered inbox of add/delete events —
+    * how a takedown feed actually arrives next to the crawl feed. Each
+    * parquet slice carries an `op` column ('add' | 'del'); delete rows
+    * need only `doc_id` populated (the keyed-tombstone contract — no
+    * text), other columns riding along null. Day ids split the batch-id
+    * space deterministically — adds fold as day 2·batch, deletes as day
+    * 2·batch+1 — so fold and delete events never collide, a slice
+    * carrying BOTH ops lands each under its own day, and a replayed
+    * micro-batch rewrites exactly its own partitions (the same
+    * byte-idempotence argument as drainInbox, now covering retraction).
+    * Ordering is the stream's: a doc added after its own takedown in a
+    * LATER slice stays retracted (delete wins — the tombstone
+    * anti-filter), while add+delete in ONE slice also nets to retracted
+    * because the delete day (2b+1) follows the add day (2b). Compaction
+    * rides along per batch, tombstone table included. */
+  def drainCdc(spark: SparkSession, inboxDir: String, prefix: String,
+               warehouse: String, checkpointDir: String,
+               nBuckets: Int = 8, maxDeltaDays: Int = 8): Int =
+    IncrInboxStream.drain(spark, inboxDir, checkpointDir, cdcSchema) { (batch, day) =>
+      val s = batch.sparkSession
+      val adds = batch.filter(col("op") === "add").drop("op")
+      val dels = batch.filter(col("op") === "del").select(col("doc_id"))
+      // content-based guards are replay-stable (the same file yields the
+      // same split), and an op with no rows must not burn a day id on an
+      // empty partition write
+      if (!adds.isEmpty)
+        graft.ops.DedupIncr.runDay(s, adds, prefix, warehouse, 2 * day, nBuckets)
+      if (!dels.isEmpty)
+        graft.ops.DedupIncr.deleteDay(s, dels, prefix, warehouse, 2 * day + 1, nBuckets)
+      graft.ops.DedupIncr.maybeCompact(s, prefix, warehouse, nBuckets, maxDeltaDays)
+      ()
+    }(graft.ops.DedupIncr.lastDay(spark, warehouse))
+
+  /** The CDC inbox schema: the document columns + the op discriminator. */
+  val cdcSchema: StructType =
+    StructType(CurateIncrStream.docSchema.fields :+ StructField("op", StringType))
 }

@@ -205,6 +205,73 @@ class DedupIncrSuite extends SparkSpec {
     } finally ops.DedupIncr.dropState(spark, prefix)
   }
 
+  test("streaming CDC inbox: interleaved add/delete events == reduced-corpus recompute") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dedup_cdc_stream_").toString
+    val inbox = s"$root/inbox"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+    val docs = Tables.documents(spark, sfDir)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inbox/$name.parquet"))
+    }
+    def addSlice(k: Long) = docs.filter(pmod($"doc_id", lit(4L)) === k)
+      .withColumn("op", lit("add"))
+    // the takedown event: doc_id only, document columns null (the
+    // keyed-tombstone contract — a CDC delete carries no payload)
+    val delIds = docs.filter(pmod($"doc_id", lit(11L)) === 5).select($"doc_id")
+    def delSlice = delIds
+      .withColumn("text", lit(null).cast("string"))
+      .withColumn("lang", lit(null).cast("string"))
+      .withColumn("source", lit(null).cast("string"))
+      .withColumn("n_chars", lit(null).cast("long"))
+      .withColumn("op", lit("del"))
+      .select(streaming.DedupIncrStream.cdcSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val prefix = "dedup_cdc_s_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = s"$root/wh"
+    val ckpt = s"$root/ckpt"
+    try {
+      // adds for residues 0-2, then the takedown, then residue 3 ARRIVES
+      // AFTER its members were retracted — the anti-filter must hold
+      land(addSlice(0), "e0_add0")
+      land(addSlice(1), "e1_add1")
+      land(delSlice, "e2_del")
+      land(addSlice(2), "e3_add2")
+      val v1 = streaming.DedupIncrStream.drainCdc(spark, inbox, prefix, wh, ckpt,
+        nBuckets = 4, maxDeltaDays = 3)
+      assert(v1 == 3, s"expected 4 one-file micro-batches -> batch 3, got $v1")
+      // restart with a new add slice: only the new event is processed
+      land(addSlice(3), "e4_add3")
+      val v2 = streaming.DedupIncrStream.drainCdc(spark, inbox, prefix, wh, ckpt,
+        nBuckets = 4, maxDeltaDays = 3)
+      assert(v2 == 4, s"restart should process exactly the new event, got $v2")
+      // the drained ledger == the batch recompute on the REDUCED corpus
+      val delSet = delIds.collect().map(_.getLong(0)).toSet
+      val pE = "dedup_cdc_e_" + java.lang.Long.toHexString(
+        U.h64Local(java.util.UUID.randomUUID().toString))
+      val whE = ops.DedupIncr.newWarehouse()
+      try {
+        val kept = docs.join(delIds, Seq("doc_id"), "left_anti")
+        (0 until 3).foreach { day =>
+          ops.DedupIncr.runDay(spark, kept.filter(pmod($"doc_id", lit(3L)) === day),
+            pE, whE, day, nBuckets = 4)
+        }
+        assert(canon(ops.DedupIncr.pairs(spark, prefix, wh)) ==
+          canon(ops.DedupIncr.pairs(spark, pE, whE)),
+          "CDC drain != batch recompute on the reduced corpus")
+      } finally ops.DedupIncr.dropState(spark, pE)
+      // no retracted id anywhere in the ledger
+      assert(canon(ops.DedupIncr.pairs(spark, prefix, wh)).forall(
+        _.split('|').take(2).forall(c => !delSet.contains(c.toLong))),
+        "a retracted doc_id survived the CDC drain")
+    } finally ops.DedupIncr.dropState(spark, prefix)
+  }
+
   test("ledger maintenance via row-level SQL == the parquet path (A8c ∘ L44)") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
