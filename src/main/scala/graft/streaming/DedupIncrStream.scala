@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.StructType
 
 /** The incremental NEAR-DUP band-store fold DRIVEN AS A STREAM — the
   * L44 sibling of CurateIncrStream (VERDICT r11 #6): a file-stream
@@ -67,22 +67,17 @@ object DedupIncrStream {
   def drainCdc(spark: SparkSession, inboxDir: String, prefix: String,
                warehouse: String, checkpointDir: String,
                nBuckets: Int = 8, maxDeltaDays: Int = 8): Int =
-    IncrInboxStream.drain(spark, inboxDir, checkpointDir, cdcSchema) { (batch, day) =>
-      val s = batch.sparkSession
-      val adds = batch.filter(col("op") === "add").drop("op")
-      val dels = batch.filter(col("op") === "del").select(col("doc_id"))
-      // content-based guards are replay-stable (the same file yields the
-      // same split), and an op with no rows must not burn a day id on an
-      // empty partition write
-      if (!adds.isEmpty)
-        graft.ops.DedupIncr.runDay(s, adds, prefix, warehouse, 2 * day, nBuckets)
-      if (!dels.isEmpty)
-        graft.ops.DedupIncr.deleteDay(s, dels, prefix, warehouse, 2 * day + 1, nBuckets)
-      graft.ops.DedupIncr.maybeCompact(s, prefix, warehouse, nBuckets, maxDeltaDays)
-      ()
+    IncrInboxStream.drainCdc(spark, inboxDir, checkpointDir,
+      CurateIncrStream.docSchema) { (adds, day) =>
+      graft.ops.DedupIncr.runDay(adds.sparkSession, adds, prefix,
+        warehouse, day, nBuckets)
+      graft.ops.DedupIncr.maybeCompact(adds.sparkSession, prefix,
+        warehouse, nBuckets, maxDeltaDays)
+    } { (dels, day) =>
+      graft.ops.DedupIncr.deleteDay(dels.sparkSession, dels.select(col("doc_id")),
+        prefix, warehouse, day, nBuckets)
     }(graft.ops.DedupIncr.lastDay(spark, warehouse))
 
   /** The CDC inbox schema: the document columns + the op discriminator. */
-  val cdcSchema: StructType =
-    StructType(CurateIncrStream.docSchema.fields :+ StructField("op", StringType))
+  val cdcSchema: StructType = IncrInboxStream.cdcSchema(CurateIncrStream.docSchema)
 }

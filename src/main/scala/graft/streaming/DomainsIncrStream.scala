@@ -21,4 +21,24 @@ object DomainsIncrStream {
       graft.ops.DomainsIncr.maybeCompact(batch.sparkSession, prefix,
         warehouse, nBuckets, maxDeltaDays)
     }(graft.ops.DomainsIncr.lastDay(spark, warehouse))
+
+  /** The CDC form (round 14): one ordered inbox of add/delete events —
+    * the ADDITIVE retraction algebra on the shared drainCdc loop.
+    * Delete events must carry the documents as folded (the negative
+    * partial re-derives the per-(domain, lang) counts from the slice,
+    * the L49 contract) — unlike the keyed-tombstone members, whose
+    * deletes are id-only. */
+  def drainCdc(spark: SparkSession, inboxDir: String, prefix: String,
+               warehouse: String, checkpointDir: String,
+               nBuckets: Int = 8, maxDeltaDays: Int = 8): Int =
+    IncrInboxStream.drainCdc(spark, inboxDir, checkpointDir,
+      CurateIncrStream.docSchema) { (adds, day) =>
+      graft.ops.DomainsIncr.runDay(adds.sparkSession, adds, prefix,
+        warehouse, day, nBuckets)
+      graft.ops.DomainsIncr.maybeCompact(adds.sparkSession, prefix,
+        warehouse, nBuckets, maxDeltaDays)
+    } { (dels, day) =>
+      graft.ops.DomainsIncr.deleteDay(dels.sparkSession, dels, prefix,
+        warehouse, day, nBuckets)
+    }(graft.ops.DomainsIncr.lastDay(spark, warehouse))
 }

@@ -49,4 +49,39 @@ object IncrInboxStream {
     q.awaitTermination()
     if (seen.get >= 0) seen.get else fallback
   }
+
+  /** The CDC drain (round 14): the same inbox loop over ONE ordered
+    * stream of add/delete events — how a takedown feed actually arrives
+    * next to the crawl feed. Each slice carries an `op` discriminator
+    * column ('add' | 'del'); day ids split the batch-id space
+    * deterministically — adds fold as day 2·batch, deletes as day
+    * 2·batch+1 — so fold and delete events never collide, a slice
+    * carrying BOTH ops lands each under its own day, and a replayed
+    * micro-batch rewrites exactly its own partitions (the drain's
+    * byte-idempotence argument, now covering retraction). Content-based
+    * guards are replay-stable (the same file yields the same split) and
+    * an op with no rows burns no day id on an empty partition write.
+    * Ordering is the stream's: an id re-added after its own takedown in
+    * a later slice stays retracted (delete wins at every member), and
+    * add+delete in ONE slice nets to retracted because the delete day
+    * (2b+1) follows the add day (2b). */
+  def drainCdc(spark: SparkSession, inboxDir: String, checkpointDir: String,
+               schema: StructType)
+              (fold: (DataFrame, Int) => Unit)
+              (delete: (DataFrame, Int) => Unit)
+              (fallback: => Int): Int = {
+    import org.apache.spark.sql.functions.col
+    drain(spark, inboxDir, checkpointDir, cdcSchema(schema)) { (batch, day) =>
+      val adds = batch.filter(col("op") === "add").drop("op")
+      val dels = batch.filter(col("op") === "del").drop("op")
+      if (!adds.isEmpty) fold(adds, 2 * day)
+      if (!dels.isEmpty) delete(dels, 2 * day + 1)
+    }(fallback)
+  }
+
+  /** A member's inbox schema + the CDC op discriminator. */
+  def cdcSchema(base: StructType): StructType =
+    StructType(base.fields :+
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType))
 }
