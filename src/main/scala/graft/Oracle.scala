@@ -382,6 +382,36 @@ object Oracle {
                  FULL OUTER JOIN d3 USING (sp, lang)
          ORDER BY split, lang"""
 
+  /** L37 per-vertex triangle profile, parameterized by an edge-set
+    * predicate: "" for the full graph (q_graph_triangles, q_tri_incr —
+    * the incremental fold is lossless, so the batch recompute IS its
+    * oracle) or a WHERE clause excluding the takedown edges
+    * (q_tri_del). */
+  private def trianglesSqlOn(edgeWhere: String): String =
+    s"""WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem),
+         e0 AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+                FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk $edgeWhere),
+         deg AS (SELECT x, COUNT(*) AS dg FROM
+                   (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+         e AS (SELECT CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND u < v)
+                           THEN u ELSE v END AS s,
+                      CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND u < v)
+                           THEN v ELSE u END AS t
+               FROM e0 JOIN deg d1 ON d1.x = e0.u JOIN deg d2 ON d2.x = e0.v),
+         tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+                 FROM e e1 JOIN e e2 ON e1.t = e2.s
+                 WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.s = e1.s AND e3.t = e2.t)),
+         pn AS (SELECT x, COUNT(*) AS tri FROM
+                  (SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+                   UNION ALL SELECT c FROM tri) GROUP BY 1)
+         SELECT deg.x AS part_key, CAST(COALESCE(pn.tri, 0) AS BIGINT) AS tri,
+                CAST(deg.dg AS BIGINT) AS degree,
+                CAST(CASE WHEN deg.dg >= 2
+                     THEN (COALESCE(pn.tri, 0) * 2000000) // (deg.dg * (deg.dg - 1))
+                     ELSE 0 END AS BIGINT) AS cc_ppm
+         FROM deg LEFT JOIN pn ON pn.x = deg.x
+         ORDER BY tri DESC, part_key LIMIT 20"""
+
   val sql: Map[String, String] = Map(
     // ----- scans -----
     "q_scan_parquet" ->
@@ -738,30 +768,15 @@ object Oracle {
     // degree-oriented triangle counting over the part co-occurrence
     // graph — same orientation rule and int64 ppm coefficient as
     // ops/Graph.scala L37
-    "q_graph_triangles" ->
-      """WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem),
-         e0 AS (SELECT DISTINCT a.sk AS u, b.sk AS v
-                FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk),
-         deg AS (SELECT x, COUNT(*) AS dg FROM
-                   (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
-         e AS (SELECT CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND u < v)
-                           THEN u ELSE v END AS s,
-                      CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND u < v)
-                           THEN v ELSE u END AS t
-               FROM e0 JOIN deg d1 ON d1.x = e0.u JOIN deg d2 ON d2.x = e0.v),
-         tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
-                 FROM e e1 JOIN e e2 ON e1.t = e2.s
-                 WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.s = e1.s AND e3.t = e2.t)),
-         pn AS (SELECT x, COUNT(*) AS tri FROM
-                  (SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
-                   UNION ALL SELECT c FROM tri) GROUP BY 1)
-         SELECT deg.x AS part_key, CAST(COALESCE(pn.tri, 0) AS BIGINT) AS tri,
-                CAST(deg.dg AS BIGINT) AS degree,
-                CAST(CASE WHEN deg.dg >= 2
-                     THEN (COALESCE(pn.tri, 0) * 2000000) // (deg.dg * (deg.dg - 1))
-                     ELSE 0 END AS BIGINT) AS cc_ppm
-         FROM deg LEFT JOIN pn ON pn.x = deg.x
-         ORDER BY tri DESC, part_key LIMIT 20""",
+    "q_graph_triangles" -> trianglesSqlOn(""),
+    // L55 incremental triangles: the fold over edge-arrival-day slices
+    // is lossless (a triangle is counted once, on the day its last
+    // edge arrives), so the batch profile is the oracle verbatim
+    "q_tri_incr" -> trianglesSqlOn(""),
+    // L55 retraction: fold + lost-triangle delete of the takedown edge
+    // set ((u + v) % 7 == 3) must land exactly on the reduced-graph
+    // batch profile
+    "q_tri_del" -> trianglesSqlOn("WHERE (a.sk + b.sk) % 7 <> 3"),
     // L37b approximate triangles: identical deterministic h64-mod-4
     // VERTEX coloring (colorful counting — edges kept iff endpoints
     // share a color), exact recount on the monochromatic subgraph

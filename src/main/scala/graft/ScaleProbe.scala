@@ -110,7 +110,11 @@ object ScaleProbe {
     // ∝ delete-slice + ledger as the corpus grows) and the member-level
     // curation backend (whose stated trade is state ∝ gated corpus —
     // the probe row is where that trade's actual cost lives)
-    "q_dedup_del", "q_curate_del")
+    "q_dedup_del", "q_curate_del",
+    // the incremental-triangles fold: per-day cost must stay ∝ the
+    // day's fresh-edge wedges (edge-iterator bound) — probed at ×10
+    // beside the batch q_graph_triangles row it amortizes
+    "q_tri_incr")
 
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

@@ -62,7 +62,7 @@ object SparkEntry {
       ops.Streaming.qs ++ ops.TextOps.qs ++ ops.Dedup.qs ++ ops.Similarity.qs ++
       ops.TextAnalysis.qs ++ ops.Multimodal.qs ++ ops.Curate.qs ++ ops.CurateIncr.qs ++
       ops.DedupIncr.qs ++ ops.AnnIncr.qs ++ ops.TfidfIncr.qs ++ ops.DomainsIncr.qs ++
-      ops.QualityIncr.qs ++ ops.ClusterIncr.qs ++
+      ops.QualityIncr.qs ++ ops.ClusterIncr.qs ++ ops.TriIncr.qs ++
       ops.CatalogOps.qs ++
       ops.Layout.qs ++ ops.Scd.qs ++ ops.Graph.qs
 

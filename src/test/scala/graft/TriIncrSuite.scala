@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental triangle counting (q_tri_incr): the daily edge fold must
+  * be lossless (any slicing == the batch profile, q_graph_triangles —
+  * a triangle is counted once, on the day its last edge arrives), must
+  * read only the day's slice + state (raw history never re-read), and
+  * retraction must land exactly on the reduced-graph recompute. */
+class TriIncrSuite extends SparkSpec {
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).toSeq.sorted
+
+  private def edges(dir: String): DataFrame = {
+    import spark.implicits._
+    val ls = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("sk")).distinct()
+    ls.as("a").join(ls.as("b"), $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
+      .select($"a.sk".as("u"), $"b.sk".as("v")).distinct()
+  }
+
+  test("incremental 3-day == batch profile (q_graph_triangles) == 5-day == 1-day") {
+    val full = canon(SparkEntry.queries("q_graph_triangles")(spark, sfDir))
+    assert(full.exists(_.split('|')(1).toLong > 0),
+      "test graph has no triangles — suite is vacuous")
+    assert(canon(ops.TriIncr.incremental(spark, sfDir, 3)) == full)
+    assert(canon(ops.TriIncr.incremental(spark, sfDir, 5)) == full)
+    assert(canon(ops.TriIncr.incremental(spark, sfDir, 1)) == full)
+  }
+
+  test("day-2 fold reads only the day-2 slice + state; replay + compaction safe") {
+    import spark.implicits._
+    val e0 = edges(sfDir)
+    val root = java.nio.file.Files.createTempDirectory("tri_incr_bytes_").toString
+    (0 to 2).foreach { k =>
+      e0.filter(pmod($"u" + $"v", lit(3L)) === k)
+        .write.mode("overwrite").parquet(s"$root/slice$k")
+    }
+    val prefix = "tri_incr_t_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = s"$root/wh"
+    try {
+      ops.TriIncr.runDayPath(spark, s"$root/slice0", prefix, wh, 0)
+      ops.TriIncr.runDayPath(spark, s"$root/slice1", prefix, wh, 1)
+      def dirBytes(p: String): Long = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+      // the functional never-rescan proof: raw slices 0/1 deleted
+      // BEFORE the day-2 fold — any lazy re-read would throw
+      Seq("slice0", "slice1").foreach { d =>
+        val p = java.nio.file.Paths.get(s"$root/$d")
+        val w = java.nio.file.Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally w.close()
+      }
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      }
+      // declared reads: the slice (canon + fresh anti-join) + several
+      // bucketed passes over the adjacency/partial STATE (prior
+      // anti-join, degree, both wedge arms, report read-back) — never
+      // the raw day-0/1 slices, which are gone
+      val inputBudget = 2L * dirBytes(s"$root/slice2") + 8L * dirBytes(wh)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        ops.TriIncr.runDayPath(spark, s"$root/slice2", prefix, wh, 2)
+        org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      val read = bytesRead.get()
+      assert(read > 0, "listener saw no input")
+      assert(read <= inputBudget + (256 << 10),
+        s"day-2 fold read $read bytes; bound $inputBudget")
+      val full = canon(SparkEntry.queries("q_graph_triangles")(spark, sfDir))
+      def rep() = canon(ops.TriIncr.report(spark, prefix, wh))
+      assert(rep() == full)
+      // replay of day 2 (same slice no longer exists on disk — replay
+      // from the equivalent frame): byte-idempotent
+      ops.TriIncr.runDay(spark, e0.filter(pmod($"u" + $"v", lit(3L)) === 2),
+        prefix, wh, 2)
+      assert(rep() == full, "day replay not idempotent")
+      // compaction, then a replay AFTER compaction (the effective-fresh
+      // anti-join must see the epoch rows as prior days)
+      ops.TriIncr.compactState(spark, prefix, wh, nBuckets = 4)
+      assert(rep() == full, "compaction changed the profile")
+      ops.TriIncr.runDay(spark, e0.filter(pmod($"u" + $"v", lit(3L)) === 2),
+        prefix, wh, 2)
+      assert(rep() == full, "replay after compaction double-counted")
+    } finally ops.TriIncr.dropState(spark, prefix)
+  }
+
+  test("retraction: lost-triangle subtraction == recompute on reduced graph") {
+    import spark.implicits._
+    val e0 = edges(sfDir)
+    val del = e0.filter(pmod($"u" + $"v", lit(11L)) === 5)
+    assert(del.count() > 0, "takedown edge set empty — test is vacuous")
+    val kept = e0.join(del, Seq("u", "v"), "left_anti")
+    val pE = "tri_del_e_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val pA = "tri_del_a_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val whE = ops.IncrState.newWarehouse()
+    val whA = ops.IncrState.newWarehouse()
+    try {
+      (0 until 3).foreach { day =>
+        ops.TriIncr.runDay(spark, kept.filter(pmod($"u" + $"v", lit(3L)) === day),
+          pE, whE, day, nBuckets = 4)
+      }
+      val expected = canon(ops.TriIncr.report(spark, pE, whE))
+      (0 until 3).foreach { day =>
+        ops.TriIncr.runDay(spark, e0.filter(pmod($"u" + $"v", lit(3L)) === day),
+          pA, whA, day, nBuckets = 4)
+      }
+      val before = canon(ops.TriIncr.report(spark, pA, whA))
+      ops.TriIncr.deleteDay(spark, del, pA, whA, 3, nBuckets = 4)
+      ops.TriIncr.purgeDeleted(spark, pA, whA, nBuckets = 4)
+      // physical purge: no tombstoned orientation survives in the
+      // adjacency, and the surviving graph is intact
+      val delPairs = del.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val adjLeft = spark.table(s"${pA}_adj").select($"x", $"y").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      assert(!adjLeft.exists(delPairs.contains), "purge left tombstoned edges")
+      assert(adjLeft.nonEmpty, "purge emptied the adjacency")
+      def rep() = canon(ops.TriIncr.report(spark, pA, whA))
+      assert(rep() == expected, "retraction != batch on reduced graph")
+      assert(before != expected, "delete changed nothing — test is vacuous")
+      // replay of the delete day: the lost-triangle enumeration now sees
+      // the already-tombstoned edges as absent, so it must subtract
+      // NOTHING a second time
+      ops.TriIncr.deleteDay(spark, del, pA, whA, 3, nBuckets = 4)
+      assert(rep() == expected, "delete replay not idempotent")
+      ops.TriIncr.compactState(spark, pA, whA, nBuckets = 4)
+      assert(rep() == expected, "compaction corrupted retraction state")
+    } finally {
+      ops.TriIncr.dropState(spark, pE)
+      ops.TriIncr.dropState(spark, pA)
+    }
+  }
+}
