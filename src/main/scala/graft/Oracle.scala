@@ -387,8 +387,8 @@ object Oracle {
     * the incremental fold is lossless, so the batch recompute IS its
     * oracle) or a WHERE clause excluding the takedown edges
     * (q_tri_del). */
-  private def trianglesSqlOn(edgeWhere: String): String =
-    s"""WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem),
+  private def trianglesSqlOn(edgeWhere: String, lsWhere: String = ""): String =
+    s"""WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem $lsWhere),
          e0 AS (SELECT DISTINCT a.sk AS u, b.sk AS v
                 FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk $edgeWhere),
          deg AS (SELECT x, COUNT(*) AS dg FROM
@@ -772,11 +772,12 @@ object Oracle {
     // L55 incremental triangles: the fold over edge-arrival-day slices
     // is lossless (a triangle is counted once, on the day its last
     // edge arrives), so the batch profile is the oracle verbatim
-    "q_tri_incr" -> trianglesSqlOn(""),
+    "q_tri_incr" -> trianglesSqlOn("", "WHERE l_orderkey % 3 = 0"),
     // L55 retraction: fold + lost-triangle delete of the takedown edge
     // set ((u + v) % 7 == 3) must land exactly on the reduced-graph
     // batch profile
-    "q_tri_del" -> trianglesSqlOn("WHERE (a.sk + b.sk) % 7 <> 3"),
+    "q_tri_del" ->
+      trianglesSqlOn("WHERE (a.sk + b.sk) % 7 <> 3", "WHERE l_orderkey % 3 = 0"),
     // L37b approximate triangles: identical deterministic h64-mod-4
     // VERTEX coloring (colorful counting — edges kept iff endpoints
     // share a color), exact recount on the monochromatic subgraph

