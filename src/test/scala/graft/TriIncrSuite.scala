@@ -113,6 +113,57 @@ class TriIncrSuite extends SparkSpec {
     } finally ops.TriIncr.dropState(spark, prefix)
   }
 
+  test("streaming CDC inbox: interleaved edge add/delete events == reduced-graph profile") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tri_cdc_stream_").toString
+    val inbox = s"$root/inbox"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+    val e0 = edges(sfDir)
+    def land(df: DataFrame, name: String): Unit = {
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inbox/$name.parquet"))
+    }
+    def addSlice(k: Long) = e0.filter(pmod($"u" + $"v", lit(4L)) === k)
+      .withColumn("op", lit("add"))
+    val del = e0.filter(pmod($"u" + $"v", lit(11L)) === 5)
+    val prefix = "tri_cdc_s_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = s"$root/wh"
+    val ckpt = s"$root/ckpt"
+    try {
+      land(addSlice(0), "e0_add0")
+      land(addSlice(1), "e1_add1")
+      land(del.withColumn("op", lit("del")), "e2_del")
+      land(addSlice(2), "e3_add2")
+      val v1 = streaming.TriIncrStream.drainCdc(spark, inbox, prefix, wh, ckpt,
+        nBuckets = 4, maxDeltaDays = 6)
+      assert(v1 == 3, s"expected 4 one-file micro-batches -> batch 3, got $v1")
+      // restart with one more add (containing tombstoned edges that must
+      // stay retracted): the profile equals the reduced-graph fold
+      land(addSlice(3), "e4_add3")
+      val v2 = streaming.TriIncrStream.drainCdc(spark, inbox, prefix, wh, ckpt,
+        nBuckets = 4, maxDeltaDays = 6)
+      assert(v2 == 4, s"restart should process exactly the new event, got $v2")
+      val kept = e0.join(del, Seq("u", "v"), "left_anti")
+      val pE = "tri_cdc_e_" + java.lang.Long.toHexString(
+        U.h64Local(java.util.UUID.randomUUID().toString))
+      val whE = ops.IncrState.newWarehouse()
+      try {
+        (0 until 3).foreach { day =>
+          ops.TriIncr.runDay(spark, kept.filter(pmod($"u" + $"v", lit(3L)) === day),
+            pE, whE, day, nBuckets = 4)
+        }
+        assert(canon(ops.TriIncr.report(spark, prefix, wh)) ==
+          canon(ops.TriIncr.report(spark, pE, whE)),
+          "CDC drain != batch recompute on the reduced graph")
+      } finally ops.TriIncr.dropState(spark, pE)
+    } finally ops.TriIncr.dropState(spark, prefix)
+  }
+
   test("retraction: lost-triangle subtraction == recompute on reduced graph") {
     import spark.implicits._
     val e0 = edges(sfDir)
