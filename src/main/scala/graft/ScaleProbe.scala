@@ -216,27 +216,40 @@ object ScaleProbe {
       System.gc()
     }
     names.map { n =>
+      // progress + failure isolation (round 14: a 60-minute probe run
+      // died without a trace — the last queries in a long-lived probe
+      // JVM are the likeliest to hit transient executor faults, and one
+      // must not silently void the other 30 queries' evidence). A
+      // failed query records the -1 sentinel, VISIBLE in the committed
+      // artifact; the marker lines make the crash point findable.
+      System.err.println(s"PROBE measuring $n @ $dir")
       val fn = SparkEntry.queries(n)
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, dir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      once() // warm: codegen + JIT + shuffle files
-      drain()
-      val (r0, s0) = (shufRead.get, spilled.get)
-      // min-of-3 (Bench's offender re-measure hygiene): at the K× scale
-      // a probed query runs 10-20 s and the first post-warm-up run still
-      // carries a multi-second JIT tail — a 2-sample min caught a 1.7×
-      // outlier for q_sim_jaccard that three clean samples do not
-      val t = Seq(once(), once(), once()).min
-      drain()
-      // snapshot the timed runs' telemetry BEFORE the rows-out count —
-      // the count is bookkeeping, not part of the measured plan
-      val (shufMb, spillMb) =
-        ((shufRead.get - r0) / 3.0 / 1048576.0, (spilled.get - s0) / 1048576.0)
-      val rowsOut = fn(spark, dir).count()
-      val res = n -> (t, shufMb, spillMb, rowsOut)
+      val res = try {
+        once() // warm: codegen + JIT + shuffle files
+        drain()
+        val (r0, s0) = (shufRead.get, spilled.get)
+        // min-of-3 (Bench's offender re-measure hygiene): at the K× scale
+        // a probed query runs 10-20 s and the first post-warm-up run still
+        // carries a multi-second JIT tail — a 2-sample min caught a 1.7×
+        // outlier for q_sim_jaccard that three clean samples do not
+        val t = Seq(once(), once(), once()).min
+        drain()
+        // snapshot the timed runs' telemetry BEFORE the rows-out count —
+        // the count is bookkeeping, not part of the measured plan
+        val (shufMb, spillMb) =
+          ((shufRead.get - r0) / 3.0 / 1048576.0, (spilled.get - s0) / 1048576.0)
+        val rowsOut = fn(spark, dir).count()
+        n -> (t, shufMb, spillMb, rowsOut)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"PROBE FAIL $n @ $dir: ${e.getClass.getName}: ${e.getMessage}")
+          n -> (-1.0, -1.0, -1.0, -1L)
+      }
       release()
       res
     }.toMap
