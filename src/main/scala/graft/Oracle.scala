@@ -772,12 +772,12 @@ object Oracle {
     // L55 incremental triangles: the fold over edge-arrival-day slices
     // is lossless (a triangle is counted once, on the day its last
     // edge arrives), so the batch profile is the oracle verbatim
-    "q_tri_incr" -> trianglesSqlOn("", "WHERE l_orderkey % 3 = 0"),
+    "q_tri_incr" -> trianglesSqlOn("", "WHERE l_orderkey % 6 = 0"),
     // L55 retraction: fold + lost-triangle delete of the takedown edge
     // set ((u + v) % 7 == 3) must land exactly on the reduced-graph
     // batch profile
     "q_tri_del" ->
-      trianglesSqlOn("WHERE (a.sk + b.sk) % 7 <> 3", "WHERE l_orderkey % 3 = 0"),
+      trianglesSqlOn("WHERE (a.sk + b.sk) % 7 <> 3", "WHERE l_orderkey % 6 = 0"),
     // L37b approximate triangles: identical deterministic h64-mod-4
     // VERTEX coloring (colorful counting — edges kept iff endpoints
     // share a color), exact recount on the monochromatic subgraph

@@ -114,7 +114,12 @@ object ScaleProbe {
     // the incremental-triangles fold: per-day cost must stay ∝ the
     // day's fresh-edge wedges (edge-iterator bound) — probed at ×10
     // beside the batch q_graph_triangles row it amortizes
-    "q_tri_incr")
+    "q_tri_incr",
+    // round-15 addition (VERDICT r14 #3): the triangle RETRACTION —
+    // the newest, most expensive family member gets the same two-rung
+    // evidence bar as its fold twin (delete cost ∝ deleted edges'
+    // wedges, the same enumeration negated)
+    "q_tri_del")
 
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -293,7 +298,12 @@ object ScaleProbe {
     // round 14 session 2: the keyed-tombstone retraction and the
     // member-level backend get the standard two-rung bar too
     "q_dedup_del" -> "documents",
-    "q_curate_del" -> "documents")
+    "q_curate_del" -> "documents",
+    // round 15 (VERDICT r14 #3): the incremental-triangles pair — the
+    // wedge stream is the engine's known worst scaler, so its newest
+    // members carry the ×25 point next to the batch operator's
+    "q_tri_incr" -> "lineitem",
+    "q_tri_del" -> "lineitem")
   val Rung2K = 25
 
   /** Third rung (VERDICT r13 #5): ×100 for the incremental family's
@@ -415,7 +425,15 @@ object ScaleProbe {
       val out = new String(pr.getInputStream.readAllBytes(), "UTF-8").trim
       if (pr.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else ""
     } catch { case _: Throwable => "" }
-    val line = s"""{"src":"$srcDir","k":$k,"k2":$Rung2K,"git_head":"$gitHead","gen_sec":${r3(genSec)},"queries":{${rows.mkString(",")}}}"""
+    // heap provenance (VERDICT r14 #2): the probe-of-record config is
+    // SPARK_DRIVER_MEM=24g (bench_notes_r10:50) — the r14 artifact was
+    // silently captured at run.sh's 8 g default and advertised 144.6 GB
+    // of config-artifact spill (the runtime-derived SHJ budget correctly
+    // demotes the ×25 hash build to sort-merge-with-spill at 38 MB/task).
+    // The heap rides in the artifact so sweep.sh can REJECT a probe
+    // whose heap differs from the record — same discipline as git_head.
+    val driverMemMb = Runtime.getRuntime.maxMemory / 1048576
+    val line = s"""{"src":"$srcDir","k":$k,"k2":$Rung2K,"git_head":"$gitHead","driver_mem_mb":$driverMemMb,"gen_sec":${r3(genSec)},"queries":{${rows.mkString(",")}}}"""
     // a subset run is a diagnostic, not evidence — never clobber the
     // committed full-surface probe file with a partial one; both land at
     // the REPO ROOT regardless of cwd (the Bench atRoot discipline —

@@ -45,9 +45,9 @@ import org.apache.spark.sql.functions._
   */
 object AnnIncr {
 
-  private def codesTable(prefix: String) = s"${prefix}_codes"
-  private def vecsTable(prefix: String) = s"${prefix}_vecs"
-  private def delTable(prefix: String) = s"${prefix}_del"
+  private[ops] def codesTable(prefix: String) = s"${prefix}_codes"
+  private[ops] def vecsTable(prefix: String) = s"${prefix}_vecs"
+  private[ops] def delTable(prefix: String) = s"${prefix}_del"
 
   /** LSH width policy — THE serving-scale knob, now SELF-SIZING.
     * Candidates/query ≈ tables · |masks| · N/2^bits, so `bits` must grow
@@ -125,7 +125,7 @@ object AnnIncr {
     }
   }
 
-  private def stateTables(prefix: String): Seq[IncrState.StateTable] = Seq(
+  private[ops] def stateTables(prefix: String): Seq[IncrState.StateTable] = Seq(
     IncrState.StateTable(codesTable(prefix), "bkt", Seq("bkt", "vec_id")),
     IncrState.StateTable(vecsTable(prefix), "vec_id", Seq("vec_id")))
 
@@ -322,8 +322,8 @@ object AnnIncr {
     * every answer set on the next read, while its stale code rows can
     * only produce candidates the (inner) rerank join drops. Physical
     * reclamation is `purgeDeleted` (or any later re-code, which rebuilds
-    * codes from the filtered view). Cost ∝ delete slice; no state read,
-    * no history read. Delete wins, corpus-wide and permanent —
+    * codes from the filtered view). Cost ∝ delete slice + tombstone
+    * history (never the vec/code state). Delete wins, corpus-wide and permanent —
     * re-admitting a vec_id needs a fresh prefix. `day` must be fresh. */
   def deleteDay(s: SparkSession, deletedIds: DataFrame, prefix: String,
                 warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
@@ -332,8 +332,20 @@ object AnnIncr {
       deletedIds.select($"vec_id").distinct().withColumn("day", lit(day)),
       tombTable(prefix), warehouse, day, nBuckets)
     // net the corpus-size marker so the self-sizing width tracks the
-    // REDUCED corpus (an empty ReadSchema count of the fresh partition)
-    val nDel = s.table(delTable(prefix)).filter($"day" === day).count()
+    // REDUCED corpus — counting only NEWLY tombstoned ids (ADVICE r14):
+    // an id re-tombstoned under a later day must not decrement twice, or
+    // repeated takedown feeds would push the marker below the true live
+    // count and skew the derived LSH width low (performance/recall-shape
+    // only — answers stay exact via rerank — but the marker should track
+    // truth). The anti-join reads only the tombstone store (∝ total
+    // deletes, never the vec state), preserving the cost-∝-delete-slice
+    // contract. Residual: an id that never folded at all still counts
+    // (detecting it needs a vec-store scan, O(state) per delete day —
+    // not worth it for a shape knob; a later re-code rebuilds the true
+    // width from the filtered view anyway).
+    val fresh = s.table(delTable(prefix)).filter($"day" === day)
+    val prior = s.table(delTable(prefix)).filter($"day" =!= day).select($"vec_id")
+    val nDel = fresh.join(prior, Seq("vec_id"), "left_anti").count()
     writeVecCounts(s, warehouse, readVecCounts(s, warehouse) + (day -> -nDel))
     IncrState.writeLastDay(s, warehouse, day)
   }

@@ -54,14 +54,14 @@ object DedupIncr {
 
   def newWarehouse(): String = IncrState.newWarehouse()
 
-  private def bandsTable(prefix: String) = s"${prefix}_bands"
-  private def docsTable(prefix: String) = s"${prefix}_docs"
-  private def delTable(prefix: String) = s"${prefix}_del"
+  private[ops] def bandsTable(prefix: String) = s"${prefix}_bands"
+  private[ops] def docsTable(prefix: String) = s"${prefix}_docs"
+  private[ops] def delTable(prefix: String) = s"${prefix}_del"
   def pairsPath(warehouse: String, prefix: String) = s"$warehouse/pairs"
 
   /** The state-table group (see IncrState, the machinery factored out of
     * this module in round 12 when AnnIncr became the third member). */
-  private def stateTables(prefix: String): Seq[IncrState.StateTable] = Seq(
+  private[ops] def stateTables(prefix: String): Seq[IncrState.StateTable] = Seq(
     IncrState.StateTable(bandsTable(prefix), "band", Seq("band", "doc_id")),
     IncrState.StateTable(docsTable(prefix), "doc_id", Seq("doc_id")))
 
@@ -110,7 +110,7 @@ object DedupIncr {
     * or epoch state; only the FIRST write into a fresh warehouse
     * creates the tables. */
   def runDay(s: SparkSession, slice: DataFrame, prefix: String,
-             warehouse: String, day: Int, nBuckets: Int = 32): Unit = IncrState.withOverwriteMode(s, "dynamic") {
+             warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
     import s.implicits._
     val Seq(bandsT, docsT) = stateTables(prefix)
     // one shingling pass per document, EVER: the slice is shingled once
@@ -164,9 +164,12 @@ object DedupIncr {
       .filter($"jac" >= JaccardThreshold)
       .select($"p.d1".as("d1"), $"p.d2".as("d2"), $"jac")
     // ledger is day-partitioned for the same replay contract: a rerun of
-    // day N dynamic-overwrites only pairs/day=N
+    // day N dynamic-overwrites only pairs/day=N. The dynamic mode rides
+    // the WRITER option (path writes honor it; thread-confined — never
+    // the session conf, which raced under Verify's pool, VERDICT r14 #1)
     verified.withColumn("day", lit(day))
-      .write.mode("overwrite").partitionBy("day").parquet(pairsPath(warehouse, prefix))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(pairsPath(warehouse, prefix))
     // high-water marker: compaction folds day partitions into the epoch,
     // so the partition layout alone cannot answer "what was the last
     // fold?" after a quiet restart — a one-line marker can (idempotent:
@@ -241,10 +244,9 @@ object DedupIncr {
       .join(broadcast(tomb.select(col("doc_id").as("d1"))), Seq("d1"), "left_anti")
       .join(broadcast(tomb.select(col("doc_id").as("d2"))), Seq("d2"), "left_anti")
       .write.mode("overwrite").partitionBy("day").parquet(stage)
-    IncrState.withOverwriteMode(s, "dynamic") {
-      s.read.schema(pairsSchema).parquet(stage)
-        .write.mode("overwrite").partitionBy("day").parquet(path)
-    }
+    s.read.schema(pairsSchema).parquet(stage)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
     // partitions fully emptied by the filter got no overwrite — drop
     // whatever day dirs the staged result does NOT contain
     val kept = fs.listStatus(new org.apache.hadoop.fs.Path(stage)).toSeq
@@ -342,10 +344,9 @@ object DedupIncr {
     // superset; pairs()' distinct absorbs the copies). Natural (bounded,
     // ≤ shuffle-partition-count) file fan-out — a coalesce(1) here would
     // funnel a corpus-scale ledger through one task.
-    IncrState.withOverwriteMode(s, "dynamic") {
-      s.read.schema(pairsSchema).parquet(stage)
-        .write.mode("overwrite").partitionBy("day").parquet(path)
-    }
+    s.read.schema(pairsSchema).parquet(stage)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
     existing.foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/day=$d"), true))
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
@@ -413,13 +414,12 @@ object DedupIncr {
       s.sql(s"DELETE FROM $tbl WHERE day >= 0 AND day < $d"))
     // land the maintained ledger as one epoch through the same
     // stage→swap ordering as compactLedger
-    IncrState.withOverwriteMode(s, "dynamic") {
-      s.sql(s"SELECT d1, d2, jac FROM $tbl")
-        .withColumn("day", lit(newEpoch))
-        .write.mode("overwrite").parquet(stage)
-      s.read.schema(pairsSchema).parquet(stage)
-        .write.mode("overwrite").partitionBy("day").parquet(path)
-    }
+    s.sql(s"SELECT d1, d2, jac FROM $tbl")
+      .withColumn("day", lit(newEpoch))
+      .write.mode("overwrite").parquet(stage)
+    s.read.schema(pairsSchema).parquet(stage)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
     existing.foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/day=$d"), true))
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)

@@ -42,7 +42,7 @@ import org.apache.spark.sql.functions._
   */
 object DomainsIncr {
 
-  private def dlTable(prefix: String) = s"${prefix}_dl"
+  private[ops] def dlTable(prefix: String) = s"${prefix}_dl"
 
   private def stateTables(prefix: String): Seq[IncrState.StateTable] = Seq(
     IncrState.StateTable(dlTable(prefix), "domain", Seq("domain", "lang", "src_day")))

@@ -34,6 +34,42 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Per-task byte budget a non-spillable SHUFFLE_HASH build may claim —
+    * the shared guard for every `.hint("shuffle_hash")` decision in the
+    * graph family (here and TriIncr; ADVICE r14 factored it out so the
+    * incremental path can't silently re-open the batch's r10 OOM cliff
+    * with a stale fixed bound).
+    *
+    * Derivation (see triangleProfile's plan narrative for the history):
+    * per-executor slots × build bytes must fit the unified-memory share,
+    * budget = heap × 0.6 (spark.memory.fraction) × ¼ headroom / slots =
+    * heap × 15% / slots. The HEAP SOURCE must match where the build
+    * runs: local mode tasks run in this JVM (Runtime.maxMemory is the
+    * truth; spark.executor.memory is ignored by local mode), cluster
+    * mode builds in executors (only spark.executor.memory counts —
+    * Spark's 1 GB default when unset). Cluster mode trusts the derived
+    * budget ONLY when spark.executor.cores is explicit: unset means 1
+    * on YARN/K8s but ALL worker cores in standalone, so assuming 1 slot
+    * would over-grant the non-spillable hint by the real core count —
+    * with cores unknown, fall back to the conservative fixed 48 MB the
+    * derivation replaced (safe on every host it ever ran on). On an
+    * 8 GB / 32-thread local config this yields ~38 MB; a 24 GB heap
+    * gets ~121 MB and keeps the hash build through the ×25 probe rung. */
+  def shjPerTaskBudget(ss: org.apache.spark.sql.SparkSession): Long = {
+    val local = ss.sparkContext.isLocal
+    val coresConf =
+      if (local) Some(math.max(ss.sparkContext.defaultParallelism, 1))
+      else ss.sparkContext.getConf.getOption("spark.executor.cores")
+        .flatMap(_.toIntOption).map(math.max(_, 1))
+    val heapBytes =
+      if (local) Runtime.getRuntime.maxMemory
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        ss.sparkContext.getConf.get("spark.executor.memory", "1g"))
+    coresConf
+      .map(slots => heapBytes * 15L / 100L / slots)
+      .getOrElse(48L << 20)
+  }
+
   /** One synchronous integer-PageRank round: r'(v) = 0.15 + 0.85·Σ_{u→v}
     * r(u)/deg(u), all in micro-unit int64 arithmetic. */
   private def step(edges: DataFrame, deg: DataFrame, r: DataFrame): DataFrame = {
@@ -132,25 +168,7 @@ object Graph {
     // falling back to the DRIVER's heap there would over-grant the
     // non-spillable hint against small executors, the exact cliff this
     // guard exists for.
-    val local = ss.sparkContext.isLocal
-    // cluster mode trusts the derived budget ONLY when executor cores
-    // are explicitly configured: an unset spark.executor.cores means 1
-    // on YARN/K8s but ALL worker cores in standalone mode, so assuming
-    // 1 slot there over-grants the non-spillable hint by the real core
-    // count — the exact OOM cliff this guard exists to prevent. With
-    // cores unknown, fall back to the conservative fixed bound the
-    // derivation replaced (48 MB — safe on every host it ever ran on).
-    val coresConf =
-      if (local) Some(math.max(ss.sparkContext.defaultParallelism, 1))
-      else ss.sparkContext.getConf.getOption("spark.executor.cores")
-        .flatMap(_.toIntOption).map(math.max(_, 1))
-    val heapBytes =
-      if (local) Runtime.getRuntime.maxMemory
-      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        ss.sparkContext.getConf.get("spark.executor.memory", "1g"))
-    val perTaskBudget = coresConf
-      .map(slots => heapBytes * 15L / 100L / slots)
-      .getOrElse(48L << 20)
+    val perTaskBudget = shjPerTaskBudget(ss)
     val shjSafe =
       e.count() * 100L / ss.sessionState.conf.numShufflePartitions < perTaskBudget
     def shj(df: DataFrame): DataFrame = if (shjSafe) df.hint("shuffle_hash") else df

@@ -40,15 +40,6 @@ object IncrState {
     * collides with, so fresh-side pruning is untouched. */
   val EpochDay: Int = -1
 
-  /** Run `body` with spark.sql.sources.partitionOverwriteMode pinned,
-    * restoring the caller's setting after. */
-  def withOverwriteMode[T](s: SparkSession, mode: String)(body: => T): T = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, mode)
-    try body finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
-  }
-
   /** Re-register a state table whose files survived a JVM restart but
     * whose catalog entry (in-memory only — no Hive metastore anywhere in
     * this engine) did not: rebuild the CREATE TABLE from the on-disk
@@ -62,9 +53,14 @@ object IncrState {
     val dataCols = s.read.parquet(path).schema.fields
       .filterNot(_.name == "day")
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    // OPTIONS(partitionOverwriteMode 'dynamic'): every later insertInto
+    // into this table is a DYNAMIC partition overwrite regardless of the
+    // session conf — see the writeDay scaladoc for why this lives in the
+    // table metadata and not a conf mutation (the r14 Verify-pool race).
     s.sql(
       s"""CREATE TABLE ${t.name} ($dataCols, day INT)
          |USING PARQUET
+         |OPTIONS (partitionOverwriteMode 'dynamic')
          |PARTITIONED BY (day)
          |CLUSTERED BY (${t.bucketKey}) INTO $nBuckets BUCKETS
          |LOCATION '$path'""".stripMargin)
@@ -108,9 +104,25 @@ object IncrState {
     * is a dynamic overwrite of exactly the `day=N` partitions, so a
     * replay can never destroy later-day or epoch state). A table whose
     * files exist but whose catalog entry was lost to a JVM restart is
-    * re-registered first. The input must already carry the `day` column. */
+    * re-registered first. The input must already carry the `day` column.
+    *
+    * THREAD SAFETY (VERDICT r14 #1): the dynamic mode is pinned in the
+    * TABLE's storage properties (`partitionOverwriteMode=dynamic` at
+    * create, both saveAsTable and registerExisting), which Spark's
+    * InsertIntoHadoopFsRelationCommand reads per-relation and prefers
+    * over the session conf. The previous form — mutate the session-global
+    * `spark.sql.sources.partitionOverwriteMode` around each write and
+    * restore it in a finally — raced under any multi-threaded driver
+    * (Verify's pool, a multi-tenant Spark driver): thread A's restore
+    * could flip the conf back to STATIC between thread B's planning and
+    * execution, turning B's one-day overwrite into a full-table truncate
+    * (the r14 `q_tfidf_del` 0-row failure). A DataFrameWriter option on
+    * the insertInto itself does NOT reach the command (probed on Spark
+    * 4.1.2 — insertInto takes options from the table relation, not the
+    * writer), so the table property is the only thread-confined channel.
+    * ConcurrencySuite pins this with simultaneous folds on one session. */
   def writeDay(s: SparkSession, df0: DataFrame, t: StateTable, warehouse: String,
-               day: Int, nBuckets: Int): Unit = withOverwriteMode(s, "dynamic") {
+               day: Int, nBuckets: Int): Unit = {
     // repartition on the bucket key FIRST: HashPartitioning(key, n) uses
     // the same Murmur3-pmod as the bucketizer, so each task holds exactly
     // one bucket and the write emits n files — without it every task
@@ -124,8 +136,12 @@ object IncrState {
     if (!inCatalog && onDisk) registerExisting(s, t, warehouse,
       writtenBuckets(s, warehouse, t.name).getOrElse(nBuckets))
     if (!inCatalog && !onDisk) {
+      // partitionOverwriteMode lands in the table's storage properties
+      // here (create-time writer options persist), making every later
+      // insertInto dynamic without touching the session conf
       df.write.mode("overwrite").format("parquet").bucketBy(nBuckets, t.bucketKey)
         .partitionBy("day")
+        .option("partitionOverwriteMode", "dynamic")
         .option("path", s"$warehouse/${t.name}").saveAsTable(t.name)
       // record the physical bucket count beside the data: restart
       // re-registration must reuse it exactly (ensureRegistered)
@@ -209,6 +225,12 @@ object IncrState {
   private def mergePartitions(s: SparkSession, warehouse: String, t: StateTable,
                               days0: Seq[Int], newEpoch: Int, nBuckets: Int,
                               transform: DataFrame => DataFrame = identity): Unit = {
+    // restart contract, lifecycle side (PurgeChaosSuite found the gap):
+    // a purge/compaction may be the FIRST touch of a table after a JVM
+    // restart — e.g. purgeDeleted resuming right where a crash between
+    // the tombstone write and the purge left off — so the surviving
+    // files must be re-registered here like on every read path
+    ensureRegistered(s, t, warehouse)
     // group members usually share one partition layout, but a codes
     // re-code (AnnIncr width migration) can legitimately leave a member
     // with fewer partitions than the sizing table — merge only what THIS
@@ -223,12 +245,12 @@ object IncrState {
       .withColumn("day", lit(newEpoch))
       .dropDuplicates(t.naturalKey)
       .write.mode("overwrite").parquet(stage)
-    withOverwriteMode(s, "dynamic") {
-      s.read.parquet(stage)
-        .repartition(nBuckets, col(t.bucketKey))
-        .select(cols.map(col).toIndexedSeq: _*)
-        .write.mode("overwrite").insertInto(t.name)
-    }
+    // dynamic overwrite of day=newEpoch only — the mode comes from the
+    // table's own storage properties (see writeDay's thread-safety note)
+    s.read.parquet(stage)
+      .repartition(nBuckets, col(t.bucketKey))
+      .select(cols.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").insertInto(t.name)
     val fs = new org.apache.hadoop.fs.Path(warehouse)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     days.foreach { d =>

@@ -50,8 +50,8 @@ import org.apache.spark.sql.functions._
   */
 object QualityIncr {
 
-  private def pkTable(prefix: String) = s"${prefix}_pk"
-  private def tombTable(prefix: String) = s"${prefix}_pk_del"
+  private[ops] def pkTable(prefix: String) = s"${prefix}_pk"
+  private[ops] def tombTable(prefix: String) = s"${prefix}_pk_del"
   // marker scoped by PREFIX, not warehouse (ADVICE r13): the pk bitmap
   // table is prefix-scoped, so two QualityIncr states sharing one
   // warehouse — which the API permits — must not merge each other's
@@ -84,7 +84,7 @@ object QualityIncr {
     * marker, these counters are load-bearing for four of the five
     * report checks — the degrade-don't-throw policy fits recovery aids,
     * not correctness state. */
-  private def readCounts(s: SparkSession, wh: String, prefix: String): Map[Int, Seq[Long]] =
+  private[ops] def readCounts(s: SparkSession, wh: String, prefix: String): Map[Int, Seq[Long]] =
     IncrState.readMarker(s, wh, countsMarker(prefix)).map(_.linesIterator.flatMap { l =>
       if (l.trim.isEmpty) None
       else l.trim.split(' ') match {
@@ -151,6 +151,9 @@ object QualityIncr {
     writeCounts(s, warehouse, prefix,
       readCounts(s, warehouse, prefix) + (day -> vals))
     IncrState.writeLastDay(s, warehouse, day)
+    // keep the SQL report view's baked counter literals current (no-op
+    // unless IncrViews.registerQuality ever ran)
+    IncrViews.refreshQuality(s, prefix, warehouse)
   }
 
   /** Retraction (VERDICT r13 #1): fold one day's DELETED events out of
@@ -185,6 +188,7 @@ object QualityIncr {
     writeCounts(s, warehouse, prefix,
       readCounts(s, warehouse, prefix) + (day -> vals))
     IncrState.writeLastDay(s, warehouse, day)
+    IncrViews.refreshQuality(s, prefix, warehouse)
   }
 
   /** Path-based delete twin for the suite's input-bytes test. */

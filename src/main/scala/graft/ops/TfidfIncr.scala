@@ -49,8 +49,8 @@ import org.apache.spark.sql.functions._
   */
 object TfidfIncr {
 
-  private def tfTable(prefix: String) = s"${prefix}_tf"
-  private def dfTable(prefix: String) = s"${prefix}_df"
+  private[ops] def tfTable(prefix: String) = s"${prefix}_tf"
+  private[ops] def dfTable(prefix: String) = s"${prefix}_df"
 
   private def stateTables(prefix: String): Seq[IncrState.StateTable] = Seq(
     IncrState.StateTable(tfTable(prefix), "tok", Seq("doc_id", "tok", "src_day")),
@@ -83,6 +83,9 @@ object TfidfIncr {
     IncrState.writeDayCounts(s, warehouse, "_doc_counts",
       IncrState.readDayCounts(s, warehouse, "_doc_counts") + (day -> nDay))
     IncrState.writeLastDay(s, warehouse, day)
+    // keep the SQL report view's baked n_docs literal current (no-op
+    // catalog probe unless IncrViews.registerTfidf ever ran)
+    IncrViews.refreshTfidf(s, prefix, warehouse)
   }
 
   /** Path-based twin for the suite's input-bytes test. */
@@ -127,6 +130,7 @@ object TfidfIncr {
     IncrState.writeDayCounts(s, warehouse, "_doc_counts",
       IncrState.readDayCounts(s, warehouse, "_doc_counts") + (day -> -nDel))
     IncrState.writeLastDay(s, warehouse, day)
+    IncrViews.refreshTfidf(s, prefix, warehouse)
   }
 
   /** Path-based delete twin for the suite's input-bytes test. */

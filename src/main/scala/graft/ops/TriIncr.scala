@@ -49,9 +49,9 @@ import org.apache.spark.sql.functions._
   */
 object TriIncr {
 
-  private def adjTable(prefix: String) = s"${prefix}_adj"
-  private def triTable(prefix: String) = s"${prefix}_tri"
-  private def delTable(prefix: String) = s"${prefix}_del"
+  private[ops] def adjTable(prefix: String) = s"${prefix}_adj"
+  private[ops] def triTable(prefix: String) = s"${prefix}_tri"
+  private[ops] def delTable(prefix: String) = s"${prefix}_del"
 
   private def stateTables(prefix: String): Seq[IncrState.StateTable] = Seq(
     IncrState.StateTable(adjTable(prefix), "x", Seq("x", "y")),
@@ -100,10 +100,10 @@ object TriIncr {
     * is the correctness backstop), and the surviving probe is a
     * SHUFFLE_HASH semi-join building the edge side — hashing the small
     * live build instead of SORTING the wedge stream (guarded by the
-    * same conservative per-task bound as the batch's fallback; above
-    * it the join falls back to sort-merge, which spills instead of
-    * OOMing). `live` is expected pre-pinned by the caller (it feeds
-    * four consumers). */
+    * batch operator's runtime-derived per-task budget,
+    * Graph.shjPerTaskBudget; above it the join falls back to
+    * sort-merge, which spills instead of OOMing). `live` is expected
+    * pre-pinned by the caller (it feeds four consumers). */
   private def trianglesTouching(s: SparkSession, f: DataFrame,
                                 live: DataFrame, deg: DataFrame): DataFrame = {
     import s.implicits._
@@ -118,8 +118,12 @@ object TriIncr {
           .otherwise(struct($"v".as("p"), $"u".as("q"))).as("e"))
       .select($"e.p".as("p"), $"e.q".as("q"))
     val liveCount = live.count()
+    // the SAME runtime-derived per-task budget as the batch operator
+    // (Graph.shjPerTaskBudget, ADVICE r14): a fixed 48 MB here would
+    // re-open the r10 OOM cliff on small-heap/many-core executors once
+    // the live adjacency grows — a shuffled-hash build cannot spill
     val shjSafe = liveCount * 100L /
-      s.sessionState.conf.numShufflePartitions < (48L << 20)
+      s.sessionState.conf.numShufflePartitions < Graph.shjPerTaskBudget(s)
     def shj(df: DataFrame): DataFrame = if (shjSafe) df.hint("shuffle_hash") else df
     val wedges = oriented
       .join(shj(live.select($"x".as("p"), $"y".as("c"))), Seq("p"))
@@ -234,6 +238,9 @@ object TriIncr {
     IncrState.writeDay(s, bothWays(canon).withColumn("day", lit(day)),
       tombTable(prefix), warehouse, day, nBuckets)
     IncrState.writeLastDay(s, warehouse, day)
+    // the first delete creates the tombstone table — swap the SQL report
+    // view to its tombstone-aware form (no-op unless registered)
+    IncrViews.refreshTriangles(s, prefix, warehouse)
   }
 
   /** Path-based delete twin for the suite's input-bytes test. */
@@ -291,19 +298,26 @@ object TriIncr {
     allTables(prefix).foreach(t => s.sql(s"DROP TABLE IF EXISTS ${t.name}"))
 
   /** The exhibit's edge set: the part co-occurrence graph of every
-    * third order, canonical u < v (q_graph_triangles' derivation with
+    * SIXTH order, canonical u < v (q_graph_triangles' derivation with
     * an order restriction). The restriction is EXHIBIT hygiene, not an
     * operator limit: the exhibit replays the wedge stream four times
     * (three daily folds + a delete), so on the full graph it costs ~6×
     * the one-shot batch purely as demonstration overhead (the fold
     * total over all days is ~1.6× one batch run in wedge volume — the
     * per-day share is the point); the machinery is size-independent and
-    * the ScaleProbe rung carries the full-scale evidence (the same
-    * bounded-exhibit precedent as q_join_cross). */
+    * the ScaleProbe ×10/×25 rungs carry the full-scale evidence (the
+    * same bounded-exhibit precedent as q_join_cross). Every-third was
+    * the r14 tier; VERDICT r14 #7 re-tiered it — 37 s of the 184 s
+    * bench was demonstration overhead for one family. Tier sweep
+    * (3-run subset discipline, bench_notes_r15 V4): every-4th 28 s,
+    * every-6th 24.8 s, every-8th 24.4 s — past every-6th the cost is
+    * the per-ACTION scheduling floor (~24 s for the pair's ~50 jobs),
+    * not wedge volume, so every-6th is the knee: the richest graph the
+    * floor price buys. */
   private def edgeSet(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ls = Tables.lineitem(s, dir)
-      .filter($"l_orderkey" % 3 === 0)
+      .filter($"l_orderkey" % 6 === 0)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("sk")).distinct()
     ls.as("a").join(ls.as("b"), $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
       .select($"a.sk".as("u"), $"b.sk".as("v")).distinct()
@@ -373,8 +387,17 @@ object TriIncr {
     s.read.parquet(s"$wh/result").orderBy(col("tri").desc, col("part_key"))
   }
 
+  // Exhibit tier (VERDICT r14 #7): 2 fold days on the every-sixth-order
+  // graph. The day count is demonstration, not proof — each day's
+  // enumeration re-probes the live adjacency, so days are the exhibit's
+  // fixed-cost multiplier (3 days × every-3rd = 37.6 s of the r14
+  // bench; 2 days + the tier knee land at ~24.5 s, the per-action
+  // floor — see edgeSet's tier-sweep note) — while the SLICING-
+  // independence proof lives in TriIncrSuite (1/3/5-day folds all
+  // equal the batch profile) and the scale proof in the ×10/×25 probe
+  // rungs.
   val qs: Map[String, Q] = Map(
-    "q_tri_incr" -> ((s, d) => incremental(s, d, 3)),
-    "q_tri_del" -> ((s, d) => incrementalDel(s, d, 3))
+    "q_tri_incr" -> ((s, d) => incremental(s, d, 2)),
+    "q_tri_del" -> ((s, d) => incrementalDel(s, d, 2))
   )
 }

@@ -27,4 +27,30 @@ object ClusterIncrStream {
       graft.ops.ClusterIncr.maybeCompact(batch.sparkSession, prefix,
         warehouse, nBuckets, maxDeltaDays)
     }(graft.ops.ClusterIncr.lastDay(spark, warehouse))
+
+  /** The CDC form (VERDICT r14 #5): the HYBRID retraction algebra (L54)
+    * on the shared drainCdc loop — delete events must carry the
+    * embeddings as folded (negated centroid partials re-derive from the
+    * slice; vec/assignment tombstones are keyed). The drift check runs
+    * after adds AND deletes: a takedown that moves the refined
+    * centroids past the gate triggers the re-assign epoch inside the
+    * drain, exactly like a fold. */
+  def drainCdc(spark: SparkSession, inboxDir: String, prefix: String,
+               warehouse: String, checkpointDir: String,
+               nBuckets: Int = 8, maxDeltaDays: Int = 8,
+               driftPpm: Long = 10000L): Int =
+    IncrInboxStream.drainCdc(spark, inboxDir, checkpointDir,
+      AnnIncrStream.embSchema) { (adds, day) =>
+      graft.ops.ClusterIncr.runDay(adds.sparkSession, adds, prefix,
+        warehouse, day, nBuckets)
+      graft.ops.ClusterIncr.maybeReassign(adds.sparkSession, prefix,
+        warehouse, driftPpm, nBuckets)
+      graft.ops.ClusterIncr.maybeCompact(adds.sparkSession, prefix,
+        warehouse, nBuckets, maxDeltaDays)
+    } { (dels, day) =>
+      graft.ops.ClusterIncr.deleteDay(dels.sparkSession, dels, prefix,
+        warehouse, day, nBuckets)
+      graft.ops.ClusterIncr.maybeReassign(dels.sparkSession, prefix,
+        warehouse, driftPpm, nBuckets)
+    }(graft.ops.ClusterIncr.lastDay(spark, warehouse))
 }

@@ -125,4 +125,23 @@ object CurateIncrStream {
         .filter(_.startsWith("v")).flatMap(s => s.drop(1).toIntOption)
       if (vs.isEmpty) -1 else vs.max
     }
+
+  /** The CDC form (VERDICT r14 #5): add/delete events on the shared
+    * drainCdc loop against the RETRACTABLE backend (L53 — the
+    * member-level keeper state; the v<N> backend above compresses
+    * keepers lossily and cannot retract). Delete events must carry the
+    * documents as folded (the negated tf partials re-derive from the
+    * slice; the keeper tombstones are keyed on doc_id). */
+  def drainCdc(spark: SparkSession, inboxDir: String, prefix: String,
+               warehouse: String, checkpointDir: String,
+               nBuckets: Int = 8, maxDeltaDays: Int = 8): Int =
+    IncrInboxStream.drainCdc(spark, inboxDir, checkpointDir, docSchema) { (adds, day) =>
+      graft.ops.CurateIncr.runDayRetractable(adds.sparkSession, adds, prefix,
+        warehouse, day, nBuckets)
+      graft.ops.CurateIncr.maybeCompactRetractable(adds.sparkSession, prefix,
+        warehouse, nBuckets, maxDeltaDays)
+    } { (dels, day) =>
+      graft.ops.CurateIncr.deleteDayRetractable(dels.sparkSession, dels, prefix,
+        warehouse, day, nBuckets)
+    }(graft.ops.IncrState.lastDay(spark, warehouse))
 }

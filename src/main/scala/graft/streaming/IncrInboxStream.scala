@@ -22,16 +22,54 @@ import org.apache.spark.sql.types.StructType
   */
 object IncrInboxStream {
 
+  /** A checkpoint (and the warehouse it drives) is permanently bound to
+    * ONE drive form (ADVICE r14): `drain` maps batch b → day b while
+    * `drainCdc` maps b → days 2b/2b+1, so switching forms on one
+    * warehouse+checkpoint would make a later plain batch k
+    * dynamic-overwrite CDC batch k/2's add partition (day collision for
+    * even k), silently destroying folded state. The form is recorded in
+    * a marker beside the checkpoint on first drain and enforced loudly
+    * on every later one. */
+  private def pinDriveForm(spark: SparkSession, checkpointDir: String,
+                           form: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/_graft_drive_form")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val prev = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      finally in.close()
+      require(prev == form,
+        s"inbox checkpoint '$checkpointDir' was driven as '$prev' but this " +
+          s"drain is '$form': the two forms map batch ids to DIFFERENT day " +
+          "spaces (plain: day=b; cdc: days 2b/2b+1), so mixing them on one " +
+          "warehouse+checkpoint would dynamic-overwrite already-folded day " +
+          "partitions. Use a fresh warehouse + checkpoint per drive form.")
+    } else {
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write(form.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Drain every slice currently in `inboxDir` (one micro-batch per
     * file) through `fold(batch, day)`; returns the highest day folded,
     * or `fallback` when the drain saw no new files (a restart with
     * nothing to do — the state's own high-water marker answers, since
     * compaction folds settled day partitions into the epoch and the
     * layout alone cannot). Idempotent under restart with the same
-    * `checkpointDir`. */
+    * `checkpointDir` — which is BOUND to this plain form forever
+    * (see pinDriveForm). */
   def drain(spark: SparkSession, inboxDir: String, checkpointDir: String,
             schema: StructType)(fold: (DataFrame, Int) => Unit)
-           (fallback: => Int): Int = {
+           (fallback: => Int): Int =
+    drainForm(spark, inboxDir, checkpointDir, schema, "plain")(fold)(fallback)
+
+  private def drainForm(spark: SparkSession, inboxDir: String, checkpointDir: String,
+                        schema: StructType, form: String)
+                       (fold: (DataFrame, Int) => Unit)
+                       (fallback: => Int): Int = {
+    pinDriveForm(spark, checkpointDir, form)
     val seen = new java.util.concurrent.atomic.AtomicInteger(-1)
     val q = spark.readStream
       .schema(schema)
@@ -64,14 +102,16 @@ object IncrInboxStream {
     * Ordering is the stream's: an id re-added after its own takedown in
     * a later slice stays retracted (delete wins at every member), and
     * add+delete in ONE slice nets to retracted because the delete day
-    * (2b+1) follows the add day (2b). */
+    * (2b+1) follows the add day (2b). The checkpoint is BOUND to the
+    * cdc form forever (see pinDriveForm — the 2b/2b+1 day space must
+    * never be re-entered by a plain drain's day=b). */
   def drainCdc(spark: SparkSession, inboxDir: String, checkpointDir: String,
                schema: StructType)
               (fold: (DataFrame, Int) => Unit)
               (delete: (DataFrame, Int) => Unit)
               (fallback: => Int): Int = {
     import org.apache.spark.sql.functions.col
-    drain(spark, inboxDir, checkpointDir, cdcSchema(schema)) { (batch, day) =>
+    drainForm(spark, inboxDir, checkpointDir, cdcSchema(schema), "cdc") { (batch, day) =>
       val adds = batch.filter(col("op") === "add").drop("op")
       val dels = batch.filter(col("op") === "del").drop("op")
       if (!adds.isEmpty) fold(adds, 2 * day)

@@ -30,4 +30,24 @@ object QualityIncrStream {
       graft.ops.QualityIncr.maybeCompact(batch.sparkSession, prefix,
         warehouse, nBuckets, maxDeltaDays)
     }(graft.ops.QualityIncr.lastDay(spark, warehouse))
+
+  /** The CDC form (VERDICT r14 #5): add events fold counters + pk
+    * bitmaps, delete events land NEGATED counter lines + tombstone
+    * bitmaps (the L50 bitmap-tombstone algebra) — on the shared
+    * drainCdc loop, with the customer dim re-read per micro-batch like
+    * the plain drain. */
+  def drainCdc(spark: SparkSession, inboxDir: String, custDir: String,
+               prefix: String, warehouse: String, checkpointDir: String,
+               nBuckets: Int = 8, maxDeltaDays: Int = 8): Int =
+    IncrInboxStream.drainCdc(spark, inboxDir, checkpointDir, eventSchema) { (adds, day) =>
+      graft.ops.QualityIncr.runDay(adds.sparkSession, adds,
+        graft.Tables.customer(adds.sparkSession, custDir), prefix,
+        warehouse, day, nBuckets)
+      graft.ops.QualityIncr.maybeCompact(adds.sparkSession, prefix,
+        warehouse, nBuckets, maxDeltaDays)
+    } { (dels, day) =>
+      graft.ops.QualityIncr.deleteDay(dels.sparkSession, dels,
+        graft.Tables.customer(dels.sparkSession, custDir), prefix,
+        warehouse, day, nBuckets)
+    }(graft.ops.QualityIncr.lastDay(spark, warehouse))
 }

@@ -41,4 +41,21 @@ object TfidfIncrStream {
       graft.ops.TfidfIncr.maybeCompact(batch.sparkSession, prefix,
         warehouse, nBuckets, maxDeltaDays)
     }(graft.ops.TfidfIncr.lastDay(spark, warehouse))
+
+  /** The CDC form (VERDICT r14 #5): one ordered inbox of add/delete
+    * events on the shared drainCdc loop — the ADDITIVE retraction
+    * algebra (L49), so delete events must carry the documents as folded
+    * (the negative tf/df partials re-derive from the slice). */
+  def drainCdc(spark: SparkSession, inboxDir: String, prefix: String,
+               warehouse: String, checkpointDir: String,
+               nBuckets: Int = 8, maxDeltaDays: Int = 8): Int =
+    IncrInboxStream.drainCdc(spark, inboxDir, checkpointDir, docSchema) { (adds, day) =>
+      graft.ops.TfidfIncr.runDay(adds.sparkSession, adds, prefix,
+        warehouse, day, nBuckets)
+      graft.ops.TfidfIncr.maybeCompact(adds.sparkSession, prefix,
+        warehouse, nBuckets, maxDeltaDays)
+    } { (dels, day) =>
+      graft.ops.TfidfIncr.deleteDay(dels.sparkSession, dels, prefix,
+        warehouse, day, nBuckets)
+    }(graft.ops.TfidfIncr.lastDay(spark, warehouse))
 }

@@ -270,4 +270,59 @@ class ClusterIncrSuite extends SparkSpec {
       assert(plan.contains("Bucketed: true"), s"report lost its bucketed scan:\n$plan")
     } finally ops.ClusterIncr.dropState(spark, prefix)
   }
+
+  test("streaming CDC inbox: interleaved add/delete events == reduced-corpus epoch") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cluster_cdc_stream_").toString
+    val inbox = s"$root/inbox"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+    val emb = Tables.embeddings(spark, sfDir)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inbox/$name.parquet"))
+    }
+    def addSlice(k: Long) = emb.filter(pmod($"vec_id", lit(4L)) === k)
+      .withColumn("op", lit("add"))
+    // the HYBRID algebra: delete events carry the embeddings as folded
+    // (negated centroid partials re-derive from the slice)
+    val del = emb.filter(pmod($"vec_id", lit(11L)) === 5)
+    val prefix = "cluster_cdc_s_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = s"$root/wh"
+    val ckpt = s"$root/ckpt"
+    try {
+      land(addSlice(0), "e0_add0")
+      land(addSlice(1), "e1_add1")
+      land(del.withColumn("op", lit("del")), "e2_del")
+      land(addSlice(2), "e3_add2")
+      val v1 = streaming.ClusterIncrStream.drainCdc(spark, inbox, prefix, wh, ckpt,
+        nBuckets = 4, maxDeltaDays = 3)
+      assert(v1 == 3, s"expected 4 one-file micro-batches -> batch 3, got $v1")
+      land(addSlice(3), "e4_add3")
+      val v2 = streaming.ClusterIncrStream.drainCdc(spark, inbox, prefix, wh, ckpt,
+        nBuckets = 4, maxDeltaDays = 3)
+      assert(v2 == 4, s"restart should process exactly the new event, got $v2")
+      // settle the final epoch (the drain's drift checks are gated),
+      // then compare against the reduced-corpus fold + its epoch
+      ops.ClusterIncr.reassign(spark, prefix, wh, nBuckets = 4)
+      val kept = emb.join(del.select($"vec_id"), Seq("vec_id"), "left_anti")
+      val pE = "cluster_cdc_e_" + java.lang.Long.toHexString(
+        U.h64Local(java.util.UUID.randomUUID().toString))
+      val whE = ops.IncrState.newWarehouse()
+      try {
+        (0 until 3).foreach { day =>
+          ops.ClusterIncr.runDay(spark, kept.filter(pmod($"vec_id", lit(3L)) === day),
+            pE, whE, day, nBuckets = 4)
+        }
+        ops.ClusterIncr.reassign(spark, pE, whE, nBuckets = 4)
+        assert(canon(ops.ClusterIncr.report(spark, prefix, wh)) ==
+          canon(ops.ClusterIncr.report(spark, pE, whE)),
+          "CDC drain != batch recompute on the reduced corpus")
+      } finally ops.ClusterIncr.dropState(spark, pE)
+    } finally ops.ClusterIncr.dropState(spark, prefix)
+  }
 }

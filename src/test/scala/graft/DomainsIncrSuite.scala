@@ -325,6 +325,16 @@ class DomainsIncrSuite extends SparkSpec {
           canon(ops.DomainsIncr.report(spark, pE, whE)),
           "CDC drain != batch recompute on the reduced corpus")
       } finally ops.DomainsIncr.dropState(spark, pE)
+      // drive-form pinning (ADVICE r14): this checkpoint is bound to the
+      // cdc day space (2b/2b+1) forever — a plain drain reusing it would
+      // dynamic-overwrite CDC add partitions (day k == 2·(k/2) for even
+      // k), so it must fail LOUDLY, not corrupt state
+      val ex = intercept[IllegalArgumentException] {
+        streaming.DomainsIncrStream.drainInbox(spark, inbox, prefix, wh, ckpt,
+          nBuckets = 4, maxDeltaDays = 3)
+      }
+      assert(ex.getMessage.contains("driven as 'cdc'"),
+        s"wrong failure: ${ex.getMessage}")
     } finally ops.DomainsIncr.dropState(spark, prefix)
   }
 

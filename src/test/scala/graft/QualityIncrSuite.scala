@@ -339,4 +339,56 @@ class QualityIncrSuite extends SparkSpec {
       assert(plan.contains("Bucketed: true"), s"report lost its bucketed scans:\n$plan")
     } finally ops.QualityIncr.dropState(spark, prefix)
   }
+
+  test("streaming CDC inbox: interleaved add/delete events == reduced-corpus recompute") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("quality_cdc_stream_").toString
+    val inbox = s"$root/inbox"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+    val ev = Tables.events(spark, sfDir).select($"event_id", $"user_id", $"value")
+    val cust = Tables.customer(spark, sfDir)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inbox/$name.parquet"))
+    }
+    def addSlice(k: Long) = ev.filter(pmod($"event_id", lit(4L)) === k)
+      .withColumn("op", lit("add"))
+    // the takedown set must include planted-dirt members so every
+    // counter shrinks (same shape as the batch retraction test)
+    val del = ev.filter(pmod($"event_id", lit(11L)) === 5)
+    val prefix = "quality_cdc_s_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = s"$root/wh"
+    val ckpt = s"$root/ckpt"
+    try {
+      land(addSlice(0), "e0_add0")
+      land(addSlice(1), "e1_add1")
+      land(del.withColumn("op", lit("del")), "e2_del")
+      land(addSlice(2), "e3_add2")
+      val v1 = streaming.QualityIncrStream.drainCdc(spark, inbox, sfDir, prefix,
+        wh, ckpt, nBuckets = 4, maxDeltaDays = 3)
+      assert(v1 == 3, s"expected 4 one-file micro-batches -> batch 3, got $v1")
+      land(addSlice(3), "e4_add3")
+      val v2 = streaming.QualityIncrStream.drainCdc(spark, inbox, sfDir, prefix,
+        wh, ckpt, nBuckets = 4, maxDeltaDays = 3)
+      assert(v2 == 4, s"restart should process exactly the new event, got $v2")
+      val kept = ev.join(del.select($"event_id"), Seq("event_id"), "left_anti")
+      val pE = "quality_cdc_e_" + java.lang.Long.toHexString(
+        U.h64Local(java.util.UUID.randomUUID().toString))
+      val whE = ops.IncrState.newWarehouse()
+      try {
+        (0 until 3).foreach { day =>
+          ops.QualityIncr.runDay(spark, kept.filter(pmod($"event_id", lit(3L)) === day),
+            cust, pE, whE, day, nBuckets = 4)
+        }
+        assert(canon(ops.QualityIncr.report(spark, prefix, wh)) ==
+          canon(ops.QualityIncr.report(spark, pE, whE)),
+          "CDC drain != batch recompute on the reduced corpus")
+      } finally ops.QualityIncr.dropState(spark, pE)
+    } finally ops.QualityIncr.dropState(spark, prefix)
+  }
 }

@@ -17,7 +17,7 @@ class TriIncrSuite extends SparkSpec {
   private def edges(dir: String): DataFrame = {
     import spark.implicits._
     val ls = Tables.lineitem(spark, dir)
-      .filter($"l_orderkey" % 3 === 0)
+      .filter($"l_orderkey" % 6 === 0)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("sk")).distinct()
     ls.as("a").join(ls.as("b"), $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
       .select($"a.sk".as("u"), $"b.sk".as("v")).distinct()

@@ -67,6 +67,23 @@ if [ -f scale_probe.json ]; then
   if [ -n "$(git status --porcelain src/main/scala 2>/dev/null)" ]; then
     echo "WARN: uncommitted src/main/scala edits — the probe cannot vouch for them"
   fi
+  # Heap provenance (VERDICT r14 #2): the probe of record runs at
+  # SPARK_DRIVER_MEM=24g (bench_notes_r10:50). The r14 artifact was
+  # captured at run.sh's 8g default, and its 144.6 GB "spill" was pure
+  # heap-config artifact (the SHJ budget correctly demotes the hash
+  # build under a small heap) — a fresh reader of BENCH_r14.json would
+  # conclude the engine spills. Reject any probe whose embedded heap
+  # differs from the record; probes predating the field fail too (they
+  # cannot vouch for their config).
+  PROBE_HEAP_MB=24576
+  probe_mem=$(python3 -c "import json; print(json.load(open('scale_probe.json')).get('driver_mem_mb',0))" 2>/dev/null)
+  if [ -z "$probe_mem" ] || [ "$probe_mem" -lt $((PROBE_HEAP_MB * 95 / 100)) ] \
+       || [ "$probe_mem" -gt $((PROBE_HEAP_MB * 105 / 100)) ]; then
+    echo "BAD HEAP: probe driver_mem_mb='$probe_mem' != record ${PROBE_HEAP_MB} MB — re-run: SPARK_DRIVER_MEM=24g bash tools/run.sh graft.ScaleProbe"
+    fail=1
+  else
+    echo "heap ok (driver_mem_mb=$probe_mem, record=$PROBE_HEAP_MB)"
+  fi
 else
   echo "MISSING scale_probe.json"; fail=1
 fi
