@@ -31,8 +31,17 @@ import org.apache.spark.sql.SparkSession
   * session-registered function), which for the quality report means
   * the native `bitmap_andnot` is replaced by the set identity
   * |live \ tomb| = |live ∪ tomb| − |tomb| over the built-in
-  * bitmap_or_agg/bitmap_count — same value, two extra bucket-local
-  * aggregates, still exchange-free under the `bkt` bucketing. */
+  * bitmap_or_agg/bitmap_count. Plan cost of that trade, measured and
+  * pinned (IncrViewsSuite): the UNION ALL under the |L∪T| or_agg loses
+  * the bucketed scans' output partitioning, so the view pays ONE
+  * exchange the Scala report does not — over the replay-deduped bitmap
+  * rows, i.e. ≤ buckets × (days + epochs) ROWS regardless of corpus
+  * (bytes ∝ the bitmaps themselves), plus the trivial SinglePartition
+  * scalar sum. The TF-IDF view keeps the member plan's shape exactly:
+  * state sides exchange-free over the tok-bucketed scans (the tok join
+  * is a sort-only SMJ), one output-inherent doc_id window exchange,
+  * WindowGroupLimit applied. The Scala reports stay the zero-/minimal-
+  * exchange serving paths; the views are the SQL doorway. */
 object IncrViews {
 
   def viewName(prefix: String): String = s"v_${prefix}_report"

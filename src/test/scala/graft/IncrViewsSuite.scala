@@ -108,6 +108,55 @@ class IncrViewsSuite extends SparkSpec {
     }
   }
 
+  test("view plans: tfidf state-side exchange-free; quality's union identity costs one bounded exchange") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val events = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"value")
+    val customers = Tables.customer(spark, sfDir)
+    val pT = freshPrefix("tfidf_viewplan_")
+    val pQ = freshPrefix("quality_viewplan_")
+    val whT = ops.IncrState.newWarehouse()
+    val whQ = ops.IncrState.newWarehouse()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      (0 to 1).foreach(d => ops.TfidfIncr.runDay(spark,
+        docs.filter(pmod($"doc_id", lit(2L)) === d), pT, whT, d, nBuckets = 4))
+      val vT = ops.IncrViews.registerTfidf(spark, pT, whT)
+      (0 to 1).foreach(d => ops.QualityIncr.runDay(spark,
+        events.filter(pmod($"event_id", lit(2L)) === d), customers,
+        pQ, whQ, d, nBuckets = 4))
+      ops.QualityIncr.deleteDay(spark,
+        events.filter(pmod($"event_id", lit(5L)) === 2), customers,
+        pQ, whQ, 2, nBuckets = 4)
+      val vQ = ops.IncrViews.registerQuality(spark, pQ, whQ)
+      // no broadcast escape hatch: the state sides must be exchange-free
+      // BY BUCKETING, not by smallness
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def exchanges(plan: String): Int = plan.linesIterator
+        .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      val planT = spark.sql(s"SELECT * FROM $vT").queryExecution.executedPlan.toString
+      // exactly the member plan's shape: the one output-inherent doc_id
+      // window exchange; tf/df nets and the tok join ride the bucketing
+      assert(exchanges(planT) <= 1, s"tfidf view grew a state-side shuffle:\n$planT")
+      assert(planT.contains("Bucketed: true"), s"tfidf view lost bucketed scans:\n$planT")
+      assert(planT.contains("WindowGroupLimit"), s"tfidf view lost the top-k group limit:\n$planT")
+      val planQ = spark.sql(s"SELECT * FROM $vQ").queryExecution.executedPlan.toString
+      // the documented trade of the pure-SQL |L∪T|−|T| identity: ONE
+      // exchange over the unioned replay-deduped bitmap rows (≤ buckets ×
+      // days+epochs rows) + the trivial SinglePartition scalar sum — and
+      // nothing else (the tomb-side or_agg and the join stay bucket-local)
+      assert(exchanges(planQ) <= 2, s"quality view grew beyond the documented exchanges:\n$planQ")
+      assert(planQ.contains("Bucketed: true"), s"quality view lost bucketed scans:\n$planQ")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      ops.IncrViews.dropView(spark, pT)
+      ops.IncrViews.dropView(spark, pQ)
+      ops.TfidfIncr.dropState(spark, pT)
+      ops.QualityIncr.dropState(spark, pQ)
+    }
+  }
+
   test("v_*_report == TriIncr.report, fresh session, tombstone swap") {
     import spark.implicits._
     // the exhibit graph at test scale: part co-occurrence of lineitem
