@@ -61,8 +61,8 @@ object ClusterIncr {
 
   private def vecsTable(prefix: String) = s"${prefix}_vecs"
   private def cpartTable(prefix: String) = s"${prefix}_cpart"
-  private def asgTable(prefix: String) = s"${prefix}_asg"
-  private def delTable(prefix: String) = s"${prefix}_del"
+  private[ops] def asgTable(prefix: String) = s"${prefix}_asg"
+  private[ops] def delTable(prefix: String) = s"${prefix}_del"
   private def centMarker(prefix: String) = s"_${prefix}_centroids"
   private def pendingMarker(prefix: String) = s"_${prefix}_reassign_pending"
 
@@ -218,6 +218,9 @@ object ClusterIncr {
         .withColumn("src_day", lit(day)).withColumn("day", lit(day))
       IncrState.writeDay(s, parts, cpartT, warehouse, day, nBuckets)
       IncrState.writeLastDay(s, warehouse, day)
+      // the first delete creates the vec tombstone table — swap the SQL
+      // report view to its tombstone-aware form (no-op unless registered)
+      IncrViews.refreshCluster(s, prefix, warehouse)
     } finally { m.unpersist(); () }
   }
 

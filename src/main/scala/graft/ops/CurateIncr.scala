@@ -371,10 +371,10 @@ object CurateIncr {
   // family contract: delete wins, replay idempotent, cost ∝ delete
   // slice, history never re-read.
 
-  private def md5mTable(prefix: String) = s"${prefix}_md5m"
-  private def linemTable(prefix: String) = s"${prefix}_linem"
-  private def tfmTable(prefix: String) = s"${prefix}_tfm"
-  private def delmTable(prefix: String) = s"${prefix}_del"
+  private[ops] def md5mTable(prefix: String) = s"${prefix}_md5m"
+  private[ops] def linemTable(prefix: String) = s"${prefix}_linem"
+  private[ops] def tfmTable(prefix: String) = s"${prefix}_tfm"
+  private[ops] def delmTable(prefix: String) = s"${prefix}_del"
 
   private def retractableTables(prefix: String): Seq[IncrState.StateTable] = Seq(
     IncrState.StateTable(md5mTable(prefix), "k_md5", Seq("k_md5", "doc_id")),
@@ -458,6 +458,9 @@ object CurateIncr {
       IncrState.writeDay(s, tfNeg.withColumn("src_day", lit(day))
         .withColumn("day", lit(day)), tfT, warehouse, day, nBuckets)
       IncrState.writeLastDay(s, warehouse, day)
+      // first delete creates the keeper tombstone table — swap the SQL
+      // report view to its tombstone-aware form (no-op unless registered)
+      IncrViews.refreshCurate(s, prefix, warehouse)
     } finally { g.unpersist(blocking = false); () }
   }
 

@@ -192,6 +192,103 @@ object IncrViews {
                                     warehouse: String): Unit =
     refreshIfRegistered(s, prefix) { registerTriangles(s, prefix, warehouse); () }
 
+  // ---- L51 incremental k-means ---------------------------------------
+
+  /** No marker scalars; the only registration-time dependence is the
+    * vec tombstone table (first deleteDay refreshes). One K-row
+    * aggregate over the replay-deduped assignment state, like the Scala
+    * report. */
+  def registerCluster(s: SparkSession, prefix: String, warehouse: String): String = {
+    val hasTomb = s.catalog.tableExists(ClusterIncr.delTable(prefix))
+    val liveCte =
+      if (!hasTomb)
+        s"""live AS (SELECT vec_id, cl, sim_i
+           |         FROM (SELECT DISTINCT vec_id, cl, sim_i, src_day
+           |               FROM ${ClusterIncr.asgTable(prefix)}))""".stripMargin
+      else
+        s"""asg AS (SELECT vec_id, cl, sim_i
+           |        FROM (SELECT DISTINCT vec_id, cl, sim_i, src_day
+           |              FROM ${ClusterIncr.asgTable(prefix)})),
+           |live AS (SELECT a.vec_id, a.cl, a.sim_i FROM asg a
+           |         LEFT ANTI JOIN ${ClusterIncr.delTable(prefix)} t
+           |           ON a.vec_id = t.vec_id)""".stripMargin
+    create(s, prefix,
+      s"""WITH $liveCte
+         |SELECT cl AS cluster, COUNT(1) AS n, SUM(sim_i) AS sim_sum,
+         |       ROUND(CAST(SUM(sim_i) AS DOUBLE)
+         |             / (1000000.0 * CAST(COUNT(1) AS DOUBLE)), 6) AS mean_sim
+         |FROM live GROUP BY cl""".stripMargin)
+  }
+
+  private[ops] def refreshCluster(s: SparkSession, prefix: String,
+                                  warehouse: String): Unit =
+    refreshIfRegistered(s, prefix) { registerCluster(s, prefix, warehouse); () }
+
+  // ---- L53 retractable curation (member-level keeper backend) ---------
+
+  /** The hard retraction case as SQL: the keeper is re-derived at read
+    * time from the member-level state via MIN(STRUCT(...)) per group
+    * (struct ordering == the Scala min(struct) keeper pick), with the
+    * doc_id tombstones anti-joined BEFORE the min — exactly why the
+    * member-level backend exists (a compressed keeper could not give
+    * the runner-up back). splitOf's h64 appears as its built-in
+    * `conv(substring(md5))` equivalent, the Catalog view convention. */
+  def registerCurate(s: SparkSession, prefix: String, warehouse: String): String = {
+    val hasTomb = s.catalog.tableExists(CurateIncr.delmTable(prefix))
+    val anti = (alias: String) =>
+      if (!hasTomb) ""
+      else s" LEFT ANTI JOIN ${CurateIncr.delmTable(prefix)} t ON $alias.doc_id = t.doc_id"
+    val split = (docId: String) =>
+      s"""CASE WHEN CAST(conv(substring(md5(concat('split:', CAST($docId AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000 < 800 THEN 'train'
+         |     WHEN CAST(conv(substring(md5(concat('split:', CAST($docId AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000 < 900 THEN 'valid'
+         |     ELSE 'test' END""".stripMargin
+    create(s, prefix,
+      s"""WITH md5k AS (
+         |  SELECT k_md5, k.doc_id AS doc_id, k.lang AS lang,
+         |         k.n_toks AS n_toks, k.n_lines AS n_lines
+         |  FROM (SELECT k_md5,
+         |               MIN(STRUCT(doc_id, lang, n_toks, n_lines)) AS k
+         |        FROM (SELECT m.k_md5, m.doc_id, m.lang, m.n_toks, m.n_lines
+         |              FROM (SELECT DISTINCT k_md5, doc_id, lang, n_toks, n_lines
+         |                    FROM ${CurateIncr.md5mTable(prefix)}) m${anti("m")})
+         |        GROUP BY k_md5)),
+         |linek AS (
+         |  SELECT line, k.doc_id AS doc_id, k.lang AS lang, k.len AS len
+         |  FROM (SELECT line, MIN(STRUCT(doc_id, idx, lang, len)) AS k
+         |        FROM (SELECT l.line, l.doc_id, l.idx, l.lang, l.len
+         |              FROM (SELECT DISTINCT line, doc_id, idx, lang, len
+         |                    FROM ${CurateIncr.linemTable(prefix)}) l${anti("l")})
+         |        GROUP BY line)),
+         |tfk AS (
+         |  SELECT split, lang, tok, SUM(c) AS c
+         |  FROM (SELECT DISTINCT split, lang, tok, src_day, c
+         |        FROM ${CurateIncr.tfmTable(prefix)})
+         |  GROUP BY split, lang, tok HAVING SUM(c) > 0),
+         |d1 AS (SELECT ${split("doc_id")} AS split, lang,
+         |              COUNT(1) AS n_docs, SUM(n_toks) AS sum_toks,
+         |              SUM(n_lines) AS n_lines
+         |       FROM md5k GROUP BY 1, 2),
+         |d2 AS (SELECT ${split("doc_id")} AS split, lang,
+         |              COUNT(1) AS n_kept, SUM(len) AS kept_chars
+         |       FROM linek GROUP BY 1, 2),
+         |d3 AS (SELECT split, lang, COUNT(1) AS n_vocab, SUM(c) AS n_tok_occ
+         |       FROM tfk GROUP BY split, lang)
+         |SELECT split, lang,
+         |       COALESCE(n_docs, CAST(0 AS BIGINT)) AS n_docs,
+         |       COALESCE(sum_toks, CAST(0 AS BIGINT)) AS sum_toks,
+         |       COALESCE(n_lines, CAST(0 AS BIGINT)) AS n_lines,
+         |       COALESCE(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+         |       COALESCE(kept_chars, CAST(0 AS BIGINT)) AS kept_chars,
+         |       COALESCE(n_vocab, CAST(0 AS BIGINT)) AS n_vocab,
+         |       COALESCE(n_tok_occ, CAST(0 AS BIGINT)) AS n_tok_occ
+         |FROM d1 FULL OUTER JOIN d2 USING (split, lang)
+         |        FULL OUTER JOIN d3 USING (split, lang)""".stripMargin)
+  }
+
+  private[ops] def refreshCurate(s: SparkSession, prefix: String,
+                                 warehouse: String): Unit =
+    refreshIfRegistered(s, prefix) { registerCurate(s, prefix, warehouse); () }
+
   /** Drop a previously registered report view (member dropState twins). */
   def dropView(s: SparkSession, prefix: String): Unit =
     s.sql(s"DROP VIEW IF EXISTS ${viewName(prefix)}")

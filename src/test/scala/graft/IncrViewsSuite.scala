@@ -108,6 +108,59 @@ class IncrViewsSuite extends SparkSpec {
     }
   }
 
+  test("v_*_report == ClusterIncr.report, fresh session, tombstone swap") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val prefix = freshPrefix("cluster_view_")
+    val wh = ops.IncrState.newWarehouse()
+    try {
+      (0 to 1).foreach(d => ops.ClusterIncr.runDay(spark,
+        emb.filter(pmod($"vec_id", lit(2L)) === d), prefix, wh, d, nBuckets = 4))
+      val v = ops.IncrViews.registerCluster(spark, prefix, wh)
+      val fresh = spark.newSession()
+      assert(canon(fresh.sql(s"SELECT * FROM $v")) ==
+        canon(ops.ClusterIncr.report(spark, prefix, wh)),
+        "view != Scala report (append-only form)")
+      // first delete creates the vec tombstone table — the hook swaps in
+      // the anti-join form
+      ops.ClusterIncr.deleteDay(spark,
+        emb.filter(pmod($"vec_id", lit(11L)) === 5), prefix, wh, 2, nBuckets = 4)
+      assert(canon(fresh.sql(s"SELECT * FROM $v")) ==
+        canon(ops.ClusterIncr.report(spark, prefix, wh)),
+        "view missed the tombstone swap")
+    } finally {
+      ops.IncrViews.dropView(spark, prefix)
+      ops.ClusterIncr.dropState(spark, prefix)
+    }
+  }
+
+  test("v_*_report == CurateIncr.reportRetractable, fresh session, keeper re-derive") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val prefix = freshPrefix("curate_view_")
+    val wh = ops.IncrState.newWarehouse()
+    try {
+      (0 to 1).foreach(d => ops.CurateIncr.runDayRetractable(spark,
+        docs.filter(pmod($"doc_id", lit(2L)) === d), prefix, wh, d, nBuckets = 4))
+      val v = ops.IncrViews.registerCurate(spark, prefix, wh)
+      val fresh = spark.newSession()
+      assert(canon(fresh.sql(s"SELECT * FROM $v")) ==
+        canon(ops.CurateIncr.reportRetractable(spark, prefix, wh)),
+        "view != Scala report (append-only form)")
+      // the delete exercises BOTH arms at once: keeper re-derive from
+      // surviving members (MIN(STRUCT) after the anti-join — a retracted
+      // keeper's runner-up must promote) and the signed tf netting
+      ops.CurateIncr.deleteDayRetractable(spark,
+        docs.filter(pmod($"doc_id", lit(7L)) === 3), prefix, wh, 2, nBuckets = 4)
+      assert(canon(fresh.sql(s"SELECT * FROM $v")) ==
+        canon(ops.CurateIncr.reportRetractable(spark, prefix, wh)),
+        "view missed the tombstone swap or mis-derived a keeper")
+    } finally {
+      ops.IncrViews.dropView(spark, prefix)
+      ops.CurateIncr.dropRetractableState(spark, prefix)
+    }
+  }
+
   test("view plans: tfidf state-side exchange-free; quality's union identity costs one bounded exchange") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
