@@ -263,7 +263,7 @@ object Bench {
     // in both runs, so adding new queries in later rounds can't inflate it.
     val ratioField = baselineRatio(results)
       .map(r => s""","bench_vs_baseline":${r3(r)},"baseline_file":"tools/baseline_bench.json"""")
-      .getOrElse("")
+      .getOrElse("") + mergeHistoryField()
     // per-query [shuffle_read_mb, shuffle_write_mb, spill_mb] of the
     // steady-state run — the scale-extrapolation evidence
     def mb(v: Long): String = r3(v / 1048576.0)
@@ -474,6 +474,27 @@ object Bench {
       base.toMap
     } catch { case _: Throwable => Map.empty }
   }
+
+  /** Baseline re-merge provenance in the summary line (VERDICT r15 #8):
+    * a bench_vs_baseline move can come from the CODE or from the
+    * YARDSTICK (tools/rebaseline.py re-merging per-query baselines
+    * downward after a fix, as the r15 tri-exhibit re-merge did,
+    * 0.928→0.963 with zero code regressions) — surfacing the merge
+    * count + the last merge's date/queries makes a ratio move
+    * self-explanatory without forensic diffing of baseline_bench.json. */
+  private def mergeHistoryField(): String = try {
+    val f = atRoot("tools/baseline_bench.json")
+    if (!java.nio.file.Files.exists(f)) return ""
+    val hist = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(f)).get("merge_history")
+    if (hist == null || !hist.isArray || hist.size() == 0) return ""
+    val last = hist.get(hist.size() - 1)
+    val date = Option(last.get("date")).map(_.asText()).getOrElse("")
+    val qs = Option(last.get("queries")).map { a =>
+      (0 until a.size()).map(i => "\"" + a.get(i).asText() + "\"").mkString(",")
+    }.getOrElse("")
+    s""","baseline_merge_count":${hist.size()},"baseline_last_merge":{"date":"$date","queries":[$qs]}"""
+  } catch { case _: Throwable => "" }
 
   /** total(this run) / total(baseline) over the queries present in BOTH —
     * the round-over-round perf gate. None when the baseline file is absent

@@ -318,20 +318,70 @@ object ScaleProbe {
     * from (see `generate`). */
   val rung3Queries: Map[String, String] = Map(
     "q_domains_incr" -> "documents",
-    "q_tfidf_incr" -> "documents")
+    "q_tfidf_incr" -> "documents",
+    // round 16 (VERDICT r15 #5): two more incremental members at ×100.
+    // Embeddings carry NO alphabet rotation — the per-copy sign-flip
+    // pattern is xxhash64(dim, copy), distinct for every copy index —
+    // so unlike the text dedup probes there is no k≥26 aliasing hazard
+    // at all: cross-copy cosine stays ≈ 0 at any K. The ANN fold also
+    // exercises the self-sizing width derivation two more doublings up
+    // (and the _vec_counts marker path the r15 ADVICE flagged); the
+    // k-means fold exercises the K-centroid partial write at 100×
+    // vector volume.
+    "q_ann_incr" -> "embeddings",
+    "q_cluster_incr" -> "embeddings")
   val Rung3K = 100
 
-  def main(args: Array[String]): Unit = {
-    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
-    val k = if (args.length > 2) args(2).toInt else 10
-    // diagnostic subsetting (same contract as Bench/Verify):
-    // SPARK_GRAFT_PROBE_ONLY=q_a,q_b probes just those queries; when
-    // every selected query has a known single-table input (the rung-2
-    // map), only those tables are generated — the fast loop when
-    // re-measuring one plan's scaling after a change
-    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+  /** Per-rung measurement in a FRESH JVM (VERDICT r15 #2): the r15
+    * artifact's ×25 q_graph_triangles row read 81.3 s purely from
+    * in-probe session inflation (~55 min into a working JVM; identical
+    * code measured 50.4 s fresh — bench_notes_r15.md V6), and the
+    * artifact of record should not need a forensic companion paragraph
+    * to be read correctly. `main` with no SPARK_GRAFT_PROBE_RUNG env is
+    * a THIN ORCHESTRATOR that creates no SparkSession at all: it spawns
+    * one child JVM per rung (1x / kx / r2 / r3 — the Bench.freshJvmTime
+    * spawn pattern: same classpath, add-opens, and heap as this
+    * process), each child generates its rung's corpus and measures its
+    * queries from a COLD session, writes scale_probe_rung_<rung>.json
+    * at the repo root, and exits; the parent merges the rung files into
+    * the same scale_probe.json schema as before (sweep.sh's sha/heap
+    * gates and Bench's probe summary read it unchanged).
+    *
+    * The r15 "tuned sketch" re-measure of q_graph_triangles is GONE
+    * because the knob left the critical path: Graph.sieveBits now
+    * derives the wedge-sieve bit budget from the exact |E| the SHJ
+    * guard already counts (16 bits/edge — at the ×25 rung that lands on
+    * the very 512 Mbit the manual knob used to buy), so the default-
+    * conf row IS the tuned row. */
+  def main(args: Array[String]): Unit =
+    sys.env.get("SPARK_GRAFT_PROBE_RUNG") match {
+      case Some(r) => runRung(r, args)
+      case None => orchestrate(args)
+    }
+
+  private def parseArgs(args: Array[String]): (String, String, Int) = (
+    if (args.length > 0) args(0) else "/root/testdata/sf0.1",
+    if (args.length > 1) args(1) else "/tmp/graft_scale10x",
+    if (args.length > 2) args(2).toInt else 10)
+
+  // diagnostic subsetting (same contract as Bench/Verify):
+  // SPARK_GRAFT_PROBE_ONLY=q_a,q_b probes just those queries; when
+  // every selected query has a known single-table input (the rung-2
+  // map), only those tables are generated — the fast loop when
+  // re-measuring one plan's scaling after a change
+  private def onlySet: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+
+  private def rungFile(rung: String): java.nio.file.Path =
+    Bench.repoRoot.resolve(s"scale_probe_rung_$rung.json")
+
+  /** One rung, one fresh JVM: generate (if the rung scales) + measure +
+    * write the rung file. Invoked by the orchestrator with
+    * SPARK_GRAFT_PROBE_RUNG set; runnable by hand for diagnosis. */
+  private def runRung(rung: String, args: Array[String]): Unit = {
+    val (srcDir, outDir, k) = parseArgs(args)
+    val only = onlySet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -344,75 +394,124 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val selected = only.fold(probeQueries)(names => probeQueries.filter(names))
     val rung2Selected = only.fold(rung2Queries)(names => rung2Queries.filter(kv => names(kv._1)))
-    val genSubset =
-      if (only.exists(names => names.forall(rung2Queries.contains)))
-        rung2Selected.values.toSeq.distinct
-      else tables
-    val tGen0 = System.nanoTime()
-    generate(spark, srcDir, outDir, k, genSubset)
-    val genSec = (System.nanoTime() - tGen0) / 1e9
-    val at1 = measure(spark, srcDir, selected)
-    val atK = measure(spark, outDir, selected)
-    // second rung: generate only the three tables the probed queries
-    // read, then measure. The interesting number is the STEP ratio
-    // t_25x/t_10x against the row-growth step 2.5 — a plan that is
-    // genuinely ~linear holds step ≲ 2.5 on a rung where fixed
-    // overheads no longer flatter it.
-    val out2 = outDir + "_r2"
-    generate(spark, srcDir, out2, Rung2K, rung2Selected.values.toSeq.distinct)
-    val atK2 = measure(spark, out2, rung2Selected.keys.toSeq)
-    // third rung: ×100 documents only, the incremental fold path
     val rung3Selected = only.fold(rung3Queries)(names => rung3Queries.filter(kv => names(kv._1)))
-    val atK3 = if (rung3Selected.isEmpty) Map.empty[String, (Double, Double, Double, Long)] else {
-      val out3 = outDir + "_r3"
-      generate(spark, srcDir, out3, Rung3K, rung3Selected.values.toSeq.distinct,
-        allowAlias = true)
-      measure(spark, out3, rung3Selected.keys.toSeq)
+    var genSec = 0.0
+    def timedGen(dst: String, kk: Int, subset: Seq[String], alias: Boolean = false): Unit = {
+      val t0 = System.nanoTime()
+      generate(spark, srcDir, dst, kk, subset, allowAlias = alias)
+      genSec = (System.nanoTime() - t0) / 1e9
     }
-    // triangle sketch envelope evidence: the wedge-prune sieve holds
-    // its pruning at the DEFAULT conf now (k=1 BitSieveAgg needs no
-    // item-count declaration and degrades gradually with fill — see
-    // ops/Graph.scala / functions/BitSieve.scala), so the rung above IS
-    // the default-conf number. Re-measure once with the bit budget
-    // raised to the deployment setting for a ~30M-edge graph (512 Mbit
-    // — a 64 MB one-time broadcast) to show the remaining knob still
-    // buys FPP headroom, then restore the conf.
-    val tunedTriangles = if (!atK2.contains("q_graph_triangles")) None else Some {
-      val bits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-      val b0 = spark.conf.getOption(bits)
-      spark.conf.set(bits, "536870912")
-      try measure(spark, out2, Seq("q_graph_triangles"))("q_graph_triangles")
-      finally b0.fold(spark.conf.unset(bits))(spark.conf.set(bits, _))
+    val measured: Map[String, (Double, Double, Double, Long)] = rung match {
+      case "1x" => measure(spark, srcDir, selected)
+      case "kx" =>
+        val genSubset =
+          if (only.exists(names => names.forall(rung2Queries.contains)))
+            rung2Selected.values.toSeq.distinct
+          else tables
+        timedGen(outDir, k, genSubset)
+        measure(spark, outDir, selected)
+      case "r2" =>
+        // the interesting number is the STEP ratio t_25x/t_10x against
+        // the row-growth step 2.5 — a plan that is genuinely ~linear
+        // holds step ≲ 2.5 on a rung where fixed overheads no longer
+        // flatter it
+        if (rung2Selected.isEmpty) Map.empty
+        else {
+          timedGen(outDir + "_r2", Rung2K, rung2Selected.values.toSeq.distinct)
+          measure(spark, outDir + "_r2", rung2Selected.keys.toSeq)
+        }
+      case "r3" =>
+        if (rung3Selected.isEmpty) Map.empty
+        else {
+          timedGen(outDir + "_r3", Rung3K, rung3Selected.values.toSeq.distinct,
+            alias = true)
+          measure(spark, outDir + "_r3", rung3Selected.keys.toSeq)
+        }
+      case other => sys.error(s"unknown probe rung '$other' (1x|kx|r2|r3)")
     }
-    // Round 13: the r12 tuned-bits8 ANN re-measure is GONE because the
-    // knob is gone from the critical path — AnnIncr now derives the
-    // width from the corpus size at fold time (bits = max(4,
-    // ceil(log2(N/200))); ops/AnnIncr.scala), so the DEFAULT-config row
-    // below folds the ×25 corpus at the derived width and is itself the
-    // deployment shape. The r12 probe (git d218a5c) preserves the
-    // fixed-width degeneration row (54 s / 63.5 GB spill) for history.
-    def r3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val rows = selected.map { n =>
+    def r3f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val rows = measured.toSeq.sortBy(_._1).map { case (n, (t, shuf, spill, rows)) =>
+      s""""$n":{"t":${r3f(t)},"shuffle_mb":${r3f(shuf)},"spill_mb":${r3f(spill)},"rows_out":$rows}"""
+    }
+    val memMb = Runtime.getRuntime.maxMemory / 1048576
+    java.nio.file.Files.writeString(rungFile(rung),
+      s"""{"rung":"$rung","gen_sec":${r3f(genSec)},"driver_mem_mb":$memMb,"queries":{${rows.mkString(",")}}}""")
+    println(s"[probe] rung $rung done: ${measured.size} queries, gen ${r3f(genSec)} s")
+    spark.stop()
+  }
+
+  /** Spawn one fresh child JVM per rung, then merge the rung files into
+    * scale_probe.json. The parent never creates a SparkSession — every
+    * timed number comes from a cold JVM. */
+  private def orchestrate(args: Array[String]): Unit = {
+    val (srcDir, _, k) = parseArgs(args)
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    val opens = Seq("java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
+      "java.base/java.nio", "java.base/java.util",
+      "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val heapMb = Runtime.getRuntime.maxMemory / 1048576
+    for (rung <- Seq("1x", "kx", "r2", "r3")) {
+      java.nio.file.Files.deleteIfExists(rungFile(rung))
+      val cmd = (Seq(javaBin) ++ opens ++ Seq(
+        s"-Xmx${heapMb}m", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", sys.props("java.class.path"), "graft.ScaleProbe") ++ args).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_PROBE_RUNG", rung)
+      pb.inheritIO()
+      val p = pb.start()
+      val code = p.waitFor()
+      require(code == 0, s"probe rung $rung child failed with exit $code")
+      require(java.nio.file.Files.exists(rungFile(rung)),
+        s"probe rung $rung child exited 0 but wrote no rung file")
+    }
+    merge(srcDir, k)
+  }
+
+  private def merge(srcDir: String, k: Int): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def load(rung: String): (Double, Long, Map[String, (Double, Double, Double, Long)]) = {
+      val node = om.readTree(java.nio.file.Files.readString(rungFile(rung)))
+      val qs = scala.collection.mutable.Map[String, (Double, Double, Double, Long)]()
+      val it = node.get("queries").fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val v = e.getValue
+        qs(e.getKey) = (v.get("t").asDouble(), v.get("shuffle_mb").asDouble(),
+          v.get("spill_mb").asDouble(), v.get("rows_out").asLong())
+      }
+      (node.get("gen_sec").asDouble(), node.get("driver_mem_mb").asLong(), qs.toMap)
+    }
+    val (g1, m1, at1) = load("1x")
+    val (gk, mk, atK) = load("kx")
+    val (g2, m2, atK2) = load("r2")
+    val (g3, m3, atK3) = load("r3")
+    require(Set(m1, mk, m2, m3).size == 1,
+      s"rung heaps diverged: $m1/$mk/$m2/$m3 MB — the artifact must be one config")
+    val genSec = g1 + gk + g2 + g3
+    def r3f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val selected = onlySet.fold(probeQueries)(names => probeQueries.filter(names))
+    val rows = selected.filter(at1.contains).map { n =>
       val (t1, _, _, rows1) = at1(n)
       val (tk, shufK, spillK, rowsK) = atK(n)
       val rung2 = atK2.get(n).map { case (tk2, shufK2, spillK2, rowsK2) =>
-        val tuned = (n, tunedTriangles) match {
-          case ("q_graph_triangles", Some((tt, ts, _, _))) =>
-            s""","t_${Rung2K}x_tuned_sketch":${r3(tt)},"shuffle_mb_${Rung2K}x_tuned":${r3(ts)}"""
-          case _ => ""
-        }
-        s""","t_${Rung2K}x":${r3(tk2)},"ratio_${Rung2K}x":${r3(tk2 / math.max(t1, 0.001))},"step_${k}x_to_${Rung2K}x":${r3(tk2 / math.max(tk, 0.001))},"shuffle_mb_${Rung2K}x":${r3(shufK2)},"spill_mb_${Rung2K}x":${r3(spillK2)},"rows_out_${Rung2K}x":$rowsK2$tuned"""
+        s""","t_${Rung2K}x":${r3f(tk2)},"ratio_${Rung2K}x":${r3f(tk2 / math.max(t1, 0.001))},"step_${k}x_to_${Rung2K}x":${r3f(tk2 / math.max(tk, 0.001))},"shuffle_mb_${Rung2K}x":${r3f(shufK2)},"spill_mb_${Rung2K}x":${r3f(spillK2)},"rows_out_${Rung2K}x":$rowsK2"""
       }.getOrElse("")
       // step vs the ×25 rung: rows grow 4×, so a flat fold holds ≲ 4
       val rung3 = (atK3.get(n), atK2.get(n)) match {
         case (Some((tk3, shufK3, spillK3, rowsK3)), rung2Point) =>
           val step = rung2Point.map { case (tk2, _, _, _) =>
-            s""","step_${Rung2K}x_to_${Rung3K}x":${r3(tk3 / math.max(tk2, 0.001))}"""
+            s""","step_${Rung2K}x_to_${Rung3K}x":${r3f(tk3 / math.max(tk2, 0.001))}"""
           }.getOrElse("")
-          s""","t_${Rung3K}x":${r3(tk3)},"ratio_${Rung3K}x":${r3(tk3 / math.max(t1, 0.001))}$step,"shuffle_mb_${Rung3K}x":${r3(shufK3)},"spill_mb_${Rung3K}x":${r3(spillK3)},"rows_out_${Rung3K}x":$rowsK3"""
+          s""","t_${Rung3K}x":${r3f(tk3)},"ratio_${Rung3K}x":${r3f(tk3 / math.max(t1, 0.001))}$step,"shuffle_mb_${Rung3K}x":${r3f(shufK3)},"spill_mb_${Rung3K}x":${r3f(spillK3)},"rows_out_${Rung3K}x":$rowsK3"""
         case _ => ""
       }
-      s""""$n":{"t_1x":${r3(t1)},"t_${k}x":${r3(tk)},"ratio":${r3(tk / math.max(t1, 0.001))},"shuffle_mb_${k}x":${r3(shufK)},"spill_mb_${k}x":${r3(spillK)},"rows_out_1x":$rows1,"rows_out_${k}x":$rowsK$rung2$rung3}"""
+      s""""$n":{"t_1x":${r3f(t1)},"t_${k}x":${r3f(tk)},"ratio":${r3f(tk / math.max(t1, 0.001))},"shuffle_mb_${k}x":${r3f(shufK)},"spill_mb_${k}x":${r3f(spillK)},"rows_out_1x":$rows1,"rows_out_${k}x":$rowsK$rung2$rung3}"""
     }
     // the probed commit rides in the artifact: mtime-based freshness is
     // defeated by any clone/checkout (mtime = now), and round 12's
@@ -426,21 +525,17 @@ object ScaleProbe {
       if (pr.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else ""
     } catch { case _: Throwable => "" }
     // heap provenance (VERDICT r14 #2): the probe-of-record config is
-    // SPARK_DRIVER_MEM=24g (bench_notes_r10:50) — the r14 artifact was
-    // silently captured at run.sh's 8 g default and advertised 144.6 GB
-    // of config-artifact spill (the runtime-derived SHJ budget correctly
-    // demotes the ×25 hash build to sort-merge-with-spill at 38 MB/task).
-    // The heap rides in the artifact so sweep.sh can REJECT a probe
-    // whose heap differs from the record — same discipline as git_head.
-    val driverMemMb = Runtime.getRuntime.maxMemory / 1048576
-    val line = s"""{"src":"$srcDir","k":$k,"k2":$Rung2K,"git_head":"$gitHead","driver_mem_mb":$driverMemMb,"gen_sec":${r3(genSec)},"queries":{${rows.mkString(",")}}}"""
+    // SPARK_DRIVER_MEM=24g (bench_notes_r10:50); the heap rides in the
+    // artifact so sweep.sh can REJECT a probe whose heap differs from
+    // the record — same discipline as git_head. Children inherit the
+    // parent heap and the merge refuses diverging rung heaps above.
+    val line = s"""{"src":"$srcDir","k":$k,"k2":$Rung2K,"git_head":"$gitHead","driver_mem_mb":$m1,"fresh_jvm_per_rung":true,"gen_sec":${r3f(genSec)},"queries":{${rows.mkString(",")}}}"""
     // a subset run is a diagnostic, not evidence — never clobber the
     // committed full-surface probe file with a partial one; both land at
     // the REPO ROOT regardless of cwd (the Bench atRoot discipline —
     // sweep.sh and Bench's probe summary read the root copy)
-    val outFile = if (only.isEmpty) "scale_probe.json" else "scale_probe_partial.json"
+    val outFile = if (onlySet.isEmpty) "scale_probe.json" else "scale_probe_partial.json"
     java.nio.file.Files.writeString(Bench.repoRoot.resolve(outFile), line)
     println(line)
-    spark.stop()
   }
 }

@@ -136,7 +136,7 @@ object AnnIncr {
     * die at the (inner) rerank join. Dedup on bare vec_id: cross-day
     * tombstones for one vector are equivalent. */
   private def tombTable(prefix: String): IncrState.StateTable =
-    IncrState.StateTable(delTable(prefix), "vec_id", Seq("vec_id"))
+    IncrState.StateTable(delTable(prefix), "vec_id", Seq("vec_id", "src_day"))
 
   /** Every table the lifecycle rewrites (tombstones compact alongside
     * the state they retract from). */
@@ -168,7 +168,8 @@ object AnnIncr {
     * outgrows the built one, migrates the code store (`recode`) — so the
     * index stays bucket-occupancy-flat without a human growing a conf. */
   def runDay(s: SparkSession, slice: DataFrame, prefix: String,
-             warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
+             warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
     import s.implicits._
     val Seq(codesT, vecsT) = stateTables(prefix)
     IncrState.writeDay(s, scaled(slice).withColumn("day", lit(day)),
@@ -197,7 +198,10 @@ object AnnIncr {
         Dedup.lshBucketsN(fresh.select($"vec_id", $"v"), ft, fb).withColumn("day", lit(day)),
         codesT, warehouse, day, nBuckets)
     }
-    IncrState.writeLastDay(s, warehouse, day)
+    IncrState.writeLastDay(s, warehouse, day, prefix)
+    // keep the SQL top-k view's baked planes/config current across a
+    // width migration (no-op catalog probe unless registerAnnTopK ran)
+    IncrViews.refreshAnnTopK(s, prefix, warehouse)
   }
 
   /** Width migration (the bits-boundary re-code epoch): rebuild the
@@ -238,8 +242,8 @@ object AnnIncr {
   }
 
   /** Highest day ever folded into this warehouse; -1 when none. */
-  def lastDay(s: SparkSession, warehouse: String): Int =
-    IncrState.lastDay(s, warehouse)
+  def lastDay(s: SparkSession, prefix: String, warehouse: String): Int =
+    IncrState.lastDay(s, warehouse, prefix)
 
   /** Path-based twin for the suite's input-bytes test. */
   def runDayPath(s: SparkSession, slicePath: String, prefix: String,
@@ -304,11 +308,15 @@ object AnnIncr {
     IncrState.epochSizes(s, vecsTable(prefix), warehouse)
   def maybeCompact(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32, maxDeltaDays: Int = 8): Boolean =
-    IncrState.sizeTieredCompact(s, warehouse, allTables(prefix),
-      vecsTable(prefix), nBuckets, maxDeltaDays)
+    IncrState.withLease(s, warehouse, prefix) {
+      IncrState.sizeTieredCompact(s, warehouse, allTables(prefix),
+        vecsTable(prefix), nBuckets, maxDeltaDays)
+    }
   def compactState(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32): Unit =
-    IncrState.compactAll(s, warehouse, allTables(prefix), nBuckets)
+    IncrState.withLease(s, warehouse, prefix) {
+      IncrState.compactAll(s, warehouse, allTables(prefix), nBuckets)
+    }
 
   def dropState(s: SparkSession, prefix: String): Unit =
     Seq(codesTable(prefix), vecsTable(prefix), delTable(prefix)).foreach(t =>
@@ -326,10 +334,19 @@ object AnnIncr {
     * history (never the vec/code state). Delete wins, corpus-wide and permanent —
     * re-admitting a vec_id needs a fresh prefix. `day` must be fresh. */
   def deleteDay(s: SparkSession, deletedIds: DataFrame, prefix: String,
-                warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
+                warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
     import s.implicits._
+    // src_day is arrival provenance, distinct from the physical `day`
+    // partition: compaction rewrites `day` into the epoch, but the
+    // marker netting below must still see WHICH arrival tombstoned an
+    // id — that is what makes a replayed delete day recompute its own
+    // marker entry exactly (ADVICE r15: without it, a replay after
+    // compaction anti-joined against its own epoch-folded ids and
+    // overwrote the entry with 0, inflating the corpus estimate)
     IncrState.writeDay(s,
-      deletedIds.select($"vec_id").distinct().withColumn("day", lit(day)),
+      deletedIds.select($"vec_id").distinct()
+        .withColumn("src_day", lit(day)).withColumn("day", lit(day)),
       tombTable(prefix), warehouse, day, nBuckets)
     // net the corpus-size marker so the self-sizing width tracks the
     // REDUCED corpus — counting only NEWLY tombstoned ids (ADVICE r14):
@@ -343,11 +360,24 @@ object AnnIncr {
     // (detecting it needs a vec-store scan, O(state) per delete day —
     // not worth it for a shape knob; a later re-code rebuilds the true
     // width from the filtered view anyway).
-    val fresh = s.table(delTable(prefix)).filter($"day" === day)
-    val prior = s.table(delTable(prefix)).filter($"day" =!= day).select($"vec_id")
+    // newly-tombstoned = this arrival's ids minus ids any STRICTLY
+    // EARLIER arrival already tombstoned (src_day < day, not physical
+    // partition != day): day ids are monotonic per the fold contract,
+    // so first-run and replay — before or after any compaction moved
+    // rows into the epoch — compute the same set, and a re-tombstoned
+    // id decrements exactly once, under its earliest arrival
+    // distinct: after a compaction folded day N into the epoch, a
+    // replayed day N sees its ids TWICE (epoch copy + re-landed
+    // partition, both src_day = N) until the next compaction collapses
+    // them — the recount is per-id, not per-row
+    val fresh = s.table(delTable(prefix)).filter($"src_day" === day)
+      .select($"vec_id").distinct()
+    val prior = s.table(delTable(prefix)).filter($"src_day" < day).select($"vec_id")
     val nDel = fresh.join(prior, Seq("vec_id"), "left_anti").count()
     writeVecCounts(s, warehouse, readVecCounts(s, warehouse) + (day -> -nDel))
-    IncrState.writeLastDay(s, warehouse, day)
+    IncrState.writeLastDay(s, warehouse, day, prefix)
+    // first delete swaps the SQL top-k view to its tombstone-aware form
+    IncrViews.refreshAnnTopK(s, prefix, warehouse)
   }
 
   /** Path-based delete twin for the suite's input-bytes test. */
@@ -361,9 +391,11 @@ object AnnIncr {
     * so delete-wins survives the purge. */
   def purgeDeleted(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32): Unit =
-    tombstones(s, prefix).foreach { tomb =>
-      IncrState.compactAllWhere(s, warehouse, stateTables(prefix), nBuckets,
-        _ => df => df.join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+    IncrState.withLease(s, warehouse, prefix) {
+      tombstones(s, prefix).foreach { tomb =>
+        IncrState.compactAllWhere(s, warehouse, stateTables(prefix), nBuckets,
+          _ => df => df.join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+      }
     }
 
   /** Serving read-view of the vector store: a day replayed AFTER an

@@ -150,7 +150,8 @@ object ClusterIncr {
     * slice-shaped passes + bucketed writes — no history read, no join
     * beyond the K-row broadcasts. */
   def runDay(s: SparkSession, slice: DataFrame, prefix: String,
-             warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
+             warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
     import s.implicits._
     val Seq(vecsT, cpartT, asgT) = stateTables(prefix)
     val m = Similarity.scaledVectors(slice)
@@ -176,7 +177,7 @@ object ClusterIncr {
         .select($"vec_id", $"cl", $"sim_i")
         .withColumn("src_day", lit(day)).withColumn("day", lit(day))
       IncrState.writeDay(s, asg, asgT, warehouse, day, nBuckets)
-      IncrState.writeLastDay(s, warehouse, day)
+      IncrState.writeLastDay(s, warehouse, day, prefix)
     } finally { m.unpersist(); () }
   }
 
@@ -199,7 +200,8 @@ object ClusterIncr {
     * netting loudly at the next centroid refine); delete wins,
     * re-admitting a vec_id needs a fresh prefix; `day` must be fresh. */
   def deleteDay(s: SparkSession, deleted: DataFrame, prefix: String,
-                warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
+                warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
     import s.implicits._
     val Seq(_, cpartT, _) = stateTables(prefix)
     val m = Similarity.scaledVectors(deleted)
@@ -217,7 +219,7 @@ object ClusterIncr {
         .toDF("cl", "n_part", "sums")
         .withColumn("src_day", lit(day)).withColumn("day", lit(day))
       IncrState.writeDay(s, parts, cpartT, warehouse, day, nBuckets)
-      IncrState.writeLastDay(s, warehouse, day)
+      IncrState.writeLastDay(s, warehouse, day, prefix)
       // the first delete creates the vec tombstone table — swap the SQL
       // report view to its tombstone-aware form (no-op unless registered)
       IncrViews.refreshCluster(s, prefix, warehouse)
@@ -235,10 +237,12 @@ object ClusterIncr {
     * the tombstones are KEPT so delete-wins survives the purge. */
   def purgeDeleted(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32): Unit =
-    tombstones(s, prefix).foreach { tomb =>
-      val Seq(vecsT, _, asgT) = stateTables(prefix)
-      IncrState.compactAllWhere(s, warehouse, Seq(vecsT, asgT), nBuckets,
-        _ => df => df.join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+    IncrState.withLease(s, warehouse, prefix) {
+      tombstones(s, prefix).foreach { tomb =>
+        val Seq(vecsT, _, asgT) = stateTables(prefix)
+        IncrState.compactAllWhere(s, warehouse, Seq(vecsT, asgT), nBuckets,
+          _ => df => df.join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+      }
     }
 
   /** Refined centroids from the persisted partials: merge the
@@ -373,15 +377,19 @@ object ClusterIncr {
     IncrState.epochSizes(s, vecsTable(prefix), warehouse)
   def maybeCompact(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32, maxDeltaDays: Int = 8): Boolean =
-    IncrState.sizeTieredCompact(s, warehouse, allTables(prefix),
-      vecsTable(prefix), nBuckets, maxDeltaDays)
+    IncrState.withLease(s, warehouse, prefix) {
+      IncrState.sizeTieredCompact(s, warehouse, allTables(prefix),
+        vecsTable(prefix), nBuckets, maxDeltaDays)
+    }
   def compactState(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32): Unit =
-    IncrState.compactAll(s, warehouse, allTables(prefix), nBuckets)
+    IncrState.withLease(s, warehouse, prefix) {
+      IncrState.compactAll(s, warehouse, allTables(prefix), nBuckets)
+    }
 
   /** Highest day ever folded into this warehouse; -1 when none. */
-  def lastDay(s: SparkSession, warehouse: String): Int =
-    IncrState.lastDay(s, warehouse)
+  def lastDay(s: SparkSession, prefix: String, warehouse: String): Int =
+    IncrState.lastDay(s, warehouse, prefix)
 
   def dropState(s: SparkSession, prefix: String): Unit =
     allTables(prefix).foreach(t => s.sql(s"DROP TABLE IF EXISTS ${t.name}"))

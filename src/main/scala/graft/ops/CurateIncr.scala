@@ -137,7 +137,8 @@ object CurateIncr {
 
   /** Fold one day's slice into the state: read v{day-1} (if any), merge,
     * write v{day}. Reads ONLY the slice + previous partials. */
-  def runDay(s: SparkSession, slice: DataFrame, stateDir: String, day: Int): Unit = {
+  def runDay(s: SparkSession, slice: DataFrame, stateDir: String, day: Int): Unit =
+    IncrState.withLease(s, stateDir, "curate") {
     // the gate + derived columns are computed ONCE (ADVICE r10): the
     // three merge writes below are independent jobs whose lineages would
     // otherwise each re-scan, re-split and re-gate the day slice —
@@ -290,7 +291,8 @@ object CurateIncr {
   /** Fold one day into bucketed-catalog state (tables
     * `{prefix}_{md5,line,tf}_v{day}` under `warehouse`). */
   def runDayBucketed(s: SparkSession, slice: DataFrame, prefix: String,
-                     warehouse: String, day: Int, nBuckets: Int = 8): Unit = {
+                     warehouse: String, day: Int, nBuckets: Int = 8): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
     val g = gated(slice).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val (md5D, lineD, tfD) = dayPartialsOf(g)
     val (md5M, lineM, tfM) =
@@ -417,7 +419,8 @@ object CurateIncr {
     * pure appends; the keeper min moved from write time to read time,
     * where the bucketing makes it free). */
   def runDayRetractable(s: SparkSession, slice: DataFrame, prefix: String,
-                        warehouse: String, day: Int, nBuckets: Int = 8): Unit = {
+                        warehouse: String, day: Int, nBuckets: Int = 8): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
     val Seq(md5T, lineT, tfT) = retractableTables(prefix)
     val g = gated(slice).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
@@ -428,7 +431,7 @@ object CurateIncr {
         .withColumn("day", lit(day)), lineT, warehouse, day, nBuckets)
       IncrState.writeDay(s, tfM.withColumn("src_day", lit(day))
         .withColumn("day", lit(day)), tfT, warehouse, day, nBuckets)
-      IncrState.writeLastDay(s, warehouse, day)
+      IncrState.writeLastDay(s, warehouse, day, prefix)
     } finally { g.unpersist(blocking = false); () }
   }
 
@@ -444,7 +447,8 @@ object CurateIncr {
     * delete slice (which must carry the documents as folded, the L46
     * contract). Cost ∝ delete slice; no state read, no history read. */
   def deleteDayRetractable(s: SparkSession, deleted: DataFrame, prefix: String,
-                           warehouse: String, day: Int, nBuckets: Int = 8): Unit = {
+                           warehouse: String, day: Int, nBuckets: Int = 8): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
     val Seq(_, _, tfT) = retractableTables(prefix)
     val g = gated(deleted).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
@@ -457,7 +461,7 @@ object CurateIncr {
         .agg((-count(lit(1))).as("c"))
       IncrState.writeDay(s, tfNeg.withColumn("src_day", lit(day))
         .withColumn("day", lit(day)), tfT, warehouse, day, nBuckets)
-      IncrState.writeLastDay(s, warehouse, day)
+      IncrState.writeLastDay(s, warehouse, day, prefix)
       // first delete creates the keeper tombstone table — swap the SQL
       // report view to its tombstone-aware form (no-op unless registered)
       IncrViews.refreshCurate(s, prefix, warehouse)
@@ -473,9 +477,11 @@ object CurateIncr {
     * retraction is the signed netting; tombstones are KEPT). */
   def purgeDeletedRetractable(s: SparkSession, prefix: String, warehouse: String,
                               nBuckets: Int = 8): Unit =
-    tombstonesM(s, prefix).foreach { tomb =>
-      IncrState.compactAllWhere(s, warehouse, retractableTables(prefix).take(2),
-        nBuckets, _ => df => df.join(broadcast(tomb), Seq("doc_id"), "left_anti"))
+    IncrState.withLease(s, warehouse, prefix) {
+      tombstonesM(s, prefix).foreach { tomb =>
+        IncrState.compactAllWhere(s, warehouse, retractableTables(prefix).take(2),
+          nBuckets, _ => df => df.join(broadcast(tomb), Seq("doc_id"), "left_anti"))
+      }
     }
 
   /** Serving report off the retractable state — identical output to the
@@ -511,11 +517,15 @@ object CurateIncr {
     * member table — the largest — drives sizing). */
   def maybeCompactRetractable(s: SparkSession, prefix: String, warehouse: String,
                               nBuckets: Int = 8, maxDeltaDays: Int = 8): Boolean =
-    IncrState.sizeTieredCompact(s, warehouse, allRetractableTables(prefix),
-      linemTable(prefix), nBuckets, maxDeltaDays)
+    IncrState.withLease(s, warehouse, prefix) {
+      IncrState.sizeTieredCompact(s, warehouse, allRetractableTables(prefix),
+        linemTable(prefix), nBuckets, maxDeltaDays)
+    }
   def compactRetractable(s: SparkSession, prefix: String, warehouse: String,
                          nBuckets: Int = 8): Unit =
-    IncrState.compactAll(s, warehouse, allRetractableTables(prefix), nBuckets)
+    IncrState.withLease(s, warehouse, prefix) {
+      IncrState.compactAll(s, warehouse, allRetractableTables(prefix), nBuckets)
+    }
 
   def dropRetractableState(s: SparkSession, prefix: String): Unit =
     allRetractableTables(prefix).foreach(t => s.sql(s"DROP TABLE IF EXISTS ${t.name}"))

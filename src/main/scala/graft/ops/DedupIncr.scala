@@ -110,7 +110,8 @@ object DedupIncr {
     * or epoch state; only the FIRST write into a fresh warehouse
     * creates the tables. */
   def runDay(s: SparkSession, slice: DataFrame, prefix: String,
-             warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
+             warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
     import s.implicits._
     val Seq(bandsT, docsT) = stateTables(prefix)
     // one shingling pass per document, EVER: the slice is shingled once
@@ -174,12 +175,12 @@ object DedupIncr {
     // so the partition layout alone cannot answer "what was the last
     // fold?" after a quiet restart — a one-line marker can (idempotent:
     // a replayed day N only ever rewrites the same or a lower value)
-    IncrState.writeLastDay(s, warehouse, day)
+    IncrState.writeLastDay(s, warehouse, day, prefix)
   }
 
   /** Highest day ever folded into this warehouse; -1 when none. */
-  def lastDay(s: SparkSession, warehouse: String): Int =
-    IncrState.lastDay(s, warehouse)
+  def lastDay(s: SparkSession, prefix: String, warehouse: String): Int =
+    IncrState.lastDay(s, warehouse, prefix)
 
   /** Path-based twin for the suite's input-bytes test (the day's inputs
     * are, by construction, one slice dir + the state tables). */
@@ -210,13 +211,14 @@ object DedupIncr {
     * retracted doc_id needs a fresh state prefix (same contract as the
     * QualityIncr bitmap tombstones). `day` must be a fresh day id. */
   def deleteDay(s: SparkSession, deletedIds: DataFrame, prefix: String,
-                warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
+                warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
     import s.implicits._
     IncrState.writeDay(s,
       deletedIds.select($"doc_id").distinct().withColumn("day", lit(day)),
       tombTable(prefix), warehouse, day, nBuckets)
     retractLedger(s, prefix, warehouse)
-    IncrState.writeLastDay(s, warehouse, day)
+    IncrState.writeLastDay(s, warehouse, day, prefix)
   }
 
   /** Path-based delete twin for the suite's input-bytes test. */
@@ -266,9 +268,11 @@ object DedupIncr {
     * run it when retracted bytes are worth reclaiming. */
   def purgeDeleted(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32): Unit =
-    tombstones(s, prefix, warehouse).foreach { tomb =>
-      IncrState.compactAllWhere(s, warehouse, stateTables(prefix), nBuckets,
-        _ => df => df.join(broadcast(tomb), Seq("doc_id"), "left_anti"))
+    IncrState.withLease(s, warehouse, prefix) {
+      tombstones(s, prefix, warehouse).foreach { tomb =>
+        IncrState.compactAllWhere(s, warehouse, stateTables(prefix), nBuckets,
+          _ => df => df.join(broadcast(tomb), Seq("doc_id"), "left_anti"))
+      }
     }
 
   /** Ledger schema, declared explicitly on every read: a day whose fold
@@ -317,10 +321,13 @@ object DedupIncr {
     * on the CURRENT day, which is never negative. */
   def compactState(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32): Unit =
-    IncrState.compactAll(s, warehouse, allTables(prefix), nBuckets)
+    IncrState.withLease(s, warehouse, prefix) {
+      IncrState.compactAll(s, warehouse, allTables(prefix), nBuckets)
+    }
 
   def compactLedger(s: SparkSession, prefix: String, warehouse: String,
-                    retainFromDay: Option[Int] = None): Unit = {
+                    retainFromDay: Option[Int] = None): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
     val path = pairsPath(warehouse, prefix)
     val stage = s"$warehouse/_compact_stage_pairs"
     val root = new org.apache.hadoop.fs.Path(path)
@@ -373,7 +380,8 @@ object DedupIncr {
     * catalog contract, runs these two statements verbatim at S3 scale,
     * and drops the read-back/swap tail entirely. */
   def compactLedgerSql(s: SparkSession, prefix: String, warehouse: String,
-                       retainFromDay: Option[Int] = None): Unit = {
+                       retainFromDay: Option[Int] = None): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
     val path = pairsPath(warehouse, prefix)
     val stage = s"$warehouse/_compact_stage_pairs"
     val root = new org.apache.hadoop.fs.Path(path)
@@ -439,7 +447,8 @@ object DedupIncr {
   def maybeCompact(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32, maxDeltaDays: Int = 8,
                    retainFromDay: Option[Int] = None,
-                   viaSql: Boolean = false): Boolean = {
+                   viaSql: Boolean = false): Boolean =
+    IncrState.withLease(s, warehouse, prefix) {
     val ran = IncrState.sizeTieredCompact(s, warehouse, allTables(prefix),
       bandsTable(prefix), nBuckets, maxDeltaDays)
     if (ran) {

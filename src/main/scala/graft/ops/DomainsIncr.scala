@@ -60,19 +60,20 @@ object DomainsIncr {
     * count per (domain, lang), bucketed write. Cost ∝ slice; no join,
     * no history read. */
   def runDay(s: SparkSession, slice: DataFrame, prefix: String,
-             warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
-    import s.implicits._
-    val Seq(dlT) = stateTables(prefix)
-    val part = slice
-      .withColumn("url", concat(lit("https://"), $"source",
-        lit(".example.com/d/"), $"doc_id".cast("string")))
-      .withColumn("domain", regexp_extract($"url", "https?://([^/]+)/", 1))
-      .groupBy($"domain", $"lang").agg(count(lit(1)).as("n_part"))
-      .withColumn("src_day", lit(day))
-      .withColumn("day", lit(day))
-    IncrState.writeDay(s, part, dlT, warehouse, day, nBuckets)
-    IncrState.writeLastDay(s, warehouse, day)
-  }
+             warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
+      import s.implicits._
+      val Seq(dlT) = stateTables(prefix)
+      val part = slice
+        .withColumn("url", concat(lit("https://"), $"source",
+          lit(".example.com/d/"), $"doc_id".cast("string")))
+        .withColumn("domain", regexp_extract($"url", "https?://([^/]+)/", 1))
+        .groupBy($"domain", $"lang").agg(count(lit(1)).as("n_part"))
+        .withColumn("src_day", lit(day))
+        .withColumn("day", lit(day))
+      IncrState.writeDay(s, part, dlT, warehouse, day, nBuckets)
+      IncrState.writeLastDay(s, warehouse, day, prefix)
+    }
 
   /** Path-based twin for the suite's input-bytes test. */
   def runDayPath(s: SparkSession, slicePath: String, prefix: String,
@@ -92,19 +93,20 @@ object DomainsIncr {
     * reduced corpus exactly. `day` must be a fresh day id (same
     * contract as runDay). */
   def deleteDay(s: SparkSession, deleted: DataFrame, prefix: String,
-                warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
-    import s.implicits._
-    val Seq(dlT) = stateTables(prefix)
-    val part = deleted
-      .withColumn("url", concat(lit("https://"), $"source",
-        lit(".example.com/d/"), $"doc_id".cast("string")))
-      .withColumn("domain", regexp_extract($"url", "https?://([^/]+)/", 1))
-      .groupBy($"domain", $"lang").agg((-count(lit(1))).as("n_part"))
-      .withColumn("src_day", lit(day))
-      .withColumn("day", lit(day))
-    IncrState.writeDay(s, part, dlT, warehouse, day, nBuckets)
-    IncrState.writeLastDay(s, warehouse, day)
-  }
+                warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
+      import s.implicits._
+      val Seq(dlT) = stateTables(prefix)
+      val part = deleted
+        .withColumn("url", concat(lit("https://"), $"source",
+          lit(".example.com/d/"), $"doc_id".cast("string")))
+        .withColumn("domain", regexp_extract($"url", "https?://([^/]+)/", 1))
+        .groupBy($"domain", $"lang").agg((-count(lit(1))).as("n_part"))
+        .withColumn("src_day", lit(day))
+        .withColumn("day", lit(day))
+      IncrState.writeDay(s, part, dlT, warehouse, day, nBuckets)
+      IncrState.writeLastDay(s, warehouse, day, prefix)
+    }
 
   /** Path-based delete twin for the suite's input-bytes test. */
   def deleteDayPath(s: SparkSession, slicePath: String, prefix: String,
@@ -145,15 +147,19 @@ object DomainsIncr {
     IncrState.epochSizes(s, dlTable(prefix), warehouse)
   def maybeCompact(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32, maxDeltaDays: Int = 8): Boolean =
-    IncrState.sizeTieredCompact(s, warehouse, stateTables(prefix),
-      dlTable(prefix), nBuckets, maxDeltaDays)
+    IncrState.withLease(s, warehouse, prefix) {
+      IncrState.sizeTieredCompact(s, warehouse, stateTables(prefix),
+        dlTable(prefix), nBuckets, maxDeltaDays)
+    }
   def compactState(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32): Unit =
-    IncrState.compactAll(s, warehouse, stateTables(prefix), nBuckets)
+    IncrState.withLease(s, warehouse, prefix) {
+      IncrState.compactAll(s, warehouse, stateTables(prefix), nBuckets)
+    }
 
   /** Highest day ever folded into this warehouse; -1 when none. */
-  def lastDay(s: SparkSession, warehouse: String): Int =
-    IncrState.lastDay(s, warehouse)
+  def lastDay(s: SparkSession, prefix: String, warehouse: String): Int =
+    IncrState.lastDay(s, warehouse, prefix)
 
   def dropState(s: SparkSession, prefix: String): Unit =
     s.sql(s"DROP TABLE IF EXISTS ${dlTable(prefix)}")

@@ -29,6 +29,139 @@ import org.apache.spark.sql.functions._
   */
 object IncrState {
 
+  /** Loud-failure signal of the single-writer contract (VERDICT r15 #1):
+    * a second writer attempting a fold/delete/compact on a prefix whose
+    * lease is held fails with THIS, never with silent interleaving. */
+  final class LeaseContendedException(msg: String) extends RuntimeException(msg)
+
+  /** A crashed holder's lease older than this is considered abandoned
+    * and may be broken by the next acquirer. Generous relative to any
+    * single fold/compact (seconds at sf0.1; minutes at cluster scale a
+    * deployment would retune via the ttlMs parameter). */
+  val DefaultLeaseTtlMs: Long = 10 * 60 * 1000L
+
+  // (warehouse, scope) leases held by the CURRENT thread, with
+  // reentrancy depth — a member op that takes the prefix lease may call
+  // straight back into another leased op of the same prefix
+  private val held = new ThreadLocal[Map[(String, String), Int]] {
+    override def initialValue(): Map[(String, String), Int] = Map.empty
+  }
+
+  private def leasePath(warehouse: String, scope: String) =
+    new org.apache.hadoop.fs.Path(s"$warehouse/_lease.$scope")
+
+  private def leaseToken(): String =
+    s"${ProcessHandle.current().pid()}@${java.net.InetAddress.getLocalHost.getHostName}:" +
+      s"${Thread.currentThread().getId}:${java.util.UUID.randomUUID()}"
+
+  /** CROSS-PROCESS single-writer lease for one state prefix (VERDICT r15
+    * #1). The r14 race was one session racing itself through a shared
+    * conf; this is the same bug class one level up — two DRIVERS folding
+    * the same prefix would interleave `writeDay` partition overwrites
+    * with `compactAll`'s stage→swap and corrupt state in ways no
+    * table-property can prevent. Every member fold/delete/purge/compact
+    * entry point runs under `withLease(s, warehouse, prefix)`.
+    *
+    * Protocol (filesystem-only, so it works across JVMs and on object
+    * stores with no coordination service):
+    *   1. if `_lease.<scope>` exists and is younger than `ttlMs` →
+    *      throw [[LeaseContendedException]] naming the holder — LOUD
+    *      failure, the caller decides whether to retry;
+    *   2. a lease older than `ttlMs` is a crashed holder's — break it;
+    *   3. create the file no-overwrite and write a unique token, then
+    *      READ IT BACK: only the writer whose token survived proceeds.
+    *      The read-back makes the protocol safe even where create(p,
+    *      overwrite=false) is check-then-act rather than atomic (local
+    *      FS): two simultaneous creators both write, at most one token
+    *      survives, the loser(s) throw — under contention the protocol
+    *      may fail BOTH writers (each retries), but can never admit two.
+    *   4. release deletes the file only if it still holds OUR token
+    *      (a TTL takeover must not be un-done by the old holder's
+    *      finally block).
+    *
+    * Reentrant per thread: nested calls on the same (warehouse, scope)
+    * just bump a depth counter. Different scopes (prefixes) on one
+    * warehouse do NOT contend — the contract is single-writer-per-
+    * PREFIX, and the multi-member day driver runs members side by side. */
+  def withLease[T](s: SparkSession, warehouse: String, scope: String,
+                   ttlMs: Long = DefaultLeaseTtlMs)(body: => T): T = {
+    val key = (warehouse, scope)
+    val depth = held.get().getOrElse(key, 0)
+    if (depth > 0) {
+      held.set(held.get().updated(key, depth + 1))
+      try body finally held.set(held.get().updated(key, depth))
+    } else {
+      val token = acquireLease(s.sparkContext.hadoopConfiguration, warehouse, scope, ttlMs)
+      held.set(held.get().updated(key, 1))
+      try body finally {
+        held.set(held.get().removed(key))
+        releaseLease(s.sparkContext.hadoopConfiguration, warehouse, scope, token)
+      }
+    }
+  }
+
+  /** Acquire the (warehouse, scope) lease or throw — Hadoop-conf-only so
+    * a lease can be probed/held by a process with no SparkSession (the
+    * cross-JVM suite drives this through a bare `java` child). Returns
+    * the owner token to pass to [[releaseLease]]. */
+  def acquireLease(conf: org.apache.hadoop.conf.Configuration, warehouse: String,
+                   scope: String, ttlMs: Long = DefaultLeaseTtlMs): String = {
+    val p = leasePath(warehouse, scope)
+    val fs = p.getFileSystem(conf)
+    val st = try Some(fs.getFileStatus(p))
+    catch { case _: java.io.FileNotFoundException => None }
+    st.foreach { f =>
+      val age = System.currentTimeMillis() - f.getModificationTime
+      if (age <= ttlMs) {
+        val holder = try readLease(fs, p).getOrElse("<unreadable>")
+        catch { case _: java.io.IOException => "<unreadable>" }
+        throw new LeaseContendedException(
+          s"state prefix '$scope' at $warehouse is leased by $holder " +
+            s"(age ${age}ms <= ttl ${ttlMs}ms); a second writer folding the same " +
+            "prefix would interleave partition overwrites with compactions")
+      }
+      // crashed holder: break the stale lease, then race for the fresh one
+      fs.delete(p, false)
+    }
+    val token = leaseToken()
+    val out = try fs.create(p, false)
+    catch {
+      case _: java.io.IOException =>
+        throw new LeaseContendedException(
+          s"lost the lease race for prefix '$scope' at $warehouse (concurrent create)")
+    }
+    try out.write(token.getBytes("UTF-8")) finally out.close()
+    // ownership read-back: the create above is check-then-act on local
+    // FS, so a simultaneous creator may have overwritten us — only the
+    // writer whose token is on disk holds the lease
+    if (!readLease(fs, p).contains(token)) {
+      throw new LeaseContendedException(
+        s"lost the lease race for prefix '$scope' at $warehouse (token overwritten)")
+    }
+    token
+  }
+
+  /** Release only if the lease still carries `token` — a TTL takeover's
+    * lease must survive the previous holder's finally block. */
+  def releaseLease(conf: org.apache.hadoop.conf.Configuration, warehouse: String,
+                   scope: String, token: String): Unit = {
+    val p = leasePath(warehouse, scope)
+    val fs = p.getFileSystem(conf)
+    val owned = try readLease(fs, p).contains(token)
+    catch { case _: java.io.IOException => false }
+    if (owned) fs.delete(p, false)
+  }
+
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+
   /** One state table: bucketed on `bucketKey`, partitioned by `day`,
     * rows unique on `naturalKey` — the dedup key applied when partitions
     * merge (a day replayed AFTER a compaction re-lands rows its epoch
@@ -362,8 +495,17 @@ object IncrState {
     writeMarker(s, warehouse, name,
       counts.toSeq.sorted.map { case (d, c) => s"$d $c" }.mkString("\n"))
 
-  private def lastDayPath(warehouse: String) =
-    new org.apache.hadoop.fs.Path(s"$warehouse/_last_day")
+  /** The high-water marker is PER PREFIX on a shared warehouse (round
+    * 16, surfaced by the multi-member day driver): members fold on
+    * independent day timelines (the doc inbox may be at day 7 while the
+    * events inbox is at day 1), so one warehouse-global `_last_day`
+    * would hand member B member A's high water as ITS restart fallback.
+    * Empty scope keeps the original unscoped file for the single-member
+    * path-state backend. */
+  private def lastDayName(scope: String) =
+    if (scope.isEmpty) "_last_day" else s"_last_day.$scope"
+  private def lastDayPath(warehouse: String, scope: String) =
+    new org.apache.hadoop.fs.Path(s"$warehouse/${lastDayName(scope)}")
 
   /** High-water marker: compaction folds day partitions into the epoch,
     * so the partition layout alone cannot answer "what was the last
@@ -374,11 +516,13 @@ object IncrState {
     * crashes; the delete→rename window can at worst make the marker
     * briefly ABSENT, which reads as -1 and is repaired by the next
     * fold's write (monotonicity keeps that safe). */
-  def writeLastDay(s: SparkSession, warehouse: String, day: Int): Unit = {
-    val p = lastDayPath(warehouse)
+  def writeLastDay(s: SparkSession, warehouse: String, day: Int,
+                   scope: String = ""): Unit = {
+    val p = lastDayPath(warehouse, scope)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (day >= lastDay(s, warehouse)) {
-      val tmp = new org.apache.hadoop.fs.Path(s"$warehouse/_last_day.tmp")
+    if (day >= lastDay(s, warehouse, scope)) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$warehouse/${lastDayName(scope)}.tmp")
       val out = fs.create(tmp, true)
       try out.write(day.toString.getBytes("UTF-8")) finally out.close()
       fs.delete(p, false)
@@ -386,11 +530,12 @@ object IncrState {
     }
   }
 
-  /** Highest day ever folded into this warehouse; -1 when none (or when
-    * the marker is unreadable — parse defensively: the marker exists to
-    * aid recovery, so a corrupt one must degrade, never throw). */
-  def lastDay(s: SparkSession, warehouse: String): Int = {
-    val p = lastDayPath(warehouse)
+  /** Highest day ever folded into this warehouse (for `scope`'s member
+    * when scoped); -1 when none (or when the marker is unreadable —
+    * parse defensively: the marker exists to aid recovery, so a corrupt
+    * one must degrade, never throw). */
+  def lastDay(s: SparkSession, warehouse: String, scope: String = ""): Int = {
+    val p = lastDayPath(warehouse, scope)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) -1
     else {

@@ -59,7 +59,16 @@ object IncrViews {
   // ---- L46 incremental TF-IDF -------------------------------------
 
   /** n_docs is a literal from the `_doc_counts` marker — re-baked by
-    * the fold/delete refresh hooks so the view never goes stale. */
+    * the fold/delete refresh hooks so the view never goes stale.
+    *
+    * ROW SET equals the Scala report's; its final ORDER BY doc_id, rk is
+    * intentionally OMITTED here (ADVICE r15): that ordering is pure
+    * presentation — unlike the triangle view's ORDER BY, which is
+    * semantic (top-20) — and a sort baked into a composable view would
+    * charge a range-partition exchange to every downstream query that
+    * doesn't want it (Catalyst's EliminateSorts cannot always remove
+    * it). A SQL user diffing against the Scala report should append
+    * `ORDER BY doc_id, rk` themselves. */
   def registerTfidf(s: SparkSession, prefix: String, warehouse: String): String = {
     val nDocs = IncrState.readDayCounts(s, warehouse, "_doc_counts").values.sum
     create(s, prefix,
@@ -289,7 +298,119 @@ object IncrViews {
                                  warehouse: String): Unit =
     refreshIfRegistered(s, prefix) { registerCurate(s, prefix, warehouse); () }
 
+  // ---- L45 incremental ANN top-k (VERDICT r15 #4) ---------------------
+
+  def topkViewName(prefix: String): String = s"v_${prefix}_topk"
+  def queriesTable(prefix: String): String = s"${prefix}_queries"
+
+  /** The last SQL-surface gap: `AnnIncr.topK` is parameterized by query
+    * VECTORS, which a view cannot take as arguments — so the contract is
+    * INSERT-then-SELECT. Registration creates an empty landing table
+    * `<prefix>_queries (q_id BIGINT, qv ARRAY<BIGINT>)`; the SQL user
+    * lands query vectors there (e.g. `INSERT INTO <prefix>_queries
+    * SELECT vec_id, v FROM <prefix>_vecs WHERE vec_id % 50 = 0`) and
+    * reads `v_<prefix>_topk`, which computes the full multiprobe +
+    * exact-rerank pipeline of `AnnIncr.topK` in pure built-in SQL:
+    *
+    *   - the query norm (`qn`) is derived in the view — the user lands
+    *     only (q_id, qv);
+    *   - the hyperplane sign bits bake the SAME `Dedup.planesFor(tables,
+    *     bits)` literals the fold used (read from the warehouse's
+    *     `_ann_conf` marker at registration; the fold/delete refresh
+    *     hooks re-bake after a width migration), with `DotL.dot`
+    *     replaced by its built-in `aggregate(zip_with(...))` spelling
+    *     (exact: both are wraparound int64 sums);
+    *   - candidate recall, replay dedup, tombstone anti-join (present
+    *     only once a delete ran, like the other views), rerank and the
+    *     top-k window mirror the Scala plan shape — state sides stay
+    *     bucket-local, and the queries table is tiny so its joins
+    *     broadcast.
+    *
+    * k is fixed at registration (a view has no parameters) and recorded
+    * in the `_ann_topk_k` marker so refresh hooks re-register at the
+    * same k. Output matches `topK(s, prefix, wh, queries, k)` row-for-row
+    * on the same landed queries (IncrViewsSuite pins fresh-session
+    * equality and the ≤4-state-side-exchange plan). */
+  def registerAnnTopK(s: SparkSession, prefix: String, warehouse: String,
+                      k: Int = 3): String = {
+    AnnIncr.stateTables(prefix).foreach(IncrState.ensureRegistered(s, _, warehouse))
+    s.sql(s"""CREATE TABLE IF NOT EXISTS ${queriesTable(prefix)}
+             |(q_id BIGINT, qv ARRAY<BIGINT>) USING PARQUET""".stripMargin)
+    IncrState.writeMarker(s, warehouse, "_ann_topk_k", k.toString)
+    val (tables, bits) = AnnIncr.annConf(s, warehouse)
+    val planes = Dedup.planesFor(tables, bits)
+    val planesLit = planes.map(_.mkString("array(", ", ", ")"))
+      .mkString("array(", ",\n                ", ")")
+    def dot(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    // table t's bucket code from the sign-bit array, XOR'd with each
+    // radius-1 multiprobe mask — the SQL spelling of Dedup.codeColFor
+    val probeTerms = (for {
+      t <- 0 until tables
+      m <- Dedup.probeMasks1For(bits)
+    } yield {
+      val code = (0 until bits)
+        .map(j => s"element_at(bits, ${t * bits + j + 1}) * ${1L << j}L")
+        .mkString(" + ")
+      s"concat_ws(':', $t, ($code) ^ ${m}L)"
+    }).mkString(",\n                  ")
+    val hasTomb = s.catalog.tableExists(AnnIncr.delTable(prefix))
+    val vecsCte =
+      if (!hasTomb)
+        s"""vecs AS (SELECT vec_id, MAX(v) AS v, MAX(n2) AS n2
+           |         FROM ${AnnIncr.vecsTable(prefix)} GROUP BY vec_id)""".stripMargin
+      else
+        s"""vecs AS (SELECT l.vec_id, l.v, l.n2
+           |         FROM (SELECT vec_id, MAX(v) AS v, MAX(n2) AS n2
+           |               FROM ${AnnIncr.vecsTable(prefix)} GROUP BY vec_id) l
+           |         LEFT ANTI JOIN ${AnnIncr.delTable(prefix)} t
+           |           ON l.vec_id = t.vec_id)""".stripMargin
+    val v = topkViewName(prefix)
+    s.sql(
+      s"""CREATE OR REPLACE VIEW $v AS
+         |WITH q AS (SELECT q_id, qv, ${dot("qv", "qv")} AS qn
+         |           FROM ${queriesTable(prefix)}),
+         |     qb AS (SELECT q_id,
+         |                   transform($planesLit,
+         |                     p -> CASE WHEN ${dot("qv", "p")} > 0
+         |                               THEN CAST(1 AS BIGINT)
+         |                               ELSE CAST(0 AS BIGINT) END) AS bits
+         |            FROM q),
+         |     probes AS (SELECT q_id, bkt FROM qb
+         |                LATERAL VIEW explode(array(
+         |                  $probeTerms)) pr AS bkt),
+         |     cand AS (SELECT DISTINCT p.q_id, c.vec_id AS c_id
+         |              FROM probes p JOIN ${AnnIncr.codesTable(prefix)} c
+         |                ON p.bkt = c.bkt
+         |              WHERE p.q_id <> c.vec_id),
+         |     $vecsCte,
+         |     sc AS (SELECT cand.q_id, cand.c_id,
+         |                   ROUND(CAST(${dot("q.qv", "vecs.v")} AS DOUBLE)
+         |                         / (SQRT(CAST(q.qn AS DOUBLE))
+         |                            * SQRT(CAST(vecs.n2 AS DOUBLE))), 6) AS sim
+         |            FROM cand JOIN vecs ON cand.c_id = vecs.vec_id
+         |                      JOIN q ON cand.q_id = q.q_id)
+         |SELECT q_id, CAST(rk AS BIGINT) AS rk, c_id, sim
+         |FROM (SELECT q_id, c_id, sim,
+         |             ROW_NUMBER() OVER (PARTITION BY q_id
+         |               ORDER BY sim DESC, c_id) AS rk
+         |      FROM sc)
+         |WHERE rk <= $k""".stripMargin)
+    v
+  }
+
+  private[ops] def refreshAnnTopK(s: SparkSession, prefix: String,
+                                  warehouse: String): Unit =
+    if (s.catalog.tableExists(topkViewName(prefix))) {
+      val k = IncrState.readMarker(s, warehouse, "_ann_topk_k")
+        .flatMap(_.trim.toIntOption).getOrElse(3)
+      registerAnnTopK(s, prefix, warehouse, k); ()
+    }
+
   /** Drop a previously registered report view (member dropState twins). */
-  def dropView(s: SparkSession, prefix: String): Unit =
+  def dropView(s: SparkSession, prefix: String): Unit = {
     s.sql(s"DROP VIEW IF EXISTS ${viewName(prefix)}")
+    s.sql(s"DROP VIEW IF EXISTS ${topkViewName(prefix)}")
+    s.sql(s"DROP TABLE IF EXISTS ${queriesTable(prefix)}")
+  }
 }

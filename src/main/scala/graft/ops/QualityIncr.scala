@@ -143,14 +143,15 @@ object QualityIncr {
 
   def runDay(s: SparkSession, slice: DataFrame, customers: DataFrame,
              prefix: String, warehouse: String, day: Int,
-             nBuckets: Int = 32): Unit = {
+             nBuckets: Int = 32): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
     val Seq(pkT, _) = stateTables(prefix)
     val d = dirty(slice)
     val vals = sliceCounters(d, customers)
     IncrState.writeDay(s, sliceBitmaps(d, day), pkT, warehouse, day, nBuckets)
     writeCounts(s, warehouse, prefix,
       readCounts(s, warehouse, prefix) + (day -> vals))
-    IncrState.writeLastDay(s, warehouse, day)
+    IncrState.writeLastDay(s, warehouse, day, prefix)
     // keep the SQL report view's baked counter literals current (no-op
     // unless IncrViews.registerQuality ever ran)
     IncrViews.refreshQuality(s, prefix, warehouse)
@@ -180,14 +181,15 @@ object QualityIncr {
     * per fold or delete event). */
   def deleteDay(s: SparkSession, deleted: DataFrame, customers: DataFrame,
                 prefix: String, warehouse: String, day: Int,
-                nBuckets: Int = 32): Unit = {
+                nBuckets: Int = 32): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
     val Seq(_, tombT) = stateTables(prefix)
     val d = dirty(deleted)
     val vals = sliceCounters(d, customers).map(-_)
     IncrState.writeDay(s, sliceBitmaps(d, day), tombT, warehouse, day, nBuckets)
     writeCounts(s, warehouse, prefix,
       readCounts(s, warehouse, prefix) + (day -> vals))
-    IncrState.writeLastDay(s, warehouse, day)
+    IncrState.writeLastDay(s, warehouse, day, prefix)
     IncrViews.refreshQuality(s, prefix, warehouse)
   }
 
@@ -259,15 +261,19 @@ object QualityIncr {
     IncrState.epochSizes(s, pkTable(prefix), warehouse)
   def maybeCompact(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32, maxDeltaDays: Int = 8): Boolean =
-    IncrState.sizeTieredCompact(s, warehouse, stateTables(prefix),
-      pkTable(prefix), nBuckets, maxDeltaDays)
+    IncrState.withLease(s, warehouse, prefix) {
+      IncrState.sizeTieredCompact(s, warehouse, stateTables(prefix),
+        pkTable(prefix), nBuckets, maxDeltaDays)
+    }
   def compactState(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32): Unit =
-    IncrState.compactAll(s, warehouse, stateTables(prefix), nBuckets)
+    IncrState.withLease(s, warehouse, prefix) {
+      IncrState.compactAll(s, warehouse, stateTables(prefix), nBuckets)
+    }
 
   /** Highest day ever folded into this warehouse; -1 when none. */
-  def lastDay(s: SparkSession, warehouse: String): Int =
-    IncrState.lastDay(s, warehouse)
+  def lastDay(s: SparkSession, prefix: String, warehouse: String): Int =
+    IncrState.lastDay(s, warehouse, prefix)
 
   def dropState(s: SparkSession, prefix: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS ${pkTable(prefix)}")

@@ -61,7 +61,8 @@ object TfidfIncr {
     * wrote (the df partials derive from stored tf rows, not a second
     * scan of raw text — the family's no-runtime-cache discipline). */
   def runDay(s: SparkSession, slice: DataFrame, prefix: String,
-             warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
+             warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
     import s.implicits._
     val Seq(tfT, dfT) = stateTables(prefix)
     val tf = slice
@@ -82,7 +83,7 @@ object TfidfIncr {
     val nDay = freshTf.select($"doc_id").distinct().count()
     IncrState.writeDayCounts(s, warehouse, "_doc_counts",
       IncrState.readDayCounts(s, warehouse, "_doc_counts") + (day -> nDay))
-    IncrState.writeLastDay(s, warehouse, day)
+    IncrState.writeLastDay(s, warehouse, day, prefix)
     // keep the SQL report view's baked n_docs literal current (no-op
     // catalog probe unless IncrViews.registerTfidf ever ran)
     IncrViews.refreshTfidf(s, prefix, warehouse)
@@ -110,7 +111,8 @@ object TfidfIncr {
     * whatever is passed); `day` must be a fresh day id (one day id per
     * fold or delete event, same as runDay). */
   def deleteDay(s: SparkSession, deleted: DataFrame, prefix: String,
-                warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
+                warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
     import s.implicits._
     val Seq(tfT, dfT) = stateTables(prefix)
     val tf = deleted
@@ -129,7 +131,7 @@ object TfidfIncr {
     val nDel = freshTf.select($"doc_id").distinct().count()
     IncrState.writeDayCounts(s, warehouse, "_doc_counts",
       IncrState.readDayCounts(s, warehouse, "_doc_counts") + (day -> -nDel))
-    IncrState.writeLastDay(s, warehouse, day)
+    IncrState.writeLastDay(s, warehouse, day, prefix)
     IncrViews.refreshTfidf(s, prefix, warehouse)
   }
 
@@ -189,15 +191,19 @@ object TfidfIncr {
     IncrState.epochSizes(s, tfTable(prefix), warehouse)
   def maybeCompact(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32, maxDeltaDays: Int = 8): Boolean =
-    IncrState.sizeTieredCompact(s, warehouse, stateTables(prefix),
-      tfTable(prefix), nBuckets, maxDeltaDays)
+    IncrState.withLease(s, warehouse, prefix) {
+      IncrState.sizeTieredCompact(s, warehouse, stateTables(prefix),
+        tfTable(prefix), nBuckets, maxDeltaDays)
+    }
   def compactState(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32): Unit =
-    IncrState.compactAll(s, warehouse, stateTables(prefix), nBuckets)
+    IncrState.withLease(s, warehouse, prefix) {
+      IncrState.compactAll(s, warehouse, stateTables(prefix), nBuckets)
+    }
 
   /** Highest day ever folded into this warehouse; -1 when none. */
-  def lastDay(s: SparkSession, warehouse: String): Int =
-    IncrState.lastDay(s, warehouse)
+  def lastDay(s: SparkSession, prefix: String, warehouse: String): Int =
+    IncrState.lastDay(s, warehouse, prefix)
 
   def dropState(s: SparkSession, prefix: String): Unit =
     Seq(tfTable(prefix), dfTable(prefix)).foreach(t =>

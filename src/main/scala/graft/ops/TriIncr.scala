@@ -132,14 +132,14 @@ object TriIncr {
     // per-task shipping) only pays once the wedge stream is large —
     // measured ~2.5 s of pure overhead at exhibit scale against a
     // 1.7 s unsieved closing join — so it arms past an edge-count bar
-    // and sizes its bits ∝ |E| (≈16 bits/edge, conf-capped) instead of
-    // always paying the conf maximum
+    // and sizes its bits ∝ |E| via the shared self-sizing rule
+    // (Graph.sieveBits, VERDICT r15 #3: 16 bits/edge, explicit-conf and
+    // heap ceilings — the conf DEFAULT no longer caps the budget, which
+    // used to saturate the sieve past ~4M live edges)
     val sieved =
       if (liveCount <= 2000000L) wedges
       else {
-        val confMax = s.sessionState.conf.getConfString(
-          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
-        val numBits = math.min(confMax, math.max(1L << 23, liveCount * 16L))
+        val numBits = Graph.sieveBits(s, liveCount)
         val sketch = live.agg(column(graft.functions.BitSieveAgg(
             expression(xxhash64($"x", $"y")), numBits)
           .toAggregateExpression()).as("bf")).scalar()
@@ -176,7 +176,8 @@ object TriIncr {
   }
 
   def runDay(s: SparkSession, slice: DataFrame, prefix: String,
-             warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
+             warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
     import s.implicits._
     val Seq(adjT, triT) = stateTables(prefix)
     // the canonical slice feeds two consumers (the adjacency write and
@@ -205,7 +206,7 @@ object TriIncr {
         IncrState.writeDay(s, parts, triT, warehouse, day, nBuckets)
       }
     } finally { canon.unpersist(false); () }
-    IncrState.writeLastDay(s, warehouse, day)
+    IncrState.writeLastDay(s, warehouse, day, prefix)
   }
 
   /** Path-based twin for the suite's input-bytes test. */
@@ -220,7 +221,8 @@ object TriIncr {
     * (and with it every degree and every later enumeration) excludes
     * them. Cost ∝ the deleted edges' wedges. `day` must be fresh. */
   def deleteDay(s: SparkSession, deleted: DataFrame, prefix: String,
-                warehouse: String, day: Int, nBuckets: Int = 32): Unit = {
+                warehouse: String, day: Int, nBuckets: Int = 32): Unit =
+    IncrState.withLease(s, warehouse, prefix) {
     import s.implicits._
     val Seq(_, triT) = stateTables(prefix)
     val canon = deleted.select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
@@ -237,7 +239,7 @@ object TriIncr {
     }
     IncrState.writeDay(s, bothWays(canon).withColumn("day", lit(day)),
       tombTable(prefix), warehouse, day, nBuckets)
-    IncrState.writeLastDay(s, warehouse, day)
+    IncrState.writeLastDay(s, warehouse, day, prefix)
     // the first delete creates the tombstone table — swap the SQL report
     // view to its tombstone-aware form (no-op unless registered)
     IncrViews.refreshTriangles(s, prefix, warehouse)
@@ -252,9 +254,11 @@ object TriIncr {
     * partials need no purge — their retraction is the signed netting). */
   def purgeDeleted(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32): Unit =
-    tombstones(s, prefix).foreach { tomb =>
-      IncrState.compactAllWhere(s, warehouse, stateTables(prefix).take(1), nBuckets,
-        _ => df => df.join(broadcast(tomb), Seq("x", "y"), "left_anti"))
+    IncrState.withLease(s, warehouse, prefix) {
+      tombstones(s, prefix).foreach { tomb =>
+        IncrState.compactAllWhere(s, warehouse, stateTables(prefix).take(1), nBuckets,
+          _ => df => df.join(broadcast(tomb), Seq("x", "y"), "left_anti"))
+      }
     }
 
   /** The per-vertex triangle profile off the persisted state — output
@@ -287,13 +291,17 @@ object TriIncr {
     IncrState.maxFilesPerBucket(s, adjTable(prefix), warehouse)
   def maybeCompact(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32, maxDeltaDays: Int = 8): Boolean =
-    IncrState.sizeTieredCompact(s, warehouse, allTables(prefix),
-      adjTable(prefix), nBuckets, maxDeltaDays)
+    IncrState.withLease(s, warehouse, prefix) {
+      IncrState.sizeTieredCompact(s, warehouse, allTables(prefix),
+        adjTable(prefix), nBuckets, maxDeltaDays)
+    }
   def compactState(s: SparkSession, prefix: String, warehouse: String,
                    nBuckets: Int = 32): Unit =
-    IncrState.compactAll(s, warehouse, allTables(prefix), nBuckets)
-  def lastDay(s: SparkSession, warehouse: String): Int =
-    IncrState.lastDay(s, warehouse)
+    IncrState.withLease(s, warehouse, prefix) {
+      IncrState.compactAll(s, warehouse, allTables(prefix), nBuckets)
+    }
+  def lastDay(s: SparkSession, prefix: String, warehouse: String): Int =
+    IncrState.lastDay(s, warehouse, prefix)
   def dropState(s: SparkSession, prefix: String): Unit =
     allTables(prefix).foreach(t => s.sql(s"DROP TABLE IF EXISTS ${t.name}"))
 

@@ -36,5 +36,29 @@ object AnnIncrStream {
         warehouse, day, nBuckets)
       graft.ops.AnnIncr.maybeCompact(batch.sparkSession, prefix,
         warehouse, nBuckets, maxDeltaDays)
-    }(graft.ops.AnnIncr.lastDay(spark, warehouse))
+    }(graft.ops.AnnIncr.lastDay(spark, prefix, warehouse))
+
+  /** The CDC drive (round 16, completing the family's surface — every
+    * other member already had one): ONE ordered add/delete event stream
+    * on the shared drainCdc loop. Delete events need only `vec_id`
+    * (payload columns null — the ANN tombstone is keyed, L52 form);
+    * adds fold as day 2b, deletes as day 2b+1, delete wins. This is
+    * what lets ANN share one embeddings CDC inbox with the k-means
+    * member in the composed day driver (DayDriverSuite). */
+  def drainCdc(spark: SparkSession, inboxDir: String, prefix: String,
+               warehouse: String, checkpointDir: String,
+               nBuckets: Int = 8, maxDeltaDays: Int = 8): Int =
+    IncrInboxStream.drainCdc(spark, inboxDir, checkpointDir, embSchema) { (adds, day) =>
+      graft.ops.AnnIncr.runDay(adds.sparkSession, adds, prefix,
+        warehouse, day, nBuckets)
+      graft.ops.AnnIncr.maybeCompact(adds.sparkSession, prefix,
+        warehouse, nBuckets, maxDeltaDays)
+    } { (dels, day) =>
+      graft.ops.AnnIncr.deleteDay(dels.sparkSession,
+        dels.select(org.apache.spark.sql.functions.col("vec_id")), prefix,
+        warehouse, day, nBuckets)
+    }(graft.ops.AnnIncr.lastDay(spark, prefix, warehouse))
+
+  /** The CDC inbox schema: the embedding columns + the op discriminator. */
+  val cdcSchema: StructType = IncrInboxStream.cdcSchema(embSchema)
 }

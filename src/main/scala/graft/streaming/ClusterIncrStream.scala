@@ -26,7 +26,7 @@ object ClusterIncrStream {
         warehouse, driftPpm, nBuckets)
       graft.ops.ClusterIncr.maybeCompact(batch.sparkSession, prefix,
         warehouse, nBuckets, maxDeltaDays)
-    }(graft.ops.ClusterIncr.lastDay(spark, warehouse))
+    }(graft.ops.ClusterIncr.lastDay(spark, prefix, warehouse))
 
   /** The CDC form (VERDICT r14 #5): the HYBRID retraction algebra (L54)
     * on the shared drainCdc loop — delete events must carry the
@@ -52,5 +52,5 @@ object ClusterIncrStream {
         warehouse, day, nBuckets)
       graft.ops.ClusterIncr.maybeReassign(dels.sparkSession, prefix,
         warehouse, driftPpm, nBuckets)
-    }(graft.ops.ClusterIncr.lastDay(spark, warehouse))
+    }(graft.ops.ClusterIncr.lastDay(spark, prefix, warehouse))
 }

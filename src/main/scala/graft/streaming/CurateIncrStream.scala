@@ -143,5 +143,5 @@ object CurateIncrStream {
     } { (dels, day) =>
       graft.ops.CurateIncr.deleteDayRetractable(dels.sparkSession, dels, prefix,
         warehouse, day, nBuckets)
-    }(graft.ops.IncrState.lastDay(spark, warehouse))
+    }(graft.ops.IncrState.lastDay(spark, warehouse, prefix))
 }

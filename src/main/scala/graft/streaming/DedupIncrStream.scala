@@ -47,7 +47,7 @@ object DedupIncrStream {
         warehouse, day, nBuckets)
       graft.ops.DedupIncr.maybeCompact(batch.sparkSession, prefix,
         warehouse, nBuckets, maxDeltaDays)
-    }(graft.ops.DedupIncr.lastDay(spark, warehouse))
+    }(graft.ops.DedupIncr.lastDay(spark, prefix, warehouse))
 
   /** The CDC form (round 14): ONE ordered inbox of add/delete events —
     * how a takedown feed actually arrives next to the crawl feed. Each
@@ -76,7 +76,7 @@ object DedupIncrStream {
     } { (dels, day) =>
       graft.ops.DedupIncr.deleteDay(dels.sparkSession, dels.select(col("doc_id")),
         prefix, warehouse, day, nBuckets)
-    }(graft.ops.DedupIncr.lastDay(spark, warehouse))
+    }(graft.ops.DedupIncr.lastDay(spark, prefix, warehouse))
 
   /** The CDC inbox schema: the document columns + the op discriminator. */
   val cdcSchema: StructType = IncrInboxStream.cdcSchema(CurateIncrStream.docSchema)

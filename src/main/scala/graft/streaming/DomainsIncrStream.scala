@@ -20,7 +20,7 @@ object DomainsIncrStream {
         warehouse, day, nBuckets)
       graft.ops.DomainsIncr.maybeCompact(batch.sparkSession, prefix,
         warehouse, nBuckets, maxDeltaDays)
-    }(graft.ops.DomainsIncr.lastDay(spark, warehouse))
+    }(graft.ops.DomainsIncr.lastDay(spark, prefix, warehouse))
 
   /** The CDC form (round 14): one ordered inbox of add/delete events —
     * the ADDITIVE retraction algebra on the shared drainCdc loop.
@@ -40,5 +40,5 @@ object DomainsIncrStream {
     } { (dels, day) =>
       graft.ops.DomainsIncr.deleteDay(dels.sparkSession, dels, prefix,
         warehouse, day, nBuckets)
-    }(graft.ops.DomainsIncr.lastDay(spark, warehouse))
+    }(graft.ops.DomainsIncr.lastDay(spark, prefix, warehouse))
 }

@@ -75,22 +75,22 @@ object Ingest {
     * on the same S3 prefix, reference src/main.py:70-73). */
   def streamToServingTable(spark: SparkSession, events: DataFrame, table: String,
                            checkpoint: String): Unit = {
+    // Pin the dynamic mode in the TABLE's own storage properties before
+    // the stream starts (ADVICE r15; the same channel IncrState.writeDay
+    // uses): insertInto reads partitionOverwriteMode from the relation's
+    // options — table storage properties — in preference to the session
+    // conf, so the one-partition-per-day guarantee holds for EVERY later
+    // writer of this table, on any session, under any conf. The previous
+    // form mutated/restored the conf on the foreachBatch session, which
+    // was safe only because foreachBatch hands over a per-stream cloned
+    // session — an invariant nothing enforced. SET SERDEPROPERTIES is
+    // the ALTER-time spelling of CREATE TABLE ... OPTIONS for
+    // datasource tables (both land in CatalogTable.storage.properties).
+    spark.sql(
+      s"ALTER TABLE $table SET SERDEPROPERTIES ('partitionOverwriteMode' = 'dynamic')")
     val q = events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // the conf must land on the BATCH's session: foreachBatch hands
-        // over a DataFrame bound to the streaming-cloned session, where a
-        // conf set on the outer session never arrives (and insertInto
-        // reads the session conf, not writer options) — static overwrite
-        // would silently wipe the untouched partitions
-        val sess = batch.sparkSession
-        val key = "spark.sql.sources.partitionOverwriteMode"
-        val prev = sess.conf.getOption(key)
-        sess.conf.set(key, "dynamic")
-        try batch.write.mode("overwrite").insertInto(table)
-        finally prev match {
-          case Some(v) => sess.conf.set(key, v)
-          case None => sess.conf.unset(key)
-        }
+        batch.write.mode("overwrite").insertInto(table)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -29,7 +29,7 @@ object QualityIncrStream {
         warehouse, day, nBuckets)
       graft.ops.QualityIncr.maybeCompact(batch.sparkSession, prefix,
         warehouse, nBuckets, maxDeltaDays)
-    }(graft.ops.QualityIncr.lastDay(spark, warehouse))
+    }(graft.ops.QualityIncr.lastDay(spark, prefix, warehouse))
 
   /** The CDC form (VERDICT r14 #5): add events fold counters + pk
     * bitmaps, delete events land NEGATED counter lines + tombstone
@@ -49,5 +49,5 @@ object QualityIncrStream {
       graft.ops.QualityIncr.deleteDay(dels.sparkSession, dels,
         graft.Tables.customer(dels.sparkSession, custDir), prefix,
         warehouse, day, nBuckets)
-    }(graft.ops.QualityIncr.lastDay(spark, warehouse))
+    }(graft.ops.QualityIncr.lastDay(spark, prefix, warehouse))
 }

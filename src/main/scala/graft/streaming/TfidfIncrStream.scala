@@ -40,7 +40,7 @@ object TfidfIncrStream {
         warehouse, day, nBuckets)
       graft.ops.TfidfIncr.maybeCompact(batch.sparkSession, prefix,
         warehouse, nBuckets, maxDeltaDays)
-    }(graft.ops.TfidfIncr.lastDay(spark, warehouse))
+    }(graft.ops.TfidfIncr.lastDay(spark, prefix, warehouse))
 
   /** The CDC form (VERDICT r14 #5): one ordered inbox of add/delete
     * events on the shared drainCdc loop — the ADDITIVE retraction
@@ -57,5 +57,5 @@ object TfidfIncrStream {
     } { (dels, day) =>
       graft.ops.TfidfIncr.deleteDay(dels.sparkSession, dels, prefix,
         warehouse, day, nBuckets)
-    }(graft.ops.TfidfIncr.lastDay(spark, warehouse))
+    }(graft.ops.TfidfIncr.lastDay(spark, prefix, warehouse))
 }

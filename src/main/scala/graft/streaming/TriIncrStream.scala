@@ -29,7 +29,7 @@ object TriIncrStream {
         warehouse, day, nBuckets)
       graft.ops.TriIncr.maybeCompact(batch.sparkSession, prefix,
         warehouse, nBuckets, maxDeltaDays)
-    }(graft.ops.TriIncr.lastDay(spark, warehouse))
+    }(graft.ops.TriIncr.lastDay(spark, prefix, warehouse))
 
   /** The CDC form: one ordered inbox of add/delete edge events (an `op`
     * column; deletes carry the endpoints only — the keyed-tombstone
@@ -46,5 +46,5 @@ object TriIncrStream {
     } { (dels, day) =>
       graft.ops.TriIncr.deleteDay(dels.sparkSession, dels, prefix,
         warehouse, day, nBuckets)
-    }(graft.ops.TriIncr.lastDay(spark, warehouse))
+    }(graft.ops.TriIncr.lastDay(spark, prefix, warehouse))
 }

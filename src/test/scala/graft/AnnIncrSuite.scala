@@ -451,4 +451,49 @@ class AnnIncrSuite extends SparkSpec {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     } finally ops.AnnIncr.dropState(spark, prefix)
   }
+
+  test("_vec_counts marker survives delete-day replay AFTER compaction (ADVICE r15)") {
+    // the r15 corner: deleteDay(N) completes, compaction folds day N's
+    // tombstones into the epoch, day N is replayed — the old netting
+    // anti-joined fresh ids against physical-day != N, saw its own ids
+    // in the epoch, and overwrote the marker entry with 0, inflating
+    // the corpus-size estimate the self-sizing LSH width feeds on. The
+    // src_day provenance column makes the recount arrival-scoped
+    // (strictly-earlier arrivals only), so replay recomputes the SAME
+    // entry before or after any compaction.
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val p = "ann_mrk_" + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+    val wh = ops.IncrState.newWarehouse()
+    try {
+      (0 until 2).foreach { day =>
+        ops.AnnIncr.runDay(spark, emb.filter(pmod($"vec_id", lit(2L)) === day),
+          p, wh, day, nBuckets = 4)
+      }
+      val delIds = emb.filter(pmod($"vec_id", lit(11L)) === 0).select($"vec_id")
+      val nDel = delIds.count()
+      assert(nDel > 0, "takedown set empty — test is vacuous")
+      def marker = ops.IncrState.readDayCounts(spark, wh, "_vec_counts")
+      ops.AnnIncr.deleteDay(spark, delIds, p, wh, 2, nBuckets = 4)
+      assert(marker(2) == -nDel, s"first delete-day count wrong: ${marker(2)}")
+      val liveEstimate = marker.values.sum
+      // compaction folds the day-2 tombstones into the epoch, then the
+      // day is replayed — the exact ADVICE r15 interleaving
+      ops.AnnIncr.compactState(spark, p, wh, nBuckets = 4)
+      ops.AnnIncr.deleteDay(spark, delIds, p, wh, 2, nBuckets = 4)
+      assert(marker(2) == -nDel,
+        s"replayed delete day overwrote its marker entry: ${marker(2)} != ${-nDel}")
+      assert(marker.values.sum == liveEstimate, "corpus estimate drifted on replay")
+      // re-tombstoning the same ids under a LATER day nets 0 (nothing
+      // newly deleted), and stays 0 through another compact + replay
+      ops.AnnIncr.deleteDay(spark, delIds, p, wh, 3, nBuckets = 4)
+      assert(marker(3) == 0, s"re-tombstone double-counted: ${marker(3)}")
+      ops.AnnIncr.compactState(spark, p, wh, nBuckets = 4)
+      ops.AnnIncr.deleteDay(spark, delIds, p, wh, 3, nBuckets = 4)
+      assert(marker(3) == 0 && marker(2) == -nDel,
+        s"post-compaction replay skewed the marker: ${marker.toSeq.sorted}")
+      assert(marker.values.sum == liveEstimate, "corpus estimate drifted")
+    } finally ops.AnnIncr.dropState(spark, p)
+  }
 }

@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** VERDICT r15 #6: the incremental family COMPOSED — all eight members
+  * (retractable curation, near-dup band store, ANN index, TF-IDF,
+  * domain stats, quality report, k-means, triangles) drive on ONE
+  * shared warehouse, through shared CDC inboxes (one per input kind:
+  * documents, embeddings, events, edges), across 3 fold days + 1
+  * takedown batch, with a MID-HISTORY RESTART (every member's catalog
+  * entry dropped — the warehouse files and checkpoints must carry the
+  * recovery alone). Each member's final report must equal its batch
+  * recompute on the reduced corpus — the same equality its isolated
+  * CDC test pins, now proven with all eight sets of state tables,
+  * markers (`_last_day.<prefix>`, `_vec_counts`, prefix-scoped quality
+  * counters, `_ann_conf`), leases, and drive-form pins coexisting in
+  * one warehouse. */
+class DayDriverSuite extends SparkSpec {
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).toSeq.sorted
+
+  private def fresh(stem: String): String =
+    stem + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+
+  test("all 8 members on one warehouse: shared CDC inboxes + takedowns + restart") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("day_driver_").toString
+    val wh = s"$root/wh"
+    def inbox(kind: String): String = {
+      val d = s"$root/inbox_$kind"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      d
+    }
+    def land(df: DataFrame, dir: String, name: String): Unit = {
+      val tmp = s"$root/tmp_${new java.io.File(dir).getName}_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+
+    // ---- the four input kinds + their takedown sets -----------------
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val customers = Tables.customer(spark, sfDir)
+    val events = Tables.events(spark, sfDir).select($"event_id", $"user_id", $"value")
+    val le = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val edges = le.as("a").join(le.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .select($"a.pk".as("u"), $"b.pk".as("v")).distinct()
+
+    val docDel = docs.filter(pmod($"doc_id", lit(11L)) === 5)
+    val vecDel = emb.filter(pmod($"vec_id", lit(11L)) === 0)
+    val evDel = events.filter(pmod($"event_id", lit(5L)) === 2)
+    val edgeDel = edges.filter(pmod($"u", lit(13L)) === 3)
+    Seq(("docs", docDel), ("vecs", vecDel), ("events", evDel), ("edges", edgeDel))
+      .foreach { case (n, d) => assert(d.count() > 0, s"$n takedown set empty — vacuous") }
+
+    val docInbox = inbox("docs")
+    val embInbox = inbox("emb")
+    val evInbox = inbox("events")
+    val edgeInbox = inbox("edges")
+
+    // member prefixes + one checkpoint per member (the drive-form pin
+    // is per checkpoint; the WAREHOUSE is the shared thing under test)
+    val pCur = fresh("dd_cur_"); val pDed = fresh("dd_ded_")
+    val pTf = fresh("dd_tf_"); val pDom = fresh("dd_dom_")
+    val pQ = fresh("dd_q_"); val pAnn = fresh("dd_ann_")
+    val pCl = fresh("dd_cl_"); val pTri = fresh("dd_tri_")
+    val members = Seq(pCur, pDed, pTf, pDom, pQ, pAnn, pCl, pTri)
+    def ckpt(p: String) = s"$root/ckpt_$p"
+
+    def drainAll(): Unit = {
+      streaming.CurateIncrStream.drainCdc(spark, docInbox, pCur, wh, ckpt(pCur), nBuckets = 4)
+      streaming.DedupIncrStream.drainCdc(spark, docInbox, pDed, wh, ckpt(pDed), nBuckets = 4)
+      streaming.TfidfIncrStream.drainCdc(spark, docInbox, pTf, wh, ckpt(pTf), nBuckets = 4)
+      streaming.DomainsIncrStream.drainCdc(spark, docInbox, pDom, wh, ckpt(pDom), nBuckets = 4)
+      streaming.QualityIncrStream.drainCdc(spark, evInbox, sfDir, pQ, wh, ckpt(pQ), nBuckets = 4)
+      streaming.AnnIncrStream.drainCdc(spark, embInbox, pAnn, wh, ckpt(pAnn), nBuckets = 4)
+      streaming.ClusterIncrStream.drainCdc(spark, embInbox, pCl, wh, ckpt(pCl), nBuckets = 4)
+      streaming.TriIncrStream.drainCdc(spark, edgeInbox, pTri, wh, ckpt(pTri), nBuckets = 4)
+    }
+
+    try {
+      // ---- days 0 and 1 land and drain --------------------------------
+      (0 to 1).foreach { d =>
+        land(docs.filter(pmod($"doc_id", lit(3L)) === d).withColumn("op", lit("add")),
+          docInbox, s"e${d}_add")
+        land(emb.filter(pmod($"vec_id", lit(3L)) === d).withColumn("op", lit("add")),
+          embInbox, s"e${d}_add")
+        land(events.filter(pmod($"event_id", lit(3L)) === d).withColumn("op", lit("add")),
+          evInbox, s"e${d}_add")
+        land(edges.filter(pmod($"u" + $"v", lit(3L)) === d).withColumn("op", lit("add")),
+          edgeInbox, s"e${d}_add")
+      }
+      drainAll()
+
+      // ---- MID-HISTORY RESTART: the in-memory catalog dies ------------
+      // (every member table dropped; external locations + checkpoints
+      // survive — ensureRegistered must rebuild all of it on next touch)
+      val memberTables = spark.catalog.listTables().collect()
+        .map(_.name).filter(n => members.exists(p => n.startsWith(p)))
+      assert(memberTables.length >= 12,
+        s"expected the 8 members' state tables in the catalog, got ${memberTables.toSeq}")
+      memberTables.foreach(t => spark.sql(s"DROP TABLE `$t`"))
+
+      // ---- day 2 + the takedown batch land; the drains resume ---------
+      land(docs.filter(pmod($"doc_id", lit(3L)) === 2).withColumn("op", lit("add")),
+        docInbox, "e2_add")
+      land(docDel.withColumn("op", lit("del")), docInbox, "e3_del")
+      land(emb.filter(pmod($"vec_id", lit(3L)) === 2).withColumn("op", lit("add")),
+        embInbox, "e2_add")
+      // ANN/k-means share one inbox: the delete event carries the
+      // embeddings as folded (k-means' hybrid algebra re-derives the
+      // negated centroid partials; ANN uses only vec_id)
+      land(vecDel.withColumn("op", lit("del")), embInbox, "e3_del")
+      land(events.filter(pmod($"event_id", lit(3L)) === 2).withColumn("op", lit("add")),
+        evInbox, "e2_add")
+      land(evDel.withColumn("op", lit("del")), evInbox, "e3_del")
+      land(edges.filter(pmod($"u" + $"v", lit(3L)) === 2).withColumn("op", lit("add")),
+        edgeInbox, "e2_add")
+      land(edgeDel.withColumn("op", lit("del")), edgeInbox, "e3_del")
+      drainAll()
+
+      // ---- settle the k-means epoch on both sides ---------------------
+      ops.ClusterIncr.reassign(spark, pCl, wh, nBuckets = 4)
+
+      // ---- reduced-corpus batch recomputes, one isolated warehouse ----
+      val keptDocs = docs.join(docDel.select($"doc_id"), Seq("doc_id"), "left_anti")
+      val keptEmb = emb.join(vecDel.select($"vec_id"), Seq("vec_id"), "left_anti")
+      val keptEv = events.join(evDel.select($"event_id"), Seq("event_id"), "left_anti")
+      val keptEdges = edges.join(edgeDel, Seq("u", "v"), "left_anti")
+      val whE = ops.IncrState.newWarehouse()
+      val eCur = fresh("dd_e_cur_"); val eDed = fresh("dd_e_ded_")
+      val eTf = fresh("dd_e_tf_"); val eDom = fresh("dd_e_dom_")
+      val eQ = fresh("dd_e_q_"); val eAnn = fresh("dd_e_ann_")
+      val eCl = fresh("dd_e_cl_"); val eTri = fresh("dd_e_tri_")
+      try {
+        (0 until 3).foreach { d =>
+          ops.CurateIncr.runDayRetractable(spark,
+            keptDocs.filter(pmod($"doc_id", lit(3L)) === d), eCur, whE, d, nBuckets = 4)
+          ops.DedupIncr.runDay(spark,
+            keptDocs.filter(pmod($"doc_id", lit(3L)) === d), eDed, whE, d, nBuckets = 4)
+          ops.TfidfIncr.runDay(spark,
+            keptDocs.filter(pmod($"doc_id", lit(3L)) === d), eTf, whE, d, nBuckets = 4)
+          ops.DomainsIncr.runDay(spark,
+            keptDocs.filter(pmod($"doc_id", lit(3L)) === d), eDom, whE, d, nBuckets = 4)
+          ops.QualityIncr.runDay(spark,
+            keptEv.filter(pmod($"event_id", lit(3L)) === d), customers, eQ, whE, d, nBuckets = 4)
+          ops.AnnIncr.runDay(spark,
+            keptEmb.filter(pmod($"vec_id", lit(3L)) === d), eAnn, whE, d, nBuckets = 4)
+          ops.ClusterIncr.runDay(spark,
+            keptEmb.filter(pmod($"vec_id", lit(3L)) === d), eCl, whE, d, nBuckets = 4)
+          ops.TriIncr.runDay(spark,
+            keptEdges.filter(pmod($"u" + $"v", lit(3L)) === d), eTri, whE, d, nBuckets = 4)
+        }
+        ops.ClusterIncr.reassign(spark, eCl, whE, nBuckets = 4)
+
+        // ---- the 8 equality pins ---------------------------------------
+        assert(canon(ops.CurateIncr.reportRetractable(spark, pCur, wh)) ==
+          canon(ops.CurateIncr.reportRetractable(spark, eCur, whE)), "curate diverged")
+        assert(canon(ops.DedupIncr.pairs(spark, pDed, wh)) ==
+          canon(ops.DedupIncr.pairs(spark, eDed, whE)), "dedup diverged")
+        assert(canon(ops.TfidfIncr.report(spark, pTf, wh)) ==
+          canon(ops.TfidfIncr.report(spark, eTf, whE)), "tfidf diverged")
+        assert(canon(ops.DomainsIncr.report(spark, pDom, wh)) ==
+          canon(ops.DomainsIncr.report(spark, eDom, whE)), "domains diverged")
+        assert(canon(ops.QualityIncr.report(spark, pQ, wh)) ==
+          canon(ops.QualityIncr.report(spark, eQ, whE)), "quality diverged")
+        assert(canon(ops.AnnIncr.topK(spark, pAnn, wh,
+            ops.AnnIncr.storeQueries(spark, pAnn, wh), 3)) ==
+          canon(ops.AnnIncr.topK(spark, eAnn, whE,
+            ops.AnnIncr.storeQueries(spark, eAnn, whE), 3)), "ann diverged")
+        assert(canon(ops.ClusterIncr.report(spark, pCl, wh)) ==
+          canon(ops.ClusterIncr.report(spark, eCl, whE)), "cluster diverged")
+        assert(canon(ops.TriIncr.report(spark, pTri, wh)) ==
+          canon(ops.TriIncr.report(spark, eTri, whE)), "triangles diverged")
+
+        // cross-member marker isolation on the SHARED warehouse: each
+        // member's high-water marker is its own (doc members saw 4 CDC
+        // batches → days 0,2,4 + delete day 7; the quality/emb/edge
+        // timelines likewise — nothing leaked across prefixes)
+        members.foreach { p =>
+          assert(ops.IncrState.lastDay(spark, wh, p) == 7,
+            s"$p high-water wrong: ${ops.IncrState.lastDay(spark, wh, p)}")
+        }
+      } finally {
+        Seq(eCur, eDed, eTf, eDom, eQ, eAnn, eCl, eTri).foreach { p =>
+          spark.catalog.listTables().collect().map(_.name)
+            .filter(_.startsWith(p)).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+        }
+      }
+    } finally {
+      members.foreach { p =>
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith(p)).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+      }
+    }
+  }
+}

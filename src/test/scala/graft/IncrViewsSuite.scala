@@ -240,4 +240,88 @@ class IncrViewsSuite extends SparkSpec {
       ops.TriIncr.dropState(spark, prefix)
     }
   }
+
+  test("v_*_topk == AnnIncr.topK via the INSERT-then-SELECT contract (VERDICT r15 #4)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val prefix = freshPrefix("ann_view_")
+    val wh = ops.IncrState.newWarehouse()
+    try {
+      (0 to 1).foreach(d => ops.AnnIncr.runDay(spark,
+        emb.filter(pmod($"vec_id", lit(2L)) === d), prefix, wh, d, nBuckets = 4))
+      val v = ops.IncrViews.registerAnnTopK(spark, prefix, wh, k = 3)
+      val qt = ops.IncrViews.queriesTable(prefix)
+      // the SQL user lands query vectors with one INSERT — no Scala
+      val fresh = spark.newSession()
+      fresh.sql(s"""INSERT INTO $qt
+                   |SELECT DISTINCT vec_id AS q_id, v AS qv
+                   |FROM ${prefix}_vecs WHERE vec_id % 50 = 0""".stripMargin)
+      assert(fresh.table(qt).count() > 0, "query landing table empty — test is vacuous")
+      // the Scala baseline runs on EXACTLY the landed query set (qn
+      // derived the same way the fold derives norms)
+      def landedQueries = {
+        // the INSERT ran in the fresh session; make sure THIS session's
+        // relation cache sees the landed files before the baseline runs
+        spark.catalog.refreshTable(qt)
+        spark.table(qt)
+          .withColumn("qn", graft.functions.DotL.dot($"qv", $"qv"))
+          .select($"q_id", $"qv", $"qn")
+      }
+      assert(landedQueries.count() > 0, "outer session does not see landed queries")
+      def scalaTopK = ops.AnnIncr.topK(spark, prefix, wh, landedQueries, 3)
+      val viaView = canon(fresh.sql(s"SELECT * FROM $v"))
+      assert(viaView.nonEmpty, "topk view returned nothing")
+      assert(viaView == canon(scalaTopK), "view != AnnIncr.topK on the landed queries")
+      // a later fold (refresh hook re-bakes planes/config) stays equal
+      ops.AnnIncr.runDay(spark,
+        emb.filter(pmod($"vec_id", lit(2L)) === 0), prefix, wh, 2, nBuckets = 4)
+      assert(canon(fresh.sql(s"SELECT * FROM $v")) == canon(scalaTopK),
+        "view went stale after a fold")
+      // retraction: the hook swaps in the tombstone-aware vec CTE; the
+      // tombstoned ids must leave answer sets in BOTH paths
+      val delIds = emb.filter(pmod($"vec_id", lit(11L)) === 0).select($"vec_id")
+      ops.AnnIncr.deleteDay(spark, delIds, prefix, wh, 3, nBuckets = 4)
+      val afterDel = canon(fresh.sql(s"SELECT * FROM $v"))
+      assert(afterDel == canon(scalaTopK), "view missed the tombstone swap")
+      val delSet = delIds.collect().map(_.getLong(0)).toSet
+      assert(afterDel.forall(_.split('|') match {
+        case Array(_, _, c, _) => !delSet.contains(c.toLong)
+        case _ => false
+      }), "a retracted vec_id survived in the view's answers")
+    } finally {
+      ops.IncrViews.dropView(spark, prefix)
+      ops.AnnIncr.dropState(spark, prefix)
+    }
+  }
+
+  test("refresh hooks are cross-session: register in A, fold+delete in B, read in C (VERDICT r15 #7)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val prefix = freshPrefix("tfidf_xsess_")
+    val wh = ops.IncrState.newWarehouse()
+    try {
+      // session A: fold + register (bakes n_docs for 1 day)
+      ops.TfidfIncr.runDay(spark,
+        docs.filter(pmod($"doc_id", lit(3L)) === 0), prefix, wh, 0, nBuckets = 4)
+      val v = ops.IncrViews.registerTfidf(spark, prefix, wh)
+      // session B (its own SessionState/conf, catalog shared the way a
+      // persistent metastore would be): folds and deletes — ITS refresh
+      // hooks must find the view A registered and re-bake the literal
+      val sessionB = spark.newSession()
+      ops.TfidfIncr.runDay(sessionB,
+        Tables.documents(sessionB, sfDir).filter(pmod($"doc_id", lit(3L)) === 1),
+        prefix, wh, 1, nBuckets = 4)
+      ops.TfidfIncr.deleteDay(sessionB,
+        Tables.documents(sessionB, sfDir).filter(pmod($"doc_id", lit(7L)) === 3),
+        prefix, wh, 2, nBuckets = 4)
+      // session C: a SQL-only reader that saw none of the above
+      val sessionC = spark.newSession()
+      assert(canon(sessionC.sql(s"SELECT * FROM $v")) ==
+        canon(ops.TfidfIncr.report(spark, prefix, wh)),
+        "view registered in A went stale after B's fold+delete")
+    } finally {
+      ops.IncrViews.dropView(spark, prefix)
+      ops.TfidfIncr.dropState(spark, prefix)
+    }
+  }
 }

@@ -233,7 +233,17 @@ class IngestSuite extends SparkSpec {
       .toDF("user_id", "n", "day").write.parquet(src)
     def stream() = spark.readStream
       .schema("user_id BIGINT, n BIGINT, day STRING").parquet(src)
-    Ingest.streamToServingTable(spark, stream(), "graft_serve.daily", ckpt)
+    // pin the session conf to the TRUNCATING mode for the whole stream:
+    // the per-day guarantee must come from the table's own storage
+    // properties (ADVICE r15), not from any session state the stream's
+    // cloned session happened to inherit
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try Ingest.streamToServingTable(spark, stream(), "graft_serve.daily", ckpt)
+    finally prevMode match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
     val got = spark.table("graft_serve.daily").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(got == Set((1L, 10L, "2024-01-01"), (2L, 42L, "2024-01-02"), (3L, 7L, "2024-01-03")),

@@ -816,6 +816,38 @@ class OperatorSuite extends SparkSpec {
       s"default-sample estimate $est outside (${exact / 2}, ${exact * 2})")
   }
 
+  test("L37 sieve self-sizes from |E| (VERDICT r15 #3): rule, caps, and result invariance") {
+    import spark.implicits._
+    val knob = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    // decision rule at DEFAULT conf: m = 16·n, floored at 8 Mbit, heap-
+    // capped (heap/32 bytes → ·8 bits/byte = heap/4 bits)
+    val heapCap = Runtime.getRuntime.maxMemory / 32L * 8L
+    assert(ops.Graph.sieveBits(spark, 100L) == (1L << 23),
+      "tiny edge set must take the 8 Mbit floor")
+    assert(ops.Graph.sieveBits(spark, 30000000L) ==
+      math.min(heapCap, 480000000L),
+      "30M edges must derive 16·n (the tuned ×25 point) unless heap-capped")
+    // an EXPLICITLY set conf is a ceiling; its default no longer caps
+    spark.conf.set(knob, (1L << 20).toString)
+    try assert(ops.Graph.sieveBits(spark, 30000000L) == (1L << 20),
+      "explicit maxNumBits must cap the sieve")
+    finally spark.conf.unset(knob)
+    assert(ops.Graph.sieveBits(spark, 30000000L) > (1L << 26),
+      "the conf DEFAULT must not cap the derived budget (the r15 manual-knob wart)")
+    // result invariance: an absurdly small sieve (near pass-through)
+    // and the self-sized one produce the IDENTICAL profile — the exact
+    // left-semi closing join is the correctness backstop, the sieve
+    // only cuts wire volume
+    def canonTri() = SparkEntry.queries("q_graph_triangles")(spark, sfDir)
+      .collect().map(_.toSeq.mkString("|")).toSeq.sorted
+    val selfSized = canonTri()
+    assert(selfSized.nonEmpty, "triangle profile empty — test is vacuous")
+    spark.conf.set(knob, "64") // 64 bits: the sieve passes ~everything
+    try assert(canonTri() == selfSized,
+      "triangle profile depends on sieve size — the semi-join backstop broke")
+    finally spark.conf.unset(knob)
+  }
+
   test("L40 classifier: beats the majority class on the fixed corpus, predicts both classes") {
     import spark.implicits._
     // deterministic model on deterministic data — these are exact facts
