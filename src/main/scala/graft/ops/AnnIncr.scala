@@ -87,31 +87,40 @@ object AnnIncr {
   private def confAnn(s: SparkSession): (Int, Int) =
     (confTables(s), confBitsOverride(s).getOrElse(4))
 
-  private def annConfPath(warehouse: String) =
-    new org.apache.hadoop.fs.Path(s"$warehouse/_ann_conf")
+  // PER-PREFIX markers (round 16, the ClusterIncr/QualityIncr house
+  // pattern): two ANN indexes sharing one warehouse must not pool their
+  // built width, corpus counts, or re-code recovery state.
+  private def annConfMarker(prefix: String) = s"_ann_conf.$prefix"
+  private def vecCountsMarker(prefix: String) = s"_vec_counts.$prefix"
+  def recodeMarker(prefix: String) = s"_recode_pending.$prefix"
 
-  private def writeAnnConf(s: SparkSession, warehouse: String, tables: Int, bits: Int,
+  private def annConfPath(prefix: String, warehouse: String) =
+    new org.apache.hadoop.fs.Path(s"$warehouse/${annConfMarker(prefix)}")
+
+  private def writeAnnConf(s: SparkSession, prefix: String, warehouse: String,
+                           tables: Int, bits: Int,
                            force: Boolean = false): Unit = {
-    val p = annConfPath(warehouse)
+    val p = annConfPath(prefix, warehouse)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (force || !fs.exists(p))
-      IncrState.writeMarker(s, warehouse, "_ann_conf", s"$tables $bits")
+      IncrState.writeMarker(s, warehouse, annConfMarker(prefix), s"$tables $bits")
   }
 
   /** Per-day vector counts (`_vec_counts`): the corpus size the fold
     * already knows — see IncrState.readDayCounts for the idempotence
     * and never-a-corpus-scan argument. */
-  private def readVecCounts(s: SparkSession, warehouse: String): Map[Int, Long] =
-    IncrState.readDayCounts(s, warehouse, "_vec_counts")
+  private def readVecCounts(s: SparkSession, prefix: String,
+                            warehouse: String): Map[Int, Long] =
+    IncrState.readDayCounts(s, warehouse, vecCountsMarker(prefix))
 
-  private def writeVecCounts(s: SparkSession, warehouse: String,
+  private def writeVecCounts(s: SparkSession, prefix: String, warehouse: String,
                              counts: Map[Int, Long]): Unit =
-    IncrState.writeDayCounts(s, warehouse, "_vec_counts", counts)
+    IncrState.writeDayCounts(s, warehouse, vecCountsMarker(prefix), counts)
 
   /** The config the warehouse's index was built at (falls back to the
     * session conf for pre-marker warehouses). */
-  def annConf(s: SparkSession, warehouse: String): (Int, Int) = {
-    val p = annConfPath(warehouse)
+  def annConf(s: SparkSession, prefix: String, warehouse: String): (Int, Int) = {
+    val p = annConfPath(prefix, warehouse)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) confAnn(s)
     else {
@@ -177,18 +186,18 @@ object AnnIncr {
     val fresh = s.table(vecsTable(prefix)).filter($"day" === day)
     // corpus size after this fold: count the fresh partition (an empty
     // ReadSchema scan — footer bytes only) + the O(days) marker
-    val counts = readVecCounts(s, warehouse) + (day -> fresh.count())
-    writeVecCounts(s, warehouse, counts)
+    val counts = readVecCounts(s, prefix, warehouse) + (day -> fresh.count())
+    writeVecCounts(s, prefix, warehouse, counts)
     val target = confBitsOverride(s).getOrElse(derivedBits(counts.values.sum))
-    writeAnnConf(s, warehouse, confTables(s), target) // first fold only
+    writeAnnConf(s, prefix, warehouse, confTables(s), target) // first fold only
     // a re-code interrupted by a crash reruns to completion before the
     // fold proceeds (the rebuild is a pure function of the vector store,
     // so rerunning from any intermediate state converges)
-    IncrState.readMarker(s, warehouse, "_recode_pending").flatMap(_.trim.toIntOption)
-      .foreach(w => recode(s, prefix, warehouse, annConf(s, warehouse)._1, w, nBuckets))
+    IncrState.readMarker(s, warehouse, recodeMarker(prefix)).flatMap(_.trim.toIntOption)
+      .foreach(w => recode(s, prefix, warehouse, annConf(s, prefix, warehouse)._1, w, nBuckets))
     // every fold codes with the PERSISTED config — a session conf change
     // mid-history must not split the index across configs
-    val (ft, fb) = annConf(s, warehouse)
+    val (ft, fb) = annConf(s, prefix, warehouse)
     if (target > fb) {
       // the corpus outgrew the built width: migrate, which re-codes the
       // fresh day along with everything else
@@ -223,7 +232,7 @@ object AnnIncr {
                      tables: Int, newBits: Int, nBuckets: Int): Unit = {
     import s.implicits._
     val codesT = stateTables(prefix).head
-    IncrState.writeMarker(s, warehouse, "_recode_pending", newBits.toString)
+    IncrState.writeMarker(s, warehouse, recodeMarker(prefix), newBits.toString)
     val existing = (IncrState.deltaDays(s, codesT.name, warehouse) ++
       IncrState.epochSizes(s, codesT.name, warehouse).keys).toSeq
     val newEpoch = math.min(IncrState.EpochDay, existing.minOption.getOrElse(0) - 1)
@@ -231,14 +240,14 @@ object AnnIncr {
       Dedup.lshBucketsN(vecView(s, prefix).select($"vec_id", $"v"), tables, newBits)
         .withColumn("day", lit(newEpoch)),
       codesT, warehouse, newEpoch, nBuckets)
-    writeAnnConf(s, warehouse, tables, newBits, force = true)
+    writeAnnConf(s, prefix, warehouse, tables, newBits, force = true)
     val fs = new org.apache.hadoop.fs.Path(warehouse)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     existing.foreach { d =>
       s.sql(s"ALTER TABLE ${codesT.name} DROP IF EXISTS PARTITION (day=$d)")
       fs.delete(new org.apache.hadoop.fs.Path(s"$warehouse/${codesT.name}/day=$d"), true)
     }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$warehouse/_recode_pending"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$warehouse/${recodeMarker(prefix)}"), false)
   }
 
   /** Highest day ever folded into this warehouse; -1 when none. */
@@ -260,7 +269,7 @@ object AnnIncr {
     // restart contract, read side: the warehouse outlives the in-memory
     // catalog — re-register surviving state tables before touching them
     allTables(prefix).foreach(IncrState.ensureRegistered(s, _, warehouse))
-    val (tables, bits) = annConf(s, warehouse)
+    val (tables, bits) = annConf(s, prefix, warehouse)
     val cand = probesOf(queries, tables, bits)
       .join(codeStore(s, prefix).select($"bkt", $"vec_id".as("c_id")), "bkt")
       .filter($"q_id" =!= $"c_id")
@@ -374,7 +383,7 @@ object AnnIncr {
       .select($"vec_id").distinct()
     val prior = s.table(delTable(prefix)).filter($"src_day" < day).select($"vec_id")
     val nDel = fresh.join(prior, Seq("vec_id"), "left_anti").count()
-    writeVecCounts(s, warehouse, readVecCounts(s, warehouse) + (day -> -nDel))
+    writeVecCounts(s, prefix, warehouse, readVecCounts(s, prefix, warehouse) + (day -> -nDel))
     IncrState.writeLastDay(s, warehouse, day, prefix)
     // first delete swaps the SQL top-k view to its tombstone-aware form
     IncrViews.refreshAnnTopK(s, prefix, warehouse)

@@ -70,7 +70,7 @@ object IncrViews {
     * it). A SQL user diffing against the Scala report should append
     * `ORDER BY doc_id, rk` themselves. */
   def registerTfidf(s: SparkSession, prefix: String, warehouse: String): String = {
-    val nDocs = IncrState.readDayCounts(s, warehouse, "_doc_counts").values.sum
+    val nDocs = TfidfIncr.nDocs(s, prefix, warehouse)
     create(s, prefix,
       s"""WITH tf AS (SELECT doc_id, tok, SUM(tf) AS tf
          |            FROM (SELECT DISTINCT doc_id, tok, src_day, tf
@@ -336,8 +336,8 @@ object IncrViews {
     AnnIncr.stateTables(prefix).foreach(IncrState.ensureRegistered(s, _, warehouse))
     s.sql(s"""CREATE TABLE IF NOT EXISTS ${queriesTable(prefix)}
              |(q_id BIGINT, qv ARRAY<BIGINT>) USING PARQUET""".stripMargin)
-    IncrState.writeMarker(s, warehouse, "_ann_topk_k", k.toString)
-    val (tables, bits) = AnnIncr.annConf(s, warehouse)
+    IncrState.writeMarker(s, warehouse, s"_ann_topk_k.$prefix", k.toString)
+    val (tables, bits) = AnnIncr.annConf(s, prefix, warehouse)
     val planes = Dedup.planesFor(tables, bits)
     val planesLit = planes.map(_.mkString("array(", ", ", ")"))
       .mkString("array(", ",\n                ", ")")
@@ -402,7 +402,7 @@ object IncrViews {
   private[ops] def refreshAnnTopK(s: SparkSession, prefix: String,
                                   warehouse: String): Unit =
     if (s.catalog.tableExists(topkViewName(prefix))) {
-      val k = IncrState.readMarker(s, warehouse, "_ann_topk_k")
+      val k = IncrState.readMarker(s, warehouse, s"_ann_topk_k.$prefix")
         .flatMap(_.trim.toIntOption).getOrElse(3)
       registerAnnTopK(s, prefix, warehouse, k); ()
     }

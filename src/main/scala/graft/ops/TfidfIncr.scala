@@ -52,6 +52,11 @@ object TfidfIncr {
   private[ops] def tfTable(prefix: String) = s"${prefix}_tf"
   private[ops] def dfTable(prefix: String) = s"${prefix}_df"
 
+  /** PER-PREFIX marker (round 16, the ClusterIncr/QualityIncr house
+    * pattern): two TF-IDF members sharing one warehouse must not pool
+    * their n_docs. */
+  private def docCountsMarker(prefix: String) = s"_doc_counts.$prefix"
+
   private def stateTables(prefix: String): Seq[IncrState.StateTable] = Seq(
     IncrState.StateTable(tfTable(prefix), "tok", Seq("doc_id", "tok", "src_day")),
     IncrState.StateTable(dfTable(prefix), "tok", Seq("tok", "src_day")))
@@ -81,8 +86,8 @@ object TfidfIncr {
     // ReadSchema scan) into the O(days) marker — serving never scans
     // for n_docs
     val nDay = freshTf.select($"doc_id").distinct().count()
-    IncrState.writeDayCounts(s, warehouse, "_doc_counts",
-      IncrState.readDayCounts(s, warehouse, "_doc_counts") + (day -> nDay))
+    IncrState.writeDayCounts(s, warehouse, docCountsMarker(prefix),
+      IncrState.readDayCounts(s, warehouse, docCountsMarker(prefix)) + (day -> nDay))
     IncrState.writeLastDay(s, warehouse, day, prefix)
     // keep the SQL report view's baked n_docs literal current (no-op
     // catalog probe unless IncrViews.registerTfidf ever ran)
@@ -129,8 +134,8 @@ object TfidfIncr {
         .withColumn("src_day", lit(day)).withColumn("day", lit(day)),
       dfT, warehouse, day, nBuckets)
     val nDel = freshTf.select($"doc_id").distinct().count()
-    IncrState.writeDayCounts(s, warehouse, "_doc_counts",
-      IncrState.readDayCounts(s, warehouse, "_doc_counts") + (day -> -nDel))
+    IncrState.writeDayCounts(s, warehouse, docCountsMarker(prefix),
+      IncrState.readDayCounts(s, warehouse, docCountsMarker(prefix)) + (day -> -nDel))
     IncrState.writeLastDay(s, warehouse, day, prefix)
     IncrViews.refreshTfidf(s, prefix, warehouse)
   }
@@ -168,10 +173,15 @@ object TfidfIncr {
     * from the `_doc_counts` marker as a LITERAL; tf→df is a
     * bucket-aligned join; the per-document top-k window is the one
     * shuffle, exactly as in the batch plan (output-inherent). */
+  /** Live document count of the member's corpus, off the O(days)
+    * marker (fold entries positive, delete entries negative). */
+  private[ops] def nDocs(s: SparkSession, prefix: String, warehouse: String): Long =
+    IncrState.readDayCounts(s, warehouse, docCountsMarker(prefix)).values.sum
+
   def report(s: SparkSession, prefix: String, warehouse: String): DataFrame = {
     import s.implicits._
     stateTables(prefix).foreach(IncrState.ensureRegistered(s, _, warehouse))
-    val nDocs = IncrState.readDayCounts(s, warehouse, "_doc_counts").values.sum
+    val nDocs = this.nDocs(s, prefix, warehouse)
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok")
     tfView(s, prefix).join(dfTotals(s, prefix), "tok")
       .withColumn("score",

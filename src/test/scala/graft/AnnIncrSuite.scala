@@ -212,7 +212,7 @@ class AnnIncrSuite extends SparkSpec {
       spark.conf.set("spark.graft.ann.bits", "6")
       try ops.AnnIncr.runDay(spark, emb, prefix, wh, 0, nBuckets = 4)
       finally spark.conf.unset("spark.graft.ann.bits")
-      assert(ops.AnnIncr.annConf(spark, wh) == (4, 6))
+      assert(ops.AnnIncr.annConf(spark, prefix, wh) == (4, 6))
       val served = canon(ops.AnnIncr.topK(spark, prefix, wh,
         ops.AnnIncr.storeQueries(spark, prefix), 3))
       assert(served.nonEmpty, "bits=6 serving returned nothing at test scale")
@@ -227,7 +227,7 @@ class AnnIncrSuite extends SparkSpec {
       spark.conf.set("spark.graft.ann.bits", "3")
       try ops.AnnIncr.runDay(spark, emb.limit(0), prefix, wh, 1, nBuckets = 4)
       finally spark.conf.unset("spark.graft.ann.bits")
-      assert(ops.AnnIncr.annConf(spark, wh) == (4, 6),
+      assert(ops.AnnIncr.annConf(spark, prefix, wh) == (4, 6),
         "fold-time config drifted with the session conf")
     } finally ops.AnnIncr.dropState(spark, prefix)
   }
@@ -297,11 +297,11 @@ class AnnIncrSuite extends SparkSpec {
     try {
       // day 0: 2,000 vectors → derived 4 (the oracle floor config)
       ops.AnnIncr.runDay(spark, synth(2000), prefix, wh, 0, nBuckets = 4)
-      assert(ops.AnnIncr.annConf(spark, wh) == (4, 4))
+      assert(ops.AnnIncr.annConf(spark, prefix, wh) == (4, 4))
       // day 1: +4,000 → corpus 6,000 → derived 5 → the fold must migrate
       ops.AnnIncr.runDay(spark, synth(6000).filter($"vec_id" > 2000),
         prefix, wh, 1, nBuckets = 4)
-      assert(ops.AnnIncr.annConf(spark, wh) == (4, 5),
+      assert(ops.AnnIncr.annConf(spark, prefix, wh) == (4, 5),
         "fold did not widen with the corpus")
       // the code store collapsed to one re-code epoch (vec days intact)
       assert(ops.IncrState.deltaDays(spark, s"${prefix}_codes", wh).isEmpty,
@@ -310,7 +310,7 @@ class AnnIncrSuite extends SparkSpec {
       // serving parity with a from-scratch rebuild of the same corpus
       // (codes are pure functions of the vectors at the built width)
       ops.AnnIncr.runDay(spark, synth(6000), p2, wh2, 0, nBuckets = 4)
-      assert(ops.AnnIncr.annConf(spark, wh2) == (4, 5))
+      assert(ops.AnnIncr.annConf(spark, p2, wh2) == (4, 5))
       val migrated = serve(prefix, wh)
       assert(migrated.nonEmpty)
       assert(migrated == serve(p2, wh2),
@@ -326,12 +326,12 @@ class AnnIncrSuite extends SparkSpec {
       // a re-code) reruns to completion on the next fold, and the result
       // matches a fresh build at the pending width
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$wh/_recode_pending"), "6".getBytes("UTF-8"))
+        java.nio.file.Paths.get(s"$wh/${ops.AnnIncr.recodeMarker(prefix)}"), "6".getBytes("UTF-8"))
       ops.AnnIncr.runDay(spark, synth(6000).limit(0), prefix, wh, 2, nBuckets = 4)
-      assert(ops.AnnIncr.annConf(spark, wh) == (4, 6),
+      assert(ops.AnnIncr.annConf(spark, prefix, wh) == (4, 6),
         "pending re-code was not recovered")
       assert(!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$wh/_recode_pending")))
+        java.nio.file.Paths.get(s"$wh/${ops.AnnIncr.recodeMarker(prefix)}")))
       spark.conf.set("spark.graft.ann.bits", "6")
       try ops.AnnIncr.runDay(spark, synth(6000), p3, wh3, 0, nBuckets = 4)
       finally spark.conf.unset("spark.graft.ann.bits")
@@ -474,7 +474,7 @@ class AnnIncrSuite extends SparkSpec {
       val delIds = emb.filter(pmod($"vec_id", lit(11L)) === 0).select($"vec_id")
       val nDel = delIds.count()
       assert(nDel > 0, "takedown set empty — test is vacuous")
-      def marker = ops.IncrState.readDayCounts(spark, wh, "_vec_counts")
+      def marker = ops.IncrState.readDayCounts(spark, wh, s"_vec_counts.$p")
       ops.AnnIncr.deleteDay(spark, delIds, p, wh, 2, nBuckets = 4)
       assert(marker(2) == -nDel, s"first delete-day count wrong: ${marker(2)}")
       val liveEstimate = marker.values.sum

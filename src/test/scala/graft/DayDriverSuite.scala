@@ -25,6 +25,60 @@ class DayDriverSuite extends SparkSpec {
     stem + java.lang.Long.toHexString(
       U.h64Local(java.util.UUID.randomUUID().toString))
 
+  test("two same-kind members on one warehouse: per-prefix markers stay isolated") {
+    // round 16: _last_day, _doc_counts, _vec_counts, _ann_conf and
+    // _recode_pending are all per prefix now (the ClusterIncr/
+    // QualityIncr house pattern) — two TF-IDF members or two ANN
+    // indexes sharing a warehouse must not pool their n_docs / built
+    // width. Proven by report equality against solo-warehouse twins.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = ops.IncrState.newWarehouse()
+    val (tA, tB) = (fresh("iso_tf_a_"), fresh("iso_tf_b_"))
+    val (aA, aB) = (fresh("iso_ann_a_"), fresh("iso_ann_b_"))
+    val (sA, sB) = (fresh("iso_tf_sa_"), fresh("iso_tf_sb_"))
+    try {
+      // TF-IDF member A: 2 days of residues 0/1; member B: ONE day of
+      // residue 2 — a warehouse-global _doc_counts would hand B the sum
+      // of both corpora as its n_docs and skew every IDF score
+      (0 to 1).foreach(d => ops.TfidfIncr.runDay(spark,
+        docs.filter(pmod($"doc_id", lit(3L)) === d), tA, wh, d, nBuckets = 4))
+      ops.TfidfIncr.runDay(spark,
+        docs.filter(pmod($"doc_id", lit(3L)) === 2), tB, wh, 0, nBuckets = 4)
+      val whSA = ops.IncrState.newWarehouse()
+      val whSB = ops.IncrState.newWarehouse()
+      (0 to 1).foreach(d => ops.TfidfIncr.runDay(spark,
+        docs.filter(pmod($"doc_id", lit(3L)) === d), sA, whSA, d, nBuckets = 4))
+      ops.TfidfIncr.runDay(spark,
+        docs.filter(pmod($"doc_id", lit(3L)) === 2), sB, whSB, 0, nBuckets = 4)
+      assert(canon(ops.TfidfIncr.report(spark, tA, wh)) ==
+        canon(ops.TfidfIncr.report(spark, sA, whSA)),
+        "member A's report polluted by member B on the shared warehouse")
+      assert(canon(ops.TfidfIncr.report(spark, tB, wh)) ==
+        canon(ops.TfidfIncr.report(spark, sB, whSB)),
+        "member B's n_docs absorbed member A's corpus")
+      // ANN: A built at an explicit width, B at the default — a shared
+      // _ann_conf would make B probe at A's width (silent recall skew)
+      spark.conf.set("spark.graft.ann.bits", "6")
+      try ops.AnnIncr.runDay(spark,
+        emb.filter(pmod($"vec_id", lit(2L)) === 0), aA, wh, 0, nBuckets = 4)
+      finally spark.conf.unset("spark.graft.ann.bits")
+      // B's slice must retain some %50 residues — they are the store-
+      // resident query set the serving sanity check below reads
+      ops.AnnIncr.runDay(spark,
+        emb.filter(pmod($"vec_id", lit(3L)) === 0), aB, wh, 0, nBuckets = 4)
+      assert(ops.AnnIncr.annConf(spark, aA, wh) == (4, 6), "A lost its built width")
+      assert(ops.AnnIncr.annConf(spark, aB, wh) == (4, 4),
+        "B inherited A's width through a shared marker")
+      assert(canon(ops.AnnIncr.topK(spark, aB, wh,
+        ops.AnnIncr.storeQueries(spark, aB, wh), 3)).nonEmpty)
+    } finally {
+      Seq(tA, tB, sA, sB).foreach(ops.TfidfIncr.dropState(spark, _))
+      Seq(aA, aB).foreach(ops.AnnIncr.dropState(spark, _))
+    }
+  }
+
   test("all 8 members on one warehouse: shared CDC inboxes + takedowns + restart") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("day_driver_").toString
