@@ -262,7 +262,22 @@ object AnnIncr {
   /** Exact-reranked top-k over the persisted index for the given query
     * vectors (`(q_id, qv, qn)` rows). Candidate recall is one bucket
     * equi-join; rerank is two bucket-aligned joins against the vector
-    * store. Output matches `q_ann_lsh` row-for-row on the same queries. */
+    * store. Output matches `q_ann_lsh` row-for-row on the same queries.
+    *
+    * RERANK JOIN SHAPE (round 16, ×100 probe rung): the candidate
+    * stream is the big side — queries/50th-of-corpus × tables ×
+    * (bits+1) masks × ~TargetOccupancy rows — and once the rerank
+    * attaches the 64-long vector payloads it is ~600 B/row; a
+    * sort-merge join SORTS that stream twice (once per rerank join) and
+    * the ×100 rung measured 63.5 GB of sort spill doing it. The build
+    * sides are corpus-bounded (the vector store; the query set ≈ N/50),
+    * so both rerank joins take a SHUFFLE_HASH hint building the
+    * store/query side whenever one build partition fits the runtime
+    * per-task budget (Graph.shjPerTaskBudget — the same derivation and
+    * OOM-cliff guard as the triangle joins; above the budget the hint
+    * is withheld and the joins fall back to sort-merge, which spills
+    * instead of OOMing). The corpus size comes from the O(days)
+    * `_vec_counts` marker — no scan. */
   def topK(s: SparkSession, prefix: String, warehouse: String,
            queries: DataFrame, k: Int = 3): DataFrame = {
     import s.implicits._
@@ -275,10 +290,16 @@ object AnnIncr {
       .filter($"q_id" =!= $"c_id")
       .select($"q_id", $"c_id")
       .distinct()
+    // ~750 B/vector in an UnsafeHashedRelation (64-long array + n2 +
+    // per-row overhead); the query set is ≤ the corpus by contract
+    val nVec = readVecCounts(s, prefix, warehouse).values.sum
+    val shjSafe = nVec > 0 &&
+      nVec * 750L / s.sessionState.conf.numShufflePartitions < Graph.shjPerTaskBudget(s)
+    def shj(df: DataFrame): DataFrame = if (shjSafe) df.hint("shuffle_hash") else df
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id")
     cand
-      .join(vecView(s, prefix).select($"vec_id".as("c_id"), $"v".as("cv"), $"n2".as("cn")), "c_id")
-      .join(queries.select($"q_id", $"qv", $"qn"), "q_id")
+      .join(shj(vecView(s, prefix).select($"vec_id".as("c_id"), $"v".as("cv"), $"n2".as("cn"))), "c_id")
+      .join(shj(queries.select($"q_id", $"qv", $"qn")), "q_id")
       .withColumn("dot", graft.functions.DotL.dot($"qv", $"cv"))
       .withColumn("sim", round($"dot".cast("double") /
         (sqrt($"qn".cast("double")) * sqrt($"cn".cast("double"))), 6))
