@@ -264,20 +264,28 @@ object AnnIncr {
     * equi-join; rerank is two bucket-aligned joins against the vector
     * store. Output matches `q_ann_lsh` row-for-row on the same queries.
     *
-    * RERANK JOIN SHAPE (round 16, ×100 probe rung): the candidate
-    * stream is the big side — queries/50th-of-corpus × tables ×
-    * (bits+1) masks × ~TargetOccupancy rows — and once the rerank
-    * attaches the 64-long vector payloads it is ~600 B/row; a
-    * sort-merge join SORTS that stream twice (once per rerank join) and
-    * the ×100 rung measured 63.5 GB of sort spill doing it. The build
-    * sides are corpus-bounded (the vector store; the query set ≈ N/50),
-    * so both rerank joins take a SHUFFLE_HASH hint building the
-    * store/query side whenever one build partition fits the runtime
-    * per-task budget (Graph.shjPerTaskBudget — the same derivation and
-    * OOM-cliff guard as the triangle joins; above the budget the hint
-    * is withheld and the joins fall back to sort-merge, which spills
-    * instead of OOMing). The corpus size comes from the O(days)
-    * `_vec_counts` marker — no scan. */
+    * RERANK JOIN SHAPE (round 16, tuned against the ×100 probe rung):
+    * the candidate stream is the big side — queries/50th-of-corpus ×
+    * tables × (bits+1) masks × ~TargetOccupancy rows — and once the
+    * q-side join attaches the 64-long query payloads it is ~600 B/row.
+    * Plan rules, each measured:
+    *
+    *   - VEC join (c_id): SHUFFLE_HASH building the vector store when a
+    *     build partition fits the runtime per-task budget
+    *     (Graph.shjPerTaskBudget, corpus size from the O(days)
+    *     `_vec_counts` marker — no scan). The candidate side is still
+    *     THIN here (16 B/row), so this join was never the hazard; the
+    *     hint just drops the store-side sort.
+    *   - QUERIES join (q_id): BROADCAST while the query set is small
+    *     (one counted pass of the query-sized frame; ≲32 MB of rows) —
+    *     the fat post-join stream then never shuffles at all, which is
+    *     the measured-best shape (×25: 0.4 GB total shuffle vs 2.3 GB
+    *     when this side is shuffle-hashed). Past broadcast size,
+    *     SHUFFLE_HASH under the same per-task budget: the fat stream
+    *     pays its one inherent exchange but is never SORTED — the
+    *     unhinted sort-merge fallback at ×100 sorted it twice for
+    *     63.5 GB of spill (the first fresh-JVM probe's catch). Beyond
+    *     both guards: sort-merge, which spills instead of OOMing. */
   def topK(s: SparkSession, prefix: String, warehouse: String,
            queries: DataFrame, k: Int = 3): DataFrame = {
     import s.implicits._
@@ -291,15 +299,27 @@ object AnnIncr {
       .select($"q_id", $"c_id")
       .distinct()
     // ~750 B/vector in an UnsafeHashedRelation (64-long array + n2 +
-    // per-row overhead); the query set is ≤ the corpus by contract
+    // per-row overhead)
+    val RowBytes = 750L
     val nVec = readVecCounts(s, prefix, warehouse).values.sum
-    val shjSafe = nVec > 0 &&
-      nVec * 750L / s.sessionState.conf.numShufflePartitions < Graph.shjPerTaskBudget(s)
-    def shj(df: DataFrame): DataFrame = if (shjSafe) df.hint("shuffle_hash") else df
+    val parts = s.sessionState.conf.numShufflePartitions
+    val vecShjSafe = nVec > 0 &&
+      nVec * RowBytes / parts < Graph.shjPerTaskBudget(s)
+    def shjVec(df: DataFrame): DataFrame =
+      if (vecShjSafe) df.hint("shuffle_hash") else df
+    // one counted pass of the query-sized frame decides its join form;
+    // Catalyst cannot size it statically (it is usually a filter over
+    // the store) and it has no shuffle stage for AQE to measure
+    val nQ = queries.count()
+    val qSel = queries.select($"q_id", $"qv", $"qn")
+    val qJoin =
+      if (nQ * RowBytes < (32L << 20)) broadcast(qSel)
+      else if (nQ * RowBytes / parts < Graph.shjPerTaskBudget(s)) qSel.hint("shuffle_hash")
+      else qSel
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id")
     cand
-      .join(shj(vecView(s, prefix).select($"vec_id".as("c_id"), $"v".as("cv"), $"n2".as("cn"))), "c_id")
-      .join(shj(queries.select($"q_id", $"qv", $"qn")), "q_id")
+      .join(shjVec(vecView(s, prefix).select($"vec_id".as("c_id"), $"v".as("cv"), $"n2".as("cn"))), "c_id")
+      .join(qJoin, "q_id")
       .withColumn("dot", graft.functions.DotL.dot($"qv", $"cv"))
       .withColumn("sim", round($"dot".cast("double") /
         (sqrt($"qn".cast("double")) * sqrt($"cn".cast("double"))), 6))
