@@ -146,16 +146,26 @@ object ScaleProbe {
     if (i == 0) shifted
     else name match {
       case "documents" =>
-        // per-copy alphabet rotation (bijective translate): EVERY token
-        // and every char-n-gram differs across copies (cross-copy
+        // per-copy AFFINE alphabet cipher (bijective translate): EVERY
+        // token and every char-n-gram differs across copies (cross-copy
         // Jaccard ≈ 0 for word-shingle AND char-gram dedup alike),
         // while within-copy token structure — the thing the operators
         // mine — is preserved exactly. A token prefix would not be
         // enough: char-5-grams interior to a token would still collide
         // across copies and re-create the K² near-dup explosion.
+        // j → (a·j + b) mod 26 with gcd(a,26)=1 gives 12·26 = 312
+        // distinct bijections (vs the old rotation's 26, whose copy-26
+        // alias capped pair-producing probes at k<26 — round 17 needed
+        // q_dedup_incr at the ×100 rung). Two distinct affine maps
+        // agree on ≤2 of 26 letters, so cross-copy token collisions
+        // stay ≈ chance. a=1 for i<26 keeps every existing rung corpus
+        // (k=10, k=25) byte-identical to the rotation it replaces.
         val az = "abcdefghijklmnopqrstuvwxyz"
-        val rot = az.drop(i % 26) + az.take(i % 26)
-        shifted.withColumn("text", translate(col("text"), az, rot))
+        val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+        val a = coprimes((i / 26) % coprimes.length)
+        val b = i % 26
+        val target = (0 until 26).map(j => az((a * j + b) % 26)).mkString
+        shifted.withColumn("text", translate(col("text"), az, target))
       case "embeddings" =>
         // flip a pseudo-random half of the dimensions per copy:
         // cross-copy cosine ≈ 0, norms and within-copy geometry intact
@@ -169,18 +179,19 @@ object ScaleProbe {
 
   /** Write a deterministic K× corpus derived from srcDir into outDir.
     * `subset` restricts which tables materialize (the second rung only
-    * needs the three tables its probed queries read). K must stay < 26
-    * unless `allowAlias`: the per-copy alphabet rotation is bijective
-    * over 26 letters, so copy i and copy i+26 carry IDENTICAL text and
-    * re-create the cross-copy near-dup explosion the rotation exists
-    * to prevent — fatal for PAIR-PRODUCING probes (dedup/similarity),
-    * harmless for aggregate-shaped ones (counts/df just scale with the
-    * collision multiplicity, no quadratic output), which is what the
-    * ×100 fold rung probes. */
+    * needs the three tables its probed queries read). K must stay < 312:
+    * the per-copy affine cipher is a bijection over the 12 coprime
+    * slopes × 26 shifts, so copy i and copy i+312 would carry IDENTICAL
+    * text and re-create the cross-copy near-dup explosion the cipher
+    * exists to prevent — fatal for PAIR-PRODUCING probes (dedup/
+    * similarity). `allowAlias` is retained for signature compatibility
+    * but no longer needed below 312 copies (round 17: the affine cipher
+    * replaced the 26-letter rotation precisely so the ×100 rung could
+    * carry q_dedup_incr soundly). */
   def generate(spark: SparkSession, srcDir: String, outDir: String, k: Int,
                subset: Seq[String] = tables, allowAlias: Boolean = false): Unit = {
-    require(k < 26 || allowAlias,
-      s"k=$k aliases the 26-letter alphabet rotation (copy i ≡ copy i-26)")
+    require(k < 312 || allowAlias,
+      s"k=$k aliases the 312-map affine cipher (copy i ≡ copy i-312)")
     subset.foreach { t =>
       val src = Tables.table(spark, srcDir, t)
       val scaled = (0 until k).map(i => copyOf(t, src, i)).reduce(_ unionByName _)
@@ -329,7 +340,18 @@ object ScaleProbe {
     // k-means fold exercises the K-centroid partial write at 100×
     // vector volume.
     "q_ann_incr" -> "embeddings",
-    "q_cluster_incr" -> "embeddings")
+    "q_cluster_incr" -> "embeddings",
+    // round 17 (VERDICT r16 #2): the last two incremental members with
+    // only ×25 evidence. The band-store fold's untested term was the
+    // candidate join's bucket occupancy at 100× corpus — sound to probe
+    // now that the affine cipher keeps all 100 copies' text disjoint
+    // (the old rotation aliased at 26 and would have manufactured a K²
+    // cross-copy pair explosion). The incremental triangle fold probes
+    // fresh-edge wedge volume under a 100× graph: copies are disjoint
+    // subgraphs, so wedges grow linearly with K by construction and any
+    // superlinear time is the plan's fault, not the corpus's.
+    "q_dedup_incr" -> "documents",
+    "q_tri_incr" -> "lineitem")
   val Rung3K = 100
 
   /** Per-rung measurement in a FRESH JVM (VERDICT r15 #2): the r15

@@ -334,8 +334,31 @@ object IncrViews {
   def registerAnnTopK(s: SparkSession, prefix: String, warehouse: String,
                       k: Int = 3): String = {
     AnnIncr.stateTables(prefix).foreach(IncrState.ensureRegistered(s, _, warehouse))
+    // the landing table lives at an explicit warehouse location and the
+    // VIEW below reads it PATH-based (`parquet.`<loc>``), not by catalog
+    // name: a catalog-name read caches the file listing per session, so
+    // a second session's INSERT was invisible to the registered session
+    // until a manual refreshTable (VERDICT r16 #6 — a SQL user won't
+    // know that). A path scan re-lists per query; the table is
+    // query-sized, so the listing is noise. INSERTs still go through
+    // the catalog name — only the read side changes.
+    val qLoc = s"$warehouse/${queriesTable(prefix)}"
     s.sql(s"""CREATE TABLE IF NOT EXISTS ${queriesTable(prefix)}
-             |(q_id BIGINT, qv ARRAY<BIGINT>) USING PARQUET""".stripMargin)
+             |(q_id BIGINT, qv ARRAY<BIGINT>) USING PARQUET
+             |LOCATION '$qLoc'""".stripMargin)
+    // seed one zero-row parquet file so the path scan can infer the
+    // schema before the first INSERT lands (a bare dir cannot)
+    val qDir = new org.apache.hadoop.fs.Path(qLoc)
+    val qFs = qDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val seeded = qFs.exists(qDir) && qFs.listStatus(qDir).exists(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (!seeded) {
+      import org.apache.spark.sql.types._
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("q_id", LongType),
+            StructField("qv", ArrayType(LongType)))))
+        .write.mode("append").parquet(qLoc)
+    }
     IncrState.writeMarker(s, warehouse, s"_ann_topk_k.$prefix", k.toString)
     val (tables, bits) = AnnIncr.annConf(s, prefix, warehouse)
     val planes = Dedup.planesFor(tables, bits)
@@ -369,7 +392,7 @@ object IncrViews {
     s.sql(
       s"""CREATE OR REPLACE VIEW $v AS
          |WITH q AS (SELECT q_id, qv, ${dot("qv", "qv")} AS qn
-         |           FROM ${queriesTable(prefix)}),
+         |           FROM parquet.`$qLoc`),
          |     qb AS (SELECT q_id,
          |                   transform($planesLit,
          |                     p -> CASE WHEN ${dot("qv", "p")} > 0

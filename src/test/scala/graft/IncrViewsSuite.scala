@@ -251,12 +251,24 @@ class IncrViewsSuite extends SparkSpec {
         emb.filter(pmod($"vec_id", lit(2L)) === d), prefix, wh, d, nBuckets = 4))
       val v = ops.IncrViews.registerAnnTopK(spark, prefix, wh, k = 3)
       val qt = ops.IncrViews.queriesTable(prefix)
+      // read the view BEFORE any queries land: (a) the seeded zero-row
+      // schema file must let the path scan analyze, and (b) this primes
+      // any per-session listing cache — the exact shape of the r16
+      // refreshTable footgun the next assertion pins closed
+      assert(spark.sql(s"SELECT * FROM $v").count() == 0,
+        "empty landing table must read as an empty view")
       // the SQL user lands query vectors with one INSERT — no Scala
       val fresh = spark.newSession()
       fresh.sql(s"""INSERT INTO $qt
                    |SELECT DISTINCT vec_id AS q_id, v AS qv
                    |FROM ${prefix}_vecs WHERE vec_id % 50 = 0""".stripMargin)
       assert(fresh.table(qt).count() > 0, "query landing table empty — test is vacuous")
+      // VERDICT r16 #6: the REGISTERING session (which just read the
+      // view as empty) must see the other session's INSERT with NO
+      // manual refreshTable — the view's read side is path-based, so
+      // the file listing is fresh per query
+      assert(spark.sql(s"SELECT * FROM $v").count() > 0,
+        "registering session's view read missed a cross-session INSERT without refreshTable")
       // the Scala baseline runs on EXACTLY the landed query set (qn
       // derived the same way the fold derives norms)
       def landedQueries = {

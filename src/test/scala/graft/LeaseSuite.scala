@@ -177,4 +177,177 @@ class LeaseSuite extends SparkSpec {
       s"interleaved fold+compact diverged from serialized run: ${got.size} vs ${expected.size} rows")
     ops.DomainsIncr.dropState(spark, "lease_chaos")
   }
+
+  private def freshPrefix(stem: String): String =
+    stem + java.lang.Long.toHexString(
+      U.h64Local(java.util.UUID.randomUUID().toString))
+
+  test("heartbeat: a LIVE holder outlasting the TTL is NOT evicted (VERDICT r16 #1a)") {
+    // the r16 defect: the lease mtime was written once at acquire, so a
+    // fold longer than the TTL looked crashed and got broken. The
+    // heartbeat (ttl/3) keeps a live holder's lease fresh indefinitely —
+    // a contender must stay contended for as long as the holder runs.
+    val wh = IS.newWarehouse()
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var holderErr: Option[Throwable] = None
+    val holder = new Thread(() => {
+      try IS.withLease(spark, wh, "hb", ttlMs = 600) {
+        entered.countDown()
+        release.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+      } catch { case t: Throwable => holderErr = Some(t) }
+    })
+    holder.start()
+    assert(entered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    // run 2.5 TTLs past acquire: without the heartbeat this lease would
+    // be stale and breakable; with it, every probe must stay contended
+    Thread.sleep(1500)
+    intercept[IS.LeaseContendedException] {
+      IS.acquireLease(hconf, wh, "hb", ttlMs = 600)
+    }
+    release.countDown(); holder.join(30000)
+    assert(!holder.isAlive && holderErr.isEmpty, s"holder failed: $holderErr")
+    // after the holder releases, the next writer acquires freely
+    val t = IS.acquireLease(hconf, wh, "hb", ttlMs = 600)
+    IS.releaseLease(hconf, wh, "hb", t)
+  }
+
+  test("fence: a holder evicted mid-fold cannot commit; state equals the taker-only run (VERDICT r16 #1b/#1c)") {
+    import org.apache.spark.sql.functions.pmod
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    def slice(d: Int) = docs.filter(pmod($"doc_id", lit(3L)) === d)
+    val prefix = freshPrefix("evict_")
+    val wh = IS.newWarehouse()
+    // expected end state: holder's day 0 + taker's day 1 — the evicted
+    // holder's day-2 attempt must land NOTHING
+    val whE = IS.newWarehouse()
+    val pE = freshPrefix("evict_e_")
+    (0 to 1).foreach(d => ops.DomainsIncr.runDay(spark, slice(d), pE, whE, d, nBuckets = 4))
+    val expected = canon(ops.DomainsIncr.report(spark, pE, whE))
+
+    val holderParked = new java.util.concurrent.CountDownLatch(1)
+    val takerDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var commitRefused: Option[Throwable] = None
+    @volatile var holderErr: Option[Throwable] = None
+    val holder = new Thread(() => {
+      try {
+        // heartbeatMs = -1 simulates a STUCK holder (GC pause / FS
+        // partition longer than the TTL): alive, but invisible
+        IS.withLease(spark, wh, prefix, ttlMs = 800, heartbeatMs = -1) {
+          ops.DomainsIncr.runDay(spark, slice(0), prefix, wh, 0, nBuckets = 4)
+          holderParked.countDown()
+          takerDone.await(60, java.util.concurrent.TimeUnit.SECONDS)
+          // evicted while parked: every commit point must now REFUSE
+          try { ops.DomainsIncr.runDay(spark, slice(2), prefix, wh, 2, nBuckets = 4); () }
+          catch { case e: IS.LeaseContendedException => commitRefused = Some(e) }
+        }
+      } catch { case t: Throwable => holderErr = Some(t) }
+    })
+    holder.start()
+    assert(holderParked.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    Thread.sleep(900) // let the (un-heartbeated) lease age past its TTL
+    // the taker breaks the stale lease and folds its own day
+    IS.withLease(spark, wh, prefix, ttlMs = 800) {
+      ops.DomainsIncr.runDay(spark, slice(1), prefix, wh, 1, nBuckets = 4)
+    }
+    takerDone.countDown(); holder.join(60000)
+    assert(!holder.isAlive, "evicted holder wedged")
+    assert(holderErr.isEmpty, s"holder thread blew up outside the fence: $holderErr")
+    assert(commitRefused.isDefined,
+      "the evicted holder's commit was NOT refused — two-writer interleave readmitted")
+    assert(canon(ops.DomainsIncr.report(spark, prefix, wh)) == expected,
+      "state diverged from the taker-only run — the evicted holder landed bytes")
+    ops.DomainsIncr.dropState(spark, prefix)
+    ops.DomainsIncr.dropState(spark, pE)
+  }
+
+  test("withLeaseRetry: bounded rethrow under a held lease; acquires once freed (VERDICT r16 #5)") {
+    val wh = IS.newWarehouse()
+    val tok = IS.acquireLease(hconf, wh, "retry")
+    val t0 = System.nanoTime()
+    intercept[IS.LeaseContendedException] {
+      IS.withLeaseRetry(spark, wh, "retry", attempts = 3, baseBackoffMs = 10) {
+        fail("body must not run under a held lease")
+      }
+    }
+    assert((System.nanoTime() - t0) / 1e6 < 5000, "retry loop ran far past its bound")
+    // release mid-retry: the helper lands the body without caller loops
+    val releaser = new Thread(() => {
+      Thread.sleep(120); IS.releaseLease(hconf, wh, "retry", tok)
+    })
+    releaser.start()
+    @volatile var ran = false
+    IS.withLeaseRetry(spark, wh, "retry", attempts = 100, baseBackoffMs = 20) { ran = true }
+    releaser.join()
+    assert(ran)
+  }
+
+  test("mutual exclusion chaos: 8 threads x 15 leased sections, max concurrency is 1") {
+    val wh = IS.newWarehouse()
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map(_ => new Thread(() => {
+      try (0 until 15).foreach { _ =>
+        IS.withLeaseRetry(spark, wh, "mx", attempts = 10000, baseBackoffMs = 5,
+          ttlMs = 60000) {
+          val a = active.incrementAndGet()
+          maxSeen.updateAndGet(m => math.max(m, a))
+          Thread.sleep(2)
+          active.decrementAndGet(); ()
+        }
+        done.incrementAndGet(); ()
+      } catch { case t: Throwable => errs.add(t); () }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join(180000))
+    assert(threads.forall(!_.isAlive), "chaos threads wedged")
+    assert(errs.isEmpty, s"chaos thread failed: ${errs.peek()}")
+    assert(done.get() == 120, s"only ${done.get()}/120 sections completed")
+    assert(maxSeen.get() == 1,
+      s"TWO writers inside the leased section at once (max ${maxSeen.get()})")
+  }
+
+  test("stale-break race (ADVICE r16): many breakers on one crashed lease admit at most one concurrent holder") {
+    // the r16 delete-then-create window: breaker A reads a stale lease,
+    // breaker B breaks it and creates a FRESH one, laggard A deletes
+    // B's fresh lease — two live writers. The fix re-checks token+mtime
+    // immediately before the delete and re-verifies ownership after a
+    // settle beat. 30 rounds x 6 racing breakers; concurrency inside
+    // the held section must never exceed 1.
+    val wh = IS.newWarehouse()
+    val p = new org.apache.hadoop.fs.Path(s"$wh/_lease.br")
+    val fs = p.getFileSystem(hconf)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    var totalWins = 0
+    (0 until 30).foreach { _ =>
+      // plant a crashed holder's stale lease (a previous round may have
+      // ended with an unowned fresh file — every breaker lost the
+      // create race — which is exactly a crashed holder once aged)
+      if (!fs.exists(p)) IS.acquireLease(hconf, wh, "br")
+      fs.setTimes(p, System.currentTimeMillis() - IS.DefaultLeaseTtlMs - 60000, -1)
+      val active = new java.util.concurrent.atomic.AtomicInteger(0)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val go = new java.util.concurrent.CountDownLatch(1)
+      val threads = (0 until 6).map(_ => new Thread(() => {
+        go.await()
+        try {
+          val tok = IS.acquireLease(hconf, wh, "br")
+          val a = active.incrementAndGet()
+          maxSeen.updateAndGet(m => math.max(m, a))
+          wins.incrementAndGet()
+          Thread.sleep(20)
+          active.decrementAndGet()
+          IS.releaseLease(hconf, wh, "br", tok)
+        } catch { case _: IS.LeaseContendedException => () }
+      }))
+      threads.foreach(_.start()); go.countDown(); threads.foreach(_.join(30000))
+      assert(threads.forall(!_.isAlive), "breaker threads wedged")
+      totalWins += wins.get()
+    }
+    assert(maxSeen.get() <= 1,
+      s"a laggard breaker deleted a fresh lease — ${maxSeen.get()} concurrent holders")
+    assert(totalWins >= 1, "no breaker ever won — the chaos proved nothing")
+  }
 }

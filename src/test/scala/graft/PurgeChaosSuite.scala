@@ -141,4 +141,101 @@ class PurgeChaosSuite extends SparkSpec {
         "purge left tombstoned vectors in the code store")
     } finally AnnIncr.dropState(spark, prefix)
   }
+
+  test("lease takeover mid-compaction: holder dies between stage and swap; the taker converges (VERDICT r16 #7)") {
+    // the stage→swap ordering claims crash-safety; prove it COMPOSES
+    // with a TTL takeover: a holder crashes after writing the stage dir
+    // but before the swap, its lease goes stale, a second writer breaks
+    // in and runs its own compaction — the final state must equal the
+    // never-crashed run (the taker's stage overwrite must clobber the
+    // corpse's leftovers, and the dead holder's release must not damage
+    // the taker's lease).
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val prefix = freshPrefix("takeover_c_")
+    val wh = IncrState.newWarehouse()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    try {
+      (0 until 3).foreach(d => DomainsIncr.runDay(spark,
+        docs.filter(pmod($"doc_id", lit(3L)) === d), prefix, wh, d, nBuckets = 4))
+      val expected = canon(DomainsIncr.report(spark, prefix, wh))
+      assert(expected.nonEmpty, "report vacuous")
+      // the crashed holder: acquired, wrote a stage dir (with contents a
+      // real mid-compaction crash would leave — here deliberately
+      // DIFFERENT rows/schema so any taker that merges instead of
+      // overwriting the stage diverges loudly), then died before the swap
+      val orphan = IncrState.acquireLease(hconf, wh, prefix)
+      spark.range(7).selectExpr("concat('corpse', id) AS junk")
+        .write.mode("overwrite").parquet(s"$wh/_compact_stage_${DomainsIncr.dlTable(prefix)}")
+      val lease = new org.apache.hadoop.fs.Path(s"$wh/_lease.$prefix")
+      val fs = lease.getFileSystem(hconf)
+      fs.setTimes(lease, System.currentTimeMillis() - IncrState.DefaultLeaseTtlMs - 60000, -1)
+      // the taker breaks the stale lease and compacts
+      DomainsIncr.compactState(spark, prefix, wh, nBuckets = 4)
+      assert(canon(DomainsIncr.report(spark, prefix, wh)) == expected,
+        "takeover compaction diverged from the never-crashed run")
+      assert(DomainsIncr.deltaDays(spark, prefix, wh).isEmpty,
+        "taker's compaction left day partitions behind")
+      assert(DomainsIncr.epochSizes(spark, prefix, wh).nonEmpty,
+        "taker's compaction produced no epoch")
+      // the corpse's finally block fires late: must be a no-op
+      IncrState.releaseLease(hconf, wh, prefix, orphan)
+      assert(canon(DomainsIncr.report(spark, prefix, wh)) == expected,
+        "dead holder's release damaged post-takeover state")
+      // and the next writer proceeds normally
+      DomainsIncr.runDay(spark,
+        docs.filter(pmod($"doc_id", lit(3L)) === 0), prefix, wh, 3, nBuckets = 4)
+    } finally DomainsIncr.dropState(spark, prefix)
+  }
+
+  test("pre-scoped-marker warehouses are refused LOUDLY, never degraded (ADVICE r16 #2)") {
+    // a warehouse written before the round-16 per-prefix marker scoping
+    // carries unscoped `_ann_conf`/`_vec_counts`/... and no format
+    // stamp; folding it through the scoped readers would silently code
+    // at a different width than the built index. Both the write plane
+    // (withLease) and the read plane (ensureRegistered) must refuse
+    // with migration instructions.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val wh = IncrState.newWarehouse()
+    val legacy = new org.apache.hadoop.fs.Path(s"$wh/_ann_conf")
+    val fs = legacy.getFileSystem(hconf)
+    val out = fs.create(legacy, true)
+    try out.write("4 4".getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalStateException] {
+      IncrState.withLease(spark, wh, "p") { fail("must not run on an old-format warehouse") }
+    }
+    assert(e.getMessage.contains("_ann_conf") && e.getMessage.contains("Migrate"),
+      s"refusal must name the legacy marker and the migration: ${e.getMessage}")
+    intercept[IllegalStateException] {
+      IncrState.ensureRegistered(spark,
+        IncrState.StateTable("nonexistent_t", "id", Seq("id")), wh)
+    }
+    // stamping the version (what a finished migration does) unblocks it
+    val stamp = new org.apache.hadoop.fs.Path(s"$wh/${IncrState.FormatMarker}")
+    val out2 = fs.create(stamp, true)
+    try out2.write(IncrState.FormatVersion.getBytes("UTF-8")) finally out2.close()
+    var ran = false
+    IncrState.withLease(spark, wh, "p") { ran = true }
+    assert(ran)
+  }
+
+  test("writeDay refuses a column the existing table lacks (old-layout tombstones)") {
+    import spark.implicits._
+    val wh = IncrState.newWarehouse()
+    val t = IncrState.StateTable(freshPrefix("drift_t_"), "id", Seq("id"))
+    try {
+      IncrState.writeDay(spark,
+        spark.range(10).select($"id").withColumn("day", lit(0)), t, wh, 0, nBuckets = 2)
+      // a newer writer producing src_day (the round-16 tombstone
+      // provenance column) against the old table: the positional select
+      // used to DROP it silently and fail far from the cause
+      val e = intercept[IllegalStateException] {
+        IncrState.writeDay(spark,
+          spark.range(10).select($"id").withColumn("src_day", lit(1))
+            .withColumn("day", lit(1)), t, wh, 1, nBuckets = 2)
+      }
+      assert(e.getMessage.contains("src_day") && e.getMessage.contains(t.name),
+        s"drift refusal must name the column and table: ${e.getMessage}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${t.name}")
+  }
 }
