@@ -261,19 +261,49 @@ object IncrState {
       brokeStale = true
     }
     val token = leaseToken()
-    val out = try fs.create(p, false)
-    catch {
-      case _: java.io.IOException =>
-        throw new LeaseContendedException(
-          s"lost the lease race for prefix '$scope' at $warehouse (concurrent create)")
-    }
-    try out.write(token.getBytes("UTF-8")) finally out.close()
-    // ownership read-back: the create above is check-then-act on local
-    // FS, so a simultaneous creator may have overwritten us — only the
-    // writer whose token is on disk holds the lease
-    if (!readLease(fs, p).contains(token)) {
-      throw new LeaseContendedException(
-        s"lost the lease race for prefix '$scope' at $warehouse (token overwritten)")
+    // ATOMIC create on a local filesystem (round 17, surfaced by the
+    // 8-thread mutual-exclusion chaos test): Hadoop's create(p, false)
+    // is check-then-act on RawLocalFileSystem, and the read-back below
+    // only catches creators whose WRITES interleave — it cannot catch
+    // the serialized interleave where creator C completes create → write
+    // → read-back and enters its body before creator D (already past
+    // its own existence check) truncate-creates over C's fresh lease and
+    // passes ITS read-back: two live holders. O_EXCL (CREATE_NEW) makes
+    // the create itself the arbiter, closing that window for every
+    // file:// warehouse (this sandbox, the test suites, any NFS-less
+    // deployment). Non-local stores keep the create + read-back protocol
+    // (their create is server-arbitrated; the residual window is
+    // backstopped by the heartbeat + commit fence).
+    localNioPath(fs, p) match {
+      case Some(lp) =>
+        try {
+          // hadoop's create() makes parent dirs implicitly; nio does not —
+          // a lease can be the first object ever written to a warehouse
+          Option(lp.getParent).foreach(java.nio.file.Files.createDirectories(_))
+          java.nio.file.Files.write(lp, token.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          ()
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException | _: java.io.IOException =>
+            throw new LeaseContendedException(
+              s"lost the lease race for prefix '$scope' at $warehouse (concurrent create)")
+        }
+      case None =>
+        val out = try fs.create(p, false)
+        catch {
+          case _: java.io.IOException =>
+            throw new LeaseContendedException(
+              s"lost the lease race for prefix '$scope' at $warehouse (concurrent create)")
+        }
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        // ownership read-back: the create above is check-then-act, so a
+        // simultaneous creator may have overwritten us — only the writer
+        // whose token is on disk holds the lease
+        if (!readLease(fs, p).contains(token)) {
+          throw new LeaseContendedException(
+            s"lost the lease race for prefix '$scope' at $warehouse (token overwritten)")
+        }
     }
     // settle re-verify (ADVICE r16), paid only on the crash-recovery
     // path: a laggard breaker whose token+mtime re-check raced our
@@ -368,6 +398,19 @@ object IncrState {
       formatOk.add(key); ()
     }
   }
+
+  /** The java.nio path of `p` when `fs` is a local filesystem (raw or
+    * checksummed), None otherwise — the switch for the O_EXCL atomic
+    * lease create above. Lease files created through nio carry no .crc
+    * sidecar; ChecksumFileSystem reads them unverified, and rename/
+    * delete/setTimes are checksum-agnostic, so the two create paths
+    * interoperate on one warehouse. */
+  private def localNioPath(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path): Option[java.nio.file.Path] =
+    if ("file" == fs.getUri.getScheme)
+      try Some(java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath))
+      catch { case _: Throwable => None }
+    else None
 
   /** The lease file's token, or None when missing or UNREADABLE: two
     * creators racing through a checksummed local FS can interleave the

@@ -52,11 +52,12 @@ class ScaleProbeSuite extends SparkSpec {
     val h2 = Tables.documents(spark, outDir)
       .agg(expr("bit_xor(xxhash64(doc_id, text))")).first.getLong(0)
     assert(h1 == h2, "regenerated corpus differs — generation is not deterministic")
-    // the alphabet-rotation bijection only admits K < 26: copy 26 would
-    // carry copy 0's exact text and re-create the cross-copy near-dup
-    // explosion the rotation prevents — generate must refuse, loudly
+    // the affine cipher (round 17, replacing the 26-letter rotation so
+    // the ×100 rung can carry pair-producing probes) admits K < 312:
+    // copy 312 would carry copy 0's exact text and re-create the
+    // cross-copy near-dup explosion — generate must refuse, loudly
     val e = intercept[IllegalArgumentException] {
-      ScaleProbe.generate(spark, sfDir, outDir + "_alias", 26, Seq("documents"))
+      ScaleProbe.generate(spark, sfDir, outDir + "_alias", 312, Seq("documents"))
     }
     assert(e.getMessage.contains("alias"), e.getMessage)
   }
