@@ -157,9 +157,6 @@ object ClusterIncr {
     val m = Similarity.scaledVectors(slice)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      IncrState.writeDay(s,
-        m.withColumn("src_day", lit(day)).withColumn("day", lit(day)),
-        vecsT, warehouse, day, nBuckets)
       // seed-assignment partials: per-cluster (n, component sums) via
       // the mergeable CentroidAgg — the refined-centroid ingredient
       // (assign passes `v` through, so no join back is needed)
@@ -171,12 +168,26 @@ object ClusterIncr {
         .map { case (cl, (n, sums)) => (cl, n, sums) }
         .toDF("cl", "n_part", "sums")
         .withColumn("src_day", lit(day)).withColumn("day", lit(day))
-      IncrState.writeDay(s, parts, cpartT, warehouse, day, nBuckets)
-      // serving assignments vs the CURRENT epoch (drift reconciles later)
+      // serving assignments vs the CURRENT epoch (drift reconciles
+      // later; the epoch comes from the centroid MARKER, which no
+      // branch below touches — the three writes share only the pinned
+      // `m` and land in three separate tables, so they overlap (§2.6)
       val asg = assign(m, centroidFrame(s, epochCentroids(s, prefix, warehouse)))
         .select($"vec_id", $"cl", $"sim_i")
         .withColumn("src_day", lit(day)).withColumn("day", lit(day))
-      IncrState.writeDay(s, asg, asgT, warehouse, day, nBuckets)
+      // materialize the pinned `m` with one cheap action BEFORE the
+      // overlapped writes: three jobs first-touching a cold cache race
+      // the block locks into partial double-reads of the slice
+      // (ClusterIncrSuite's input-bytes bound caught it) — after the
+      // count the cache is fully built and every branch reads blocks
+      // only, so the three independent table writes overlap (§2.6)
+      m.count()
+      IncrState.concurrently(Seq(
+        () => IncrState.writeDay(s,
+          m.withColumn("src_day", lit(day)).withColumn("day", lit(day)),
+          vecsT, warehouse, day, nBuckets),
+        () => IncrState.writeDay(s, parts, cpartT, warehouse, day, nBuckets),
+        () => IncrState.writeDay(s, asg, asgT, warehouse, day, nBuckets)))
       IncrState.writeLastDay(s, warehouse, day, prefix)
     } finally { m.unpersist(); () }
   }
@@ -207,9 +218,6 @@ object ClusterIncr {
     val m = Similarity.scaledVectors(deleted)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      IncrState.writeDay(s,
-        m.select($"vec_id").distinct().withColumn("day", lit(day)),
-        tombTable(prefix), warehouse, day, nBuckets)
       val seedF = centroidFrame(s, seeds.zipWithIndex.map { case (v, p) => (p.toLong, v) }.toSeq)
       val parts = assign(m, seedF)
         .select($"cl", $"v").as[(Long, Array[Long])]
@@ -218,7 +226,14 @@ object ClusterIncr {
         .map { case (cl, (n, sums)) => (cl, -n, sums.map(x => -x)) }
         .toDF("cl", "n_part", "sums")
         .withColumn("src_day", lit(day)).withColumn("day", lit(day))
-      IncrState.writeDay(s, parts, cpartT, warehouse, day, nBuckets)
+      // build the `m` cache with one action (see runDay's input-bytes
+      // note), then overlap the two independent writes (§2.6)
+      m.count()
+      IncrState.concurrently(Seq(
+        () => IncrState.writeDay(s,
+          m.select($"vec_id").distinct().withColumn("day", lit(day)),
+          tombTable(prefix), warehouse, day, nBuckets),
+        () => IncrState.writeDay(s, parts, cpartT, warehouse, day, nBuckets)))
       IncrState.writeLastDay(s, warehouse, day, prefix)
       // the first delete creates the vec tombstone table — swap the SQL
       // report view to its tombstone-aware form (no-op unless registered)

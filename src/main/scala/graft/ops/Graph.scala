@@ -130,9 +130,20 @@ object Graph {
   def triangleProfile(e0In: DataFrame): DataFrame = {
     val ss = e0In.sparkSession
     import ss.implicits._
-    val e0 = e0In
-      .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
-      .filter($"u" =!= $"v").distinct()
+    // pin the CANONICAL edge set too (round 17): e0 feeds the degree
+    // union (twice), the orientation join, and — through deg — the
+    // final profile's left side, so without a pin the caller's edge
+    // derivation (lineitem⋈lineitem self-join + distinct for L37, plus
+    // a per-row md5 coloring for L37b) re-executes up to four times per
+    // run (plans/r17/q_graph_triangles_approx_before.txt: four lineitem
+    // scans, no exchange reuse across the union branches). Same
+    // Tungsten-pin idiom as the oriented list below; ~16 B/edge, the
+    // same magnitude the oriented pin already budgets.
+    val (e0, _) = org.apache.spark.sql.graftshim.GraftShim.pinInternal(
+      e0In
+        .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+        .filter($"u" =!= $"v").distinct(),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e0.select($"u".as("x")).union(e0.select($"v".as("x")))
       .groupBy($"x").agg(count(lit(1)).as("dg"))
     // orient lower (deg, id) → higher (deg, id); ties break on id so

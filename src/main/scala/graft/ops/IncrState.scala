@@ -173,6 +173,44 @@ object IncrState {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Run independent state actions of ONE leased operation CONCURRENTLY
+    * (optimization guide §2.6: the scheduler happily runs several jobs
+    * at once — actions are only sequential because the driver calls
+    * them sequentially). The member folds write 2-3 independent tables
+    * from one persisted input, and the per-action driver floor
+    * (planning, AQE coordination, commit protocol) measured ~45% of
+    * the del exhibits' wall at sf0.1 (JobProfile, round 17) — running
+    * the writes from worker threads overlaps each action's floor with
+    * the others' cluster work.
+    *
+    * The calling thread's lease holds are propagated into each worker,
+    * so [[fence]] keeps guarding writes submitted from them; bodies
+    * must not acquire leases of their own (a cross-thread reentrant
+    * acquire would self-deadlock on the contended-lease throw). Fresh
+    * threads per call — cheap next to any Spark action, and the
+    * SparkContext's inheritable job-group/description locals carry
+    * over at thread creation. All bodies settle before return; the
+    * first failure rethrows after the join (no branch outlives the
+    * leased section it belongs to). */
+  def concurrently(bodies: Seq[() => Unit]): Unit = {
+    if (bodies.sizeIs <= 1) { bodies.foreach(_.apply()); return }
+    val parentHolds = held.get()
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val ts = bodies.map { b =>
+      val t = new Thread(() => {
+        held.set(parentHolds)
+        try b() catch { case e: Throwable => failure.compareAndSet(null, e); () }
+        finally held.remove()
+      }, "graft-incr-parallel")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    ts.foreach(_.join())
+    val e = failure.get()
+    if (e != null) throw e
+  }
+
   /** The heartbeat: re-touch the lease's mtime while its content is
     * still OUR token; a changed/missing token means a takeover already
     * happened — flip `lost` so the next [[fence]] aborts fast (and
@@ -696,7 +734,10 @@ object IncrState {
     * (the members' partitions stay aligned so one listing drives all). */
   def mergeAll(s: SparkSession, warehouse: String, tables: Seq[StateTable],
                days: Seq[Int], newEpoch: Int, nBuckets: Int): Unit =
-    tables.foreach(t => mergePartitions(s, warehouse, t, days, newEpoch, nBuckets))
+    // the group's tables merge independently (separate stage dirs,
+    // separate partitions) — overlap their stage/swap/drop floors (§2.6)
+    concurrently(tables.map(t =>
+      () => mergePartitions(s, warehouse, t, days, newEpoch, nBuckets)))
 
   /** FULL merge: every partition (settled days and prior epochs alike)
     * folds into one epoch, one file per bucket. Listings are PER TABLE:
@@ -717,12 +758,14 @@ object IncrState {
   def compactAllWhere(s: SparkSession, warehouse: String, tables: Seq[StateTable],
                       nBuckets: Int,
                       transform: StateTable => DataFrame => DataFrame): Unit =
-    tables.foreach { t =>
+    // per-table listings + targets are independent too — each branch
+    // derives its own epoch id from its own partitions (§2.6 overlap)
+    concurrently(tables.map { t => () =>
       val all = deltaDays(s, t.name, warehouse) ++
         epochSizes(s, t.name, warehouse).keys
       val target = math.min(EpochDay, all.minOption.getOrElse(0) - 1)
       mergePartitions(s, warehouse, t, all, target, nBuckets, transform(t))
-    }
+    })
 
   /** Daily-cadence lifecycle hook: once the settled day-partition count
     * passes `maxDeltaDays`, merge those days into a fresh epoch run, then

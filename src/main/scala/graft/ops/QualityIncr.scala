@@ -147,8 +147,13 @@ object QualityIncr {
     IncrState.withLease(s, warehouse, prefix) {
     val Seq(pkT, _) = stateTables(prefix)
     val d = dirty(slice)
-    val vals = sliceCounters(d, customers)
-    IncrState.writeDay(s, sliceBitmaps(d, day), pkT, warehouse, day, nBuckets)
+    // the additive counters and the PK bitmap write are two independent
+    // passes over the same dirt-transformed slice — overlap them (§2.6;
+    // join() publishes vals to this thread)
+    var vals: Seq[Long] = null
+    IncrState.concurrently(Seq(
+      () => vals = sliceCounters(d, customers),
+      () => IncrState.writeDay(s, sliceBitmaps(d, day), pkT, warehouse, day, nBuckets)))
     writeCounts(s, warehouse, prefix,
       readCounts(s, warehouse, prefix) + (day -> vals))
     IncrState.writeLastDay(s, warehouse, day, prefix)
@@ -185,8 +190,12 @@ object QualityIncr {
     IncrState.withLease(s, warehouse, prefix) {
     val Seq(_, tombT) = stateTables(prefix)
     val d = dirty(deleted)
-    val vals = sliceCounters(d, customers).map(-_)
-    IncrState.writeDay(s, sliceBitmaps(d, day), tombT, warehouse, day, nBuckets)
+    // same overlap as the fold: counters and tombstone bitmaps are
+    // independent passes over the delete slice (§2.6)
+    var vals: Seq[Long] = null
+    IncrState.concurrently(Seq(
+      () => vals = sliceCounters(d, customers).map(-_),
+      () => IncrState.writeDay(s, sliceBitmaps(d, day), tombT, warehouse, day, nBuckets)))
     writeCounts(s, warehouse, prefix,
       readCounts(s, warehouse, prefix) + (day -> vals))
     IncrState.writeLastDay(s, warehouse, day, prefix)

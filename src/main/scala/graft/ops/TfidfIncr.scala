@@ -77,15 +77,20 @@ object TfidfIncr {
     IncrState.writeDay(s, tf.withColumn("day", lit(day)), tfT, warehouse, day, nBuckets)
     val freshTf = s.table(tfTable(prefix)).filter($"day" === day)
     // df partial: one row per distinct token of the slice — vocab-sized,
-    // partial-aggregable (tf rows are already distinct on (doc_id, tok))
-    IncrState.writeDay(s,
-      freshTf.groupBy($"tok").agg(count(lit(1)).as("df_part"))
-        .withColumn("src_day", lit(day)).withColumn("day", lit(day)),
-      dfT, warehouse, day, nBuckets)
-    // the day's document count, read off the fresh partition (empty
-    // ReadSchema scan) into the O(days) marker — serving never scans
-    // for n_docs
-    val nDay = freshTf.select($"doc_id").distinct().count()
+    // partial-aggregable (tf rows are already distinct on (doc_id, tok)).
+    // The df write and the day's doc count both read the just-written
+    // fresh partition and neither reads the other's output — overlap
+    // them (§2.6; join() below publishes nDay to this thread)
+    var nDay = 0L
+    IncrState.concurrently(Seq(
+      () => IncrState.writeDay(s,
+        freshTf.groupBy($"tok").agg(count(lit(1)).as("df_part"))
+          .withColumn("src_day", lit(day)).withColumn("day", lit(day)),
+        dfT, warehouse, day, nBuckets),
+      // the day's document count, read off the fresh partition (empty
+      // ReadSchema scan) into the O(days) marker — serving never scans
+      // for n_docs
+      () => nDay = freshTf.select($"doc_id").distinct().count()))
     IncrState.writeDayCounts(s, warehouse, docCountsMarker(prefix),
       IncrState.readDayCounts(s, warehouse, docCountsMarker(prefix)) + (day -> nDay))
     IncrState.writeLastDay(s, warehouse, day, prefix)
@@ -128,12 +133,16 @@ object TfidfIncr {
     val freshTf = s.table(tfTable(prefix)).filter($"day" === day)
     // negative df partial: the fresh rows are one per (deleted doc,
     // distinct token), so count = the df this slice contributed at fold
-    // time (identical text ⇒ identical token set)
-    IncrState.writeDay(s,
-      freshTf.groupBy($"tok").agg((-count(lit(1))).as("df_part"))
-        .withColumn("src_day", lit(day)).withColumn("day", lit(day)),
-      dfT, warehouse, day, nBuckets)
-    val nDel = freshTf.select($"doc_id").distinct().count()
+    // time (identical text ⇒ identical token set). Same overlap as the
+    // fold: the df write and the doc count are independent reads of the
+    // just-written partition (§2.6)
+    var nDel = 0L
+    IncrState.concurrently(Seq(
+      () => IncrState.writeDay(s,
+        freshTf.groupBy($"tok").agg((-count(lit(1))).as("df_part"))
+          .withColumn("src_day", lit(day)).withColumn("day", lit(day)),
+        dfT, warehouse, day, nBuckets),
+      () => nDel = freshTf.select($"doc_id").distinct().count()))
     IncrState.writeDayCounts(s, warehouse, docCountsMarker(prefix),
       IncrState.readDayCounts(s, warehouse, docCountsMarker(prefix)) + (day -> -nDel))
     IncrState.writeLastDay(s, warehouse, day, prefix)

@@ -350,4 +350,42 @@ class LeaseSuite extends SparkSpec {
       s"a laggard breaker deleted a fresh lease — ${maxSeen.get()} concurrent holders")
     assert(totalWins >= 1, "no breaker ever won — the chaos proved nothing")
   }
+
+  test("concurrently: lease holds propagate to workers (fence guards), failures rethrow (round 17)") {
+    val wh = IS.newWarehouse()
+    val prefix = freshPrefix("conc_")
+    // inside a leased section, a worker thread spawned by `concurrently`
+    // must see the hold: fence() passes while the lease is ours, and
+    // ABORTS in the worker once the lease file is usurped — the §2.6
+    // overlap must not silently drop the commit fence
+    IS.withLease(spark, wh, prefix, heartbeatMs = -1L) {
+      var fencedOk = false
+      IS.concurrently(Seq(() => { IS.fence(spark, wh); fencedOk = true }))
+      assert(fencedOk, "fence threw for a healthy hold inside a worker")
+      // usurp the lease file, then the worker's fence must abort
+      val p = new org.apache.hadoop.fs.Path(s"$wh/_lease.$prefix")
+      val fs = p.getFileSystem(hconf)
+      val out = fs.create(p, true)
+      try out.write("usurper".getBytes("UTF-8")) finally out.close()
+      val e = intercept[IS.LeaseContendedException] {
+        IS.concurrently(Seq(
+          () => Thread.sleep(10), // a healthy sibling still settles
+          () => IS.fence(spark, wh)))
+      }
+      assert(e.getMessage.contains(prefix), e.getMessage)
+    }
+    // outside any lease a worker holds nothing: fence is a no-op there
+    var ran = 0
+    IS.concurrently(Seq(() => { IS.fence(spark, wh); ran += 1 }))
+    assert(ran == 1)
+    // first failure rethrows after ALL branches settle
+    val settled = new java.util.concurrent.atomic.AtomicInteger()
+    val boom = intercept[RuntimeException] {
+      IS.concurrently(Seq(
+        () => { Thread.sleep(30); settled.incrementAndGet(); () },
+        () => throw new RuntimeException("branch boom")))
+    }
+    assert(boom.getMessage == "branch boom")
+    assert(settled.get() == 1, "concurrently returned before all branches settled")
+  }
 }
