@@ -215,8 +215,14 @@ object Dedup {
     // every propagation round's join
     val canon = edges.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
       .filter($"u" =!= $"v").distinct()
+    // HASH(u)-repartition before the persist (round 17): the cached
+    // plan keeps its outputPartitioning, so every propagation round's
+    // `sym ⋈ labels on u === vid` reads the static side exchange-free —
+    // one up-front shuffle replaces one per round (guide §2.4), and the
+    // seed groupBy(vid) below rides the same partitioning
     val sym = canon.select($"u", $"v")
       .union(canon.select($"v".as("u"), $"u".as("v")))
+      .repartition(col("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize-and-truncate per round: pin the round's labels as a
     // persisted row RDD and rebuild the DataFrame over it — the same

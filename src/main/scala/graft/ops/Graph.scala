@@ -295,17 +295,24 @@ object Graph {
       val ls = Tables.lineitem(s, d)
         .select($"l_orderkey".as("ok"), ($"l_suppkey" * 2 + 1).as("su"))
       val e0 = oc.join(ls, Seq("ok")).select($"cu".as("u"), $"su".as("v")).distinct()
-      // pin the static side once (Tungsten-format persist, cf. the CC
-      // fixpoint): all three rounds re-join edges and deg, and without
-      // the pin each round recomputes the orders⋈lineitem distinct —
-      // the lazily-materialized pin lives inside the returned plan and
-      // is freed by the caller's session-level cache release
-      val (edges, _) = org.apache.spark.sql.graftshim.GraftShim.pinInternal(
-        e0.union(e0.select($"v".as("u"), $"u".as("v"))),
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val (deg, _) = org.apache.spark.sql.graftshim.GraftShim.pinInternal(
-        edges.groupBy($"u").agg(count(lit(1)).as("outdeg")),
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // persist the static side once — all three rounds re-join edges
+      // and deg, and without it each round recomputes the
+      // orders⋈lineitem distinct. Round 17: the persist moved from the
+      // Tungsten RDD pin to an InMemoryRelation over a HASH(u)
+      // repartition, because the RDD pin erases partitioning metadata:
+      // every round re-exchanged BOTH static sides (plan before: 10
+      // Exchanges, edges and deg re-shuffled 3× each). A cached plan
+      // keeps its outputPartitioning, so each round's equi-join on `u`
+      // reads the static sides exchange-free — one up-front shuffle of
+      // the edge list replaces three (guide §2.4: operations keyed the
+      // same way share one exchange). deg derives from the repartitioned
+      // cache, so its aggregate is exchange-free too. Blocks are freed
+      // by the caller's session-level cache release, as before.
+      val edges = e0.union(e0.select($"v".as("u"), $"u".as("v")))
+        .repartition(col("u"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = edges.groupBy($"u").agg(count(lit(1)).as("outdeg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val r0 = deg.select($"u", lit(1000000L).as("r"))
       val r3 = step(edges, deg, step(edges, deg, step(edges, deg, r0)))
       r3.filter($"u" % 2 === 1)
